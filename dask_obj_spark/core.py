@@ -1,0 +1,811 @@
+"""ObjectFrame: distributed collection of objects over a Spark DataFrame.
+
+Capability parity with the reference ``DaskObjects``
+(``src/dask_obj/core.py:34-108``) plus the dask.bag surface it re-exposes
+through ``use_bag_attrs``/``items`` (SURVEY.md Tier D), re-expressed
+Catalyst-first:
+
+- Three storage modes, chosen at ingest and tracked explicitly:
+  *struct* (multi-column DataFrame; element = Row), *scalar* (single
+  ``value`` column of a native Spark type), *pickled* (single
+  ``value BINARY`` column holding pickled arbitrary objects — the
+  "any Python object" contract of the reference, kept columnar via
+  Arrow-batched ``mapInPandas``).
+- Broadcast semantics: attribute access / item access / ``call`` /
+  operators map element-wise (reference ``core.py:62-76``,
+  ``core.py:180-220``) — compiled to Column expressions whenever the
+  element type is native, so they run JVM-side under codegen; the pickled
+  mode replays per element in Arrow batches (the documented slow path).
+- Deliberate upgrades (SURVEY.md Appendix A — reference defects NOT
+  replicated): unknown attributes raise eagerly instead of becoming
+  silent lazy failures; default partitioning is Spark's, not
+  one-element-per-partition; operators are supported uniformly (the
+  reference's ``DaskObjects`` lacks dunders).
+
+Scale notes (100 TB design intent): every native-mode operation is a
+DataFrame transformation — Catalyst keeps pushdown/pruning, aggregation
+is partial+final, ``counts``/``frequencies`` are two-phase hash
+aggregates, ``reduction`` collects exactly one small partial per
+partition. Only ``compute()`` (an explicit action, like the reference's)
+materializes to the driver.
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from collections import Counter
+
+from pyspark import cloudpickle as _cloudpickle
+
+# serialize with cloudpickle (handles __main__-defined classes/lambdas by
+# value — the reference's "arbitrary object" contract requires it);
+# deserialize with plain pickle.loads (cloudpickle emits standard opcodes)
+_dumps = _cloudpickle.dumps
+from collections.abc import Iterable, Sequence
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_obj_spark.expr import Expr, compile_expr
+from dask_obj_spark.functions.dispatch import dispatch_method
+
+VALUE = "value"
+
+
+def _spark_type_for(value: Any) -> T.DataType | None:
+    """Best-effort Spark type for a sampled Python value; None = not native."""
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, (bytes, bytearray)):
+        return T.BinaryType()
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        return T.TimestampType()
+    if isinstance(value, datetime.date):
+        return T.DateType()
+    if isinstance(value, (list, tuple)) and value and not isinstance(value, dict):
+        inner = _spark_type_for(value[0])
+        if inner is not None and all(_spark_type_for(v).__class__ is inner.__class__ for v in value):
+            return T.ArrayType(inner)
+        return None
+    return None
+
+
+class ObjectFrame:
+    """Distributed object collection (the ``DaskObjects`` equivalent).
+
+    Construct from a Python sequence, an existing ``DataFrame``, or via
+    :meth:`read_parquet`.  ``use_df_attrs=True`` reproduces the
+    reference's ``use_bag_attrs`` passthrough (``core.py:45-47,62-66``):
+    unknown attributes resolve against the wrapped DataFrame first,
+    exposing the full pyspark surface (Tier D) before broadcasting.
+    """
+
+    def __init__(
+        self,
+        items: Any,
+        spark: SparkSession | None = None,
+        *,
+        npartitions: int | None = None,
+        use_df_attrs: bool = False,
+        config: dict | None = None,
+        _pickled: bool = False,
+    ):
+        self._config = dict(config or {})
+        self._use_df_attrs = use_df_attrs
+        if isinstance(items, ObjectFrame):
+            df, _pickled = items._df, items._pickled
+        elif isinstance(items, DataFrame):
+            df = items
+        else:
+            if spark is None:
+                raise ValueError("spark session required to build from a sequence")
+            df, _pickled = self._ingest(spark, items)
+        if npartitions is not None:
+            df = df.repartition(npartitions)
+        self._df = df
+        self._pickled = _pickled
+
+    # -- construction ---------------------------------------------------------
+
+    @staticmethod
+    def _ingest(spark: SparkSession, items: Sequence[Any] | Iterable[Any]) -> tuple[DataFrame, bool]:
+        items = list(items)
+        if not items:
+            return spark.createDataFrame([], schema=T.StructType([T.StructField(VALUE, T.NullType())])), False
+        first = items[0]
+        if isinstance(first, dict):
+            try:
+                return spark.createDataFrame(items), False
+            except Exception:
+                pass
+        elif isinstance(first, tuple) and not isinstance(first, bool):
+            try:
+                return spark.createDataFrame(items), False
+            except Exception:
+                pass
+        else:
+            typ = _spark_type_for(first)
+            if typ is not None:
+                try:
+                    schema = T.StructType([T.StructField(VALUE, typ)])
+                    return spark.createDataFrame([(x,) for x in items], schema=schema), False
+                except Exception:
+                    pass
+        # opaque / heterogeneous → pickled binary column (reference's
+        # "any object" contract; SURVEY.md §1.2)
+        pdf = [(_dumps(x),) for x in items]
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return spark.createDataFrame(pdf, schema=schema), True
+
+    @classmethod
+    def from_df(cls, df: DataFrame, **kw) -> "ObjectFrame":
+        return cls(df, **kw)
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str, **kw) -> "ObjectFrame":
+        return cls(spark.read.parquet(path), **kw)
+
+    def _make(self, df: DataFrame, pickled: bool | None = None) -> "ObjectFrame":
+        # operator closure: every derived frame carries config/flags
+        # (reference _make_new, core.py:59-60)
+        new = ObjectFrame.__new__(ObjectFrame)
+        new._config = dict(self._config)
+        new._use_df_attrs = self._use_df_attrs
+        new._df = df
+        new._pickled = self._pickled if pickled is None else pickled
+        return new
+
+    # -- introspection --------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """The wrapped DataFrame (the reference's public ``items`` field)."""
+        return self._df
+
+    @property
+    def is_scalar(self) -> bool:
+        return len(self._df.columns) == 1 and self._df.columns[0] == VALUE
+
+    @property
+    def is_pickled(self) -> bool:
+        return self._pickled
+
+    def __repr__(self) -> str:
+        mode = "pickled" if self._pickled else ("scalar" if self.is_scalar else "struct")
+        return f"<ObjectFrame mode={mode} schema={self._df.schema.simpleString()}>"
+
+    __str__ = __repr__
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # -- element plumbing -----------------------------------------------------
+
+    def _element_rdd(self):
+        if self._pickled:
+            return self._df.rdd.map(lambda r: pickle.loads(bytes(r[0])))
+        if self.is_scalar:
+            return self._df.rdd.map(lambda r: r[0])
+        return self._df.rdd
+
+    def _head_element(self) -> Any:
+        rows = self._df.take(1)
+        if not rows:
+            raise ValueError("empty collection")
+        r = rows[0]
+        if self._pickled:
+            return pickle.loads(bytes(r[0]))
+        return r[0] if self.is_scalar else r
+
+    def _map_objects(self, fn: Callable[[Any], Any]) -> "ObjectFrame":
+        """Element→element map in pickled mode (Arrow-batched)."""
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                out = [_dumps(fn(pickle.loads(bytes(b)))) for b in pdf[VALUE]]
+                yield pd.DataFrame({VALUE: out})
+
+        return self._make(self._df.mapInPandas(gen, f"{VALUE} binary"), pickled=True)
+
+    def _to_pickled(self) -> "ObjectFrame":
+        if self._pickled:
+            return self
+        import pandas as pd
+
+        scalar = self.is_scalar
+        cols = self._df.columns
+
+        def gen(batches):
+            for pdf in batches:
+                if scalar:
+                    out = [_dumps(v) for v in pdf[VALUE]]
+                else:
+                    out = [_dumps(dict(zip(cols, t))) for t in pdf.itertuples(index=False, name=None)]
+                yield pd.DataFrame({VALUE: out})
+
+        return self._make(self._df.mapInPandas(gen, f"{VALUE} binary"), pickled=True)
+
+    def _python_elementwise(self, fn: Callable[[Any], Any]) -> "ObjectFrame":
+        """Apply an arbitrary Python function per element.
+
+        Samples one element to infer a native result type (schema fixed at
+        ingest — SURVEY.md §1.2); falls back to pickled mode when the
+        result is not Spark-native.
+        """
+        if self._pickled:
+            return self._map_objects(fn)
+        sample = self._head_element()
+        try:
+            probe = fn(sample)
+            out_type = _spark_type_for(probe)
+        except Exception:
+            out_type = None
+        if out_type is None:
+            return self._to_pickled()._map_objects(fn)
+        import pandas as pd
+
+        scalar = self.is_scalar
+        cols = self._df.columns
+        schema = T.StructType([T.StructField(VALUE, out_type)])
+
+        def gen(batches):
+            for pdf in batches:
+                if scalar:
+                    vals = [fn(v) for v in pdf[VALUE]]
+                else:
+                    from pyspark.sql import Row
+
+                    vals = [fn(Row(**dict(zip(cols, t)))) for t in pdf.itertuples(index=False, name=None)]
+                yield pd.DataFrame({VALUE: vals})
+
+        return self._make(self._df.mapInPandas(gen, schema), pickled=False)
+
+    def _value_column(self) -> Column:
+        if not self.is_scalar:
+            raise TypeError("operation requires a single-value collection; project a column first")
+        return F.col(VALUE)
+
+    def _select_value(self, col: Column) -> "ObjectFrame":
+        return self._make(self._df.select(col.alias(VALUE)), pickled=False)
+
+    # -- broadcast projections (A2/A3) ---------------------------------------
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        # use_bag_attrs passthrough (reference core.py:62-66): DataFrame wins
+        if object.__getattribute__(self, "_use_df_attrs") and hasattr(self._df, name):
+            return getattr(self._df, name)
+        if self._pickled:
+            import operator as op
+
+            return self._map_objects(op.attrgetter(name))
+        if name in self._df.columns and not self.is_scalar:
+            return self._select_value(F.col(name))
+        if self.is_scalar:
+            vtype = self._df.schema[VALUE].dataType
+            if isinstance(vtype, T.StructType) and name in vtype.fieldNames():
+                return self._select_value(F.col(VALUE).getField(name))
+        raise AttributeError(
+            f"{name!r} is not a column/field of {self._df.columns}; "
+            "(unknown names raise eagerly — deliberate upgrade over the reference)"
+        )
+
+    def __getitem__(self, key: Any) -> "ObjectFrame":
+        if self._pickled:
+            import operator as op
+
+            return self._map_objects(op.itemgetter(key))
+        if isinstance(key, (list, tuple)):
+            if not self.is_scalar:
+                return self._select_value(F.struct(*[F.col(k) for k in key]))
+            return self._select_value(F.struct(*[F.col(VALUE).getItem(k) for k in key]))
+        if not self.is_scalar:
+            if key in self._df.columns:
+                return self._select_value(F.col(key))
+            raise KeyError(key)
+        vtype = self._df.schema[VALUE].dataType
+        if isinstance(vtype, T.ArrayType) and isinstance(key, int):
+            # Python 0-based indexing
+            return self._select_value(F.get(F.col(VALUE), key))
+        return self._select_value(F.element_at(F.col(VALUE), F.lit(key)))
+
+    # -- broadcast invocation (A4/A5) ----------------------------------------
+
+    def call(self, method: str, *args, **kwargs) -> "ObjectFrame":
+        """Per-element method call (reference ``core.py:74-76``): JVM
+        dispatch table first, Python replay as the explicit fallback."""
+        if not self._pickled and self.is_scalar:
+            col = dispatch_method(method, self._value_column(), *args, **kwargs)
+            if col is not None:
+                return self._select_value(col)
+        import operator as op
+
+        return self._python_elementwise(lambda o: op.methodcaller(method, *args, **kwargs)(o))
+
+    def __call__(self, *args, **kwargs) -> "ObjectFrame":
+        """Collection of callables: invoke each with shared args (A4)."""
+        return self._python_elementwise(lambda fn: fn(*args, **kwargs))
+
+    # -- map / flatten / materialize (A6-A9) ----------------------------------
+
+    def map(self, func: Callable, *args, compute: bool = False, **kwargs) -> Any:
+        """Per-item function application, item FIRST (reference ``core.py:78-82``).
+
+        Extra ``ObjectFrame`` args are zipped element-wise (dask bag
+        semantics); scalars are passed through.
+        """
+        frames = [a for a in args if isinstance(a, ObjectFrame)]
+        if frames:
+            zipped = self
+            for fr in frames:
+                zipped = zipped.zip(fr)
+            n = len(frames)
+
+            def apply_zipped(tup, _args=args, _f=func, _kw=kwargs, _n=n):
+                # zip() left-nests: (((e, f1), f2), f3) — unwrap exactly _n times
+                flat: list = []
+                cur = tup
+                for _ in range(_n):
+                    cur, right = cur
+                    flat.append(right)
+                flat.append(cur)
+                flat.reverse()  # [elem, f1, f2, ...]
+                elem, zvals = flat[0], iter(flat[1:])
+                real = [next(zvals) if isinstance(a, ObjectFrame) else a for a in _args]
+                return _f(elem, *real, **_kw)
+
+            out = zipped._map_objects(apply_zipped)
+        elif isinstance(func, Expr):
+            out = self._apply_expr(func)
+        else:
+            out = self._python_elementwise(lambda o: func(o, *args, **kwargs))
+        return out.compute() if compute else out
+
+    def _apply_expr(self, e: Expr) -> "ObjectFrame":
+        """Run a recorded :class:`Expr` columnar when native, replayed when pickled."""
+        if self._pickled:
+            return self._map_objects(e.eval)
+        try:
+            if self.is_scalar:
+                return self._select_value(compile_expr(e, F.col(VALUE)))
+            return self._select_value(compile_expr(e, F.struct(*self._df.columns)))
+        except Exception:
+            return self._python_elementwise(e.eval)
+
+    def zip(self, other: "ObjectFrame") -> "ObjectFrame":
+        """Positional zip of two collections → pickled tuples.
+
+        Distributed via ``zipWithIndex`` + shuffle join on the index (the
+        positional contract of bag-arg zipping has no shuffle-free Spark
+        analog unless partitioning matches; documented cost).
+        """
+        left = self._to_pickled()._df.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0]))
+        right = other._to_pickled()._df.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0]))
+        joined = left.join(right).sortByKey().map(
+            lambda kv: (_dumps(_zip_merge(kv[1][0], kv[1][1])),)
+        )
+        spark = self._df.sparkSession
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return self._make(spark.createDataFrame(joined, schema=schema), pickled=True)
+
+    def flatten(self, compute: bool = False) -> Any:
+        """One-level flatten (reference ``core.py:93-96``) → ``explode``."""
+        if self._pickled:
+            out = self._flat_map_objects(lambda o: o)
+        elif self.is_scalar and isinstance(self._df.schema[VALUE].dataType, T.ArrayType):
+            out = self._select_value(F.explode(F.col(VALUE)))
+        else:
+            out = self._to_pickled()._flat_map_objects(lambda o: o)
+        return out.compute() if compute else out
+
+    def _flat_map_objects(self, fn: Callable[[Any], Iterable[Any]]) -> "ObjectFrame":
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for b in pdf[VALUE]:
+                    for item in fn(pickle.loads(bytes(b))):
+                        out.append(_dumps(item))
+                yield pd.DataFrame({VALUE: out})
+
+        return self._make(self._df.mapInPandas(gen, f"{VALUE} binary"), pickled=True)
+
+    def compute(self, flatten: bool = False) -> list:
+        """Materialize to a Python list (reference ``core.py:84-88``)."""
+        target = self.flatten() if flatten else self
+        rows = target._df.collect()
+        if target._pickled:
+            return [pickle.loads(bytes(r[0])) for r in rows]
+        if target.is_scalar:
+            return [r[0] for r in rows]
+        return rows
+
+    def persist(self) -> "ObjectFrame":
+        self._df.persist()
+        return self
+
+    def repartition(self, npartitions: int, *cols) -> "ObjectFrame":
+        return self._make(self._df.repartition(npartitions, *cols))
+
+    def coalesce(self, npartitions: int) -> "ObjectFrame":
+        return self._make(self._df.coalesce(npartitions))
+
+    # -- reductions (A10-A12) -------------------------------------------------
+
+    def reduction(
+        self,
+        perpartition: Callable[[list], Any],
+        aggregate: Callable[[list], Any],
+        split_every: int | None = None,
+    ) -> Any:
+        """Generic two-phase aggregation (reference ``core.py:104-105``).
+
+        ``perpartition`` runs distributed (one small partial per
+        partition); partials are tree-combined with fan-in ``split_every``
+        and ``aggregate`` is applied at least once — dask
+        ``bag.reduction`` semantics.
+        """
+        partials = (
+            self._element_rdd()
+            .mapPartitions(lambda it: [perpartition(list(it))])
+            .collect()
+        )
+        fan_in = split_every or 8
+        while len(partials) > fan_in:
+            partials = [
+                aggregate(partials[i : i + fan_in]) for i in range(0, len(partials), fan_in)
+            ]
+        return aggregate(partials)
+
+    def fold(self, binop: Callable, initial: Any = None, combine: Callable | None = None) -> Any:
+        comb = combine or binop
+
+        def per(items: list) -> Any:
+            return functools.reduce(binop, items, initial) if initial is not None else functools.reduce(binop, items)
+
+        return self.reduction(per, lambda ps: functools.reduce(comb, ps))
+
+    def counts(self, split_every: int | None = None) -> Counter:
+        """Distributed value frequencies → ``collections.Counter``
+        (reference ``counts``, ``core.py:107-108``).
+
+        Native modes run as a two-phase hash aggregate
+        (``groupBy().count()`` — partial+final, same shape the reference
+        hand-builds with ``counter``/``sum_counts``, ``core.py:19-31``);
+        pickled mode uses the generic reduction with ``Counter`` merge.
+        """
+        if not self._pickled:
+            cols = [VALUE] if self.is_scalar else list(self._df.columns)
+            rows = self._df.groupBy(*cols).count().collect()
+            if self.is_scalar:
+                return Counter({r[0]: r["count"] for r in rows})
+            return Counter({tuple(r[:-1]): r[-1] for r in rows})
+        return self.reduction(
+            lambda items: Counter(items),
+            lambda counters: functools.reduce(_merge_counters, counters, Counter()),
+            split_every,
+        )
+
+    frequencies = counts
+
+    # -- Tier D relational surface -------------------------------------------
+
+    def _predicate(self, pred: Any) -> Column | None:
+        if isinstance(pred, Column):
+            return pred
+        if isinstance(pred, Expr):
+            try:
+                root = F.col(VALUE) if self.is_scalar else F.struct(*self._df.columns)
+                return compile_expr(pred, root)
+            except Exception:
+                return None
+        return None
+
+    def filter(self, pred: Any) -> "ObjectFrame":
+        col = None if self._pickled else self._predicate(pred)
+        if col is not None:
+            return self._make(self._df.filter(col))
+        # python predicate over elements (any mode)
+        import pandas as pd
+
+        pickled = self._pickled
+        scalar = self.is_scalar
+        cols = self._df.columns
+        p = pred.eval if isinstance(pred, Expr) else pred
+
+        def gen(batches):
+            from pyspark.sql import Row
+
+            for pdf in batches:
+                if pickled:
+                    mask = [bool(p(pickle.loads(bytes(b)))) for b in pdf[VALUE]]
+                elif scalar:
+                    mask = [bool(p(v)) for v in pdf[VALUE]]
+                else:
+                    mask = [
+                        bool(p(Row(**dict(zip(cols, t)))))
+                        for t in pdf.itertuples(index=False, name=None)
+                    ]
+                yield pdf[pd.Series(mask, index=pdf.index)]
+
+        return self._make(self._df.mapInPandas(gen, self._df.schema))
+
+    def remove(self, pred: Any) -> "ObjectFrame":
+        col = None if self._pickled else self._predicate(pred)
+        if col is not None:
+            return self._make(self._df.filter(~col))
+        p = pred.eval if isinstance(pred, Expr) else pred
+        return self.filter(lambda o: not p(o))
+
+    def distinct(self, key: str | None = None) -> "ObjectFrame":
+        if key is None:
+            return self._make(self._df.distinct())
+        return self._make(self._df.dropDuplicates([key]))
+
+    def groupby(self, grouper: Any) -> "ObjectFrame":
+        """Full shuffle group → (key, [items]) pairs (bag.groupby).
+
+        Prefer :meth:`foldby`/``agg_by`` — collect_list carries all values
+        (documented in dask too; same tradeoff at scale).
+        """
+        if isinstance(grouper, str) and not self.is_scalar and grouper in self._df.columns:
+            grouped = (
+                self._df.groupBy(grouper)
+                .agg(F.collect_list(F.struct(*self._df.columns)).alias("items"))
+                .select(F.col(grouper).alias("key"), "items")
+            )
+            return self._make(grouped, pickled=False)
+        # python grouper over elements
+        keyed = self._element_rdd().groupBy(grouper if callable(grouper) else (lambda o: o[grouper]))
+        out = keyed.map(lambda kv: (_dumps((kv[0], list(kv[1]))),))
+        spark = self._df.sparkSession
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return self._make(spark.createDataFrame(out, schema=schema), pickled=True)
+
+    def foldby(
+        self,
+        key: Any,
+        binop: Callable,
+        initial: Any = None,
+        combine: Callable | None = None,
+        combine_initial: Any = None,
+    ) -> "ObjectFrame":
+        """Per-key two-phase fold (bag.foldby — the efficient partial+final
+        path dask docs push over groupby).  Runs as ``aggregateByKey`` so
+        map-side combining happens before the shuffle."""
+        comb = combine or binop
+        keyfn = key if callable(key) else (lambda o, _k=key: o[_k])
+        rdd = self._element_rdd().map(lambda o: (keyfn(o), o))
+        if initial is not None:
+            folded = rdd.aggregateByKey(initial, binop, comb)
+        else:
+            folded = rdd.reduceByKey(binop)
+        out = folded.map(lambda kv: (_dumps(tuple(kv)),))
+        spark = self._df.sparkSession
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return self._make(spark.createDataFrame(out, schema=schema), pickled=True)
+
+    def agg_by(self, keys: list[str] | str, *aggs: Column) -> "ObjectFrame":
+        """Columnar foldby: named-column groupBy + Catalyst aggregates."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        return self._make(self._df.groupBy(*keys).agg(*aggs), pickled=False)
+
+    def topk(self, k: int, key: str | Column | None = None) -> "ObjectFrame":
+        """Top-k (bag.topk) → ``TakeOrderedAndProject`` (no full sort)."""
+        if key is None:
+            key = self._value_column()
+        elif isinstance(key, str):
+            key = F.col(key)
+        return self._make(self._df.orderBy(key.desc()).limit(k))
+
+    # scalar aggregates (bag.max/min/sum/mean/std/var/count/any/all)
+    def _scalar_agg(self, col: Column) -> Any:
+        return self._df.agg(col.alias("r")).collect()[0][0]
+
+    def max(self) -> Any:
+        return self._scalar_agg(F.max(self._value_column()))
+
+    def min(self) -> Any:
+        return self._scalar_agg(F.min(self._value_column()))
+
+    def sum(self) -> Any:
+        return self._scalar_agg(F.sum(self._value_column()))
+
+    def mean(self) -> Any:
+        return self._scalar_agg(F.mean(self._value_column()))
+
+    def std(self, ddof: int = 0) -> Any:
+        fn = F.stddev_pop if ddof == 0 else F.stddev_samp
+        return self._scalar_agg(fn(self._value_column()))
+
+    def var(self, ddof: int = 0) -> Any:
+        fn = F.var_pop if ddof == 0 else F.var_samp
+        return self._scalar_agg(fn(self._value_column()))
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def any(self) -> bool:
+        return bool(self._scalar_agg(F.max(self._value_column().cast("boolean"))))
+
+    def all(self) -> bool:
+        return bool(self._scalar_agg(F.min(self._value_column().cast("boolean"))))
+
+    def accumulate(self, binop: Callable, initial: Any = None) -> "ObjectFrame":
+        """Prefix scan (bag.accumulate): classic two-pass distributed scan —
+        per-partition fold, driver-side exclusive prefix of the (tiny)
+        per-partition results, then a re-scan with the carried prefix."""
+        rdd = self._element_rdd()
+        parts = rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, _fold_list(binop, list(it), initial))]
+        ).collect()
+        parts.sort()
+        prefix: dict[int, Any] = {}
+        carry = _EMPTY if initial is None else initial
+        for idx, folded in parts:
+            prefix[idx] = carry
+            if not isinstance(folded, _EmptySentinel):
+                carry = folded if isinstance(carry, _EmptySentinel) else binop(carry, folded)
+
+        def scan(idx, it):
+            acc = prefix.get(idx, _EMPTY)
+            for x in it:
+                acc = x if isinstance(acc, _EmptySentinel) else binop(acc, x)
+                yield acc
+
+        out = rdd.mapPartitionsWithIndex(scan).map(lambda v: (_dumps(v),))
+        spark = self._df.sparkSession
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return self._make(spark.createDataFrame(out, schema=schema), pickled=True)
+
+    def join(self, other: "ObjectFrame | DataFrame", on: Any, how: str = "inner", broadcast: bool = False) -> "ObjectFrame":
+        right = other._df if isinstance(other, ObjectFrame) else other
+        if broadcast:
+            right = F.broadcast(right)
+        return self._make(self._df.join(right, on, how), pickled=False)
+
+    def product(self, other: "ObjectFrame | DataFrame") -> "ObjectFrame":
+        right = other._df if isinstance(other, ObjectFrame) else other
+        return self._make(self._df.crossJoin(right), pickled=False)
+
+    def union(self, other: "ObjectFrame") -> "ObjectFrame":
+        return self._make(self._df.unionByName(other._df))
+
+    def intersect(self, other: "ObjectFrame") -> "ObjectFrame":
+        return self._make(self._df.intersect(other._df))
+
+    def subtract(self, other: "ObjectFrame") -> "ObjectFrame":
+        return self._make(self._df.exceptAll(other._df))
+
+    def starmap(self, func: Callable) -> "ObjectFrame":
+        return self.map(lambda t: func(*t))
+
+    def map_partitions(self, func: Callable[[Iterable], Iterable]) -> "ObjectFrame":
+        rdd = self._element_rdd().mapPartitions(lambda it: [(_dumps(v),) for v in func(it)])
+        spark = self._df.sparkSession
+        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
+        return self._make(spark.createDataFrame(rdd, schema=schema), pickled=True)
+
+    def random_sample(self, prob: float, seed: int | None = None) -> "ObjectFrame":
+        return self._make(self._df.sample(fraction=prob, seed=seed))
+
+    def take(self, k: int) -> list:
+        head = self._make(self._df.limit(k))
+        return head.compute()
+
+    def first(self) -> Any:
+        taken = self.take(1)
+        return taken[0] if taken else None
+
+    def order_by(self, *cols, ascending: bool = True) -> "ObjectFrame":
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if not ascending:
+            cs = [c.desc() for c in cs]
+        return self._make(self._df.orderBy(*cs))
+
+    # -- sinks ----------------------------------------------------------------
+
+    def to_parquet(self, path: str, mode: str = "overwrite", **opts) -> None:
+        self._df.write.mode(mode).options(**opts).parquet(path)
+
+    def to_textfiles(self, path: str, mode: str = "overwrite") -> None:
+        df = self._df
+        if not (self.is_scalar and isinstance(df.schema[VALUE].dataType, T.StringType)):
+            df = df.select(F.to_json(F.struct(*df.columns)).alias(VALUE))
+        df.write.mode(mode).text(path)
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+
+class _EmptySentinel:
+    """Pickle-safe 'no value' marker (checked with isinstance, not identity —
+    identity does not survive the driver→executor pickle boundary)."""
+
+
+_EMPTY = _EmptySentinel()
+
+
+def _fold_list(binop: Callable, items: list, initial: Any) -> Any:
+    if not items:
+        return _EMPTY
+    if initial is not None:
+        return functools.reduce(binop, items, initial)
+    return functools.reduce(binop, items)
+
+
+def _merge_counters(a: Counter, b: Counter) -> Counter:
+    a.update(b)
+    return a
+
+
+def _zip_merge(left: Any, right: Any) -> tuple:
+    lv = pickle.loads(bytes(left)) if isinstance(left, (bytes, bytearray)) else left
+    rv = pickle.loads(bytes(right)) if isinstance(right, (bytes, bytearray)) else right
+    return (lv, rv)
+
+
+# uniform operator broadcasting (documented deviation: the reference's
+# DaskObjects lacks dunders — special-method lookup bypasses __getattr__,
+# SURVEY.md Appendix A; we support them uniformly like DaskDelayedObjects
+# core.py:180-220)
+def _of_make_binary(opname: str, reflected: bool):
+    import operator as op
+
+    from dask_obj_spark.expr import _BINARY_OPS, _COLUMN_BINARY
+
+    pyfn = _BINARY_OPS[opname]
+    colfn = _COLUMN_BINARY[opname]
+
+    def method(self: ObjectFrame, other: Any):
+        if not self._pickled and self.is_scalar and not isinstance(other, ObjectFrame):
+            col = colfn(other, self._value_column()) if reflected else colfn(self._value_column(), other)
+            return self._select_value(col)
+        if isinstance(other, ObjectFrame):
+            zipped = self.zip(other)
+            return zipped._map_objects(lambda t: pyfn(t[1], t[0]) if reflected else pyfn(t[0], t[1]))
+        return self._python_elementwise(
+            (lambda o: pyfn(other, o)) if reflected else (lambda o: pyfn(o, other))
+        )
+
+    method.__name__ = f"__{'r' if reflected else ''}{opname}__"
+    return method
+
+
+def _of_make_unary(opname: str):
+    from dask_obj_spark.expr import _UNARY_OPS, _COLUMN_UNARY
+
+    pyfn = _UNARY_OPS[opname]
+    colfn = _COLUMN_UNARY[opname]
+
+    def method(self: ObjectFrame):
+        if not self._pickled and self.is_scalar:
+            return self._select_value(colfn(self._value_column()))
+        return self._python_elementwise(pyfn)
+
+    method.__name__ = f"__{opname}__"
+    return method
+
+
+from dask_obj_spark.expr import _BINARY_OPS as _BIN, _UNARY_OPS as _UN  # noqa: E402
+
+for _name in _BIN:
+    setattr(ObjectFrame, f"__{_name}__", _of_make_binary(_name, False))
+    if _name not in ("lt", "le", "eq", "ne", "gt", "ge"):
+        setattr(ObjectFrame, f"__r{_name}__", _of_make_binary(_name, True))
+for _name in _UN:
+    setattr(ObjectFrame, f"__{_name}__", _of_make_unary(_name))

@@ -1,0 +1,134 @@
+"""Method-name → Column-function dispatch.
+
+The reference broadcasts *arbitrary* Python method calls element-wise
+(``call`` at ``src/dask_obj/core.py:74-76``; call capture in ``Expr`` at
+``src/dask_obj/expr.py:301-302``).  A naive rebuild would run those as
+row-at-a-time Python UDFs — the slow path.  This table maps the common
+str/dict/list/float method names onto ``pyspark.sql.functions`` so the
+call stays JVM-side and codegen'd; only unknown methods fall back to a
+(vectorized) UDF.
+
+Keep entries *semantics-faithful to the Python method*, not merely
+name-alike: e.g. ``str.find`` returns -1 when missing while Spark
+``instr`` returns 0, so we shift; ``str.count`` counts substring
+occurrences, mapped via split-length arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _strip(col: Column, chars: str | None = None) -> Column:
+    return F.trim(col) if chars is None else F.btrim(col, F.lit(chars))
+
+
+def _lstrip(col: Column, chars: str | None = None) -> Column:
+    return F.ltrim(col) if chars is None else F.ltrim(col, F.lit(chars))
+
+
+def _rstrip(col: Column, chars: str | None = None) -> Column:
+    return F.rtrim(col) if chars is None else F.rtrim(col, F.lit(chars))
+
+
+def _split(col: Column, sep: str | None = None, maxsplit: int = -1) -> Column:
+    # Python str.split(None) splits on whitespace runs; Spark split takes a
+    # Java regex. limit=-1 means no limit in both.
+    if sep is None:
+        return F.split(F.trim(col), r"\s+", maxsplit if maxsplit > 0 else -1)
+    import re
+
+    return F.split(col, re.escape(sep), maxsplit if maxsplit > 0 else -1)
+
+
+def _replace(col: Column, old: str, new: str, count: int = -1) -> Column:
+    if count != -1:
+        raise TypeError("replace with a count is not supported JVM-side")
+    return F.replace(col, F.lit(old), F.lit(new))
+
+
+def _find(col: Column, sub: str) -> Column:
+    # Python returns -1 when absent and is 0-based; instr is 1-based, 0 when absent.
+    return F.instr(col, sub) - 1
+
+
+def _count_sub(col: Column, sub: str) -> Column:
+    import re
+
+    return F.size(F.split(col, re.escape(sub), -1)) - 1
+
+
+def _get(col: Column, key: Any, default: Any = None) -> Column:
+    # dict.get semantics over a MapType column.
+    got = F.element_at(col, F.lit(key))
+    return got if default is None else F.coalesce(got, F.lit(default))
+
+
+def _zfill(col: Column, width: int) -> Column:
+    return F.lpad(col, width, "0")
+
+
+def _capitalize(col: Column) -> Column:
+    return F.concat(F.upper(F.substring(col, 1, 1)), F.lower(F.substring(col, 2, 2147483647)))
+
+
+def _index_arr(col: Column, item: Any) -> Column:
+    # list.index: 0-based; array_position is 1-based, 0 when absent.
+    return F.array_position(col, F.lit(item)) - 1
+
+
+COLUMN_METHODS: dict[str, Callable[..., Column]] = {
+    # -- str methods --
+    "upper": F.upper,
+    "lower": F.lower,
+    "strip": _strip,
+    "lstrip": _lstrip,
+    "rstrip": _rstrip,
+    "split": _split,
+    "startswith": lambda c, p: F.startswith(c, F.lit(p)),
+    "endswith": lambda c, p: F.endswith(c, F.lit(p)),
+    "replace": _replace,
+    "title": F.initcap,
+    "capitalize": _capitalize,
+    "find": _find,
+    "count": _count_sub,
+    "zfill": _zfill,
+    "isdigit": lambda c: c.rlike(r"^[0-9]+$"),
+    "isalpha": lambda c: c.rlike(r"^[A-Za-z]+$"),
+    "isspace": lambda c: c.rlike(r"^\s+$"),
+    "islower": lambda c: c == F.lower(c),
+    "isupper": lambda c: c == F.upper(c),
+    "join": lambda c, arr=None: F.array_join(arr, c) if arr is not None else F.array_join(c, ""),
+    "encode": lambda c: F.encode(c, "utf-8"),
+    "decode": lambda c: F.decode(c, "utf-8"),
+    # -- dict methods (MapType) --
+    "get": _get,
+    "keys": F.map_keys,
+    "values": F.map_values,
+    "items": F.map_entries,
+    # -- list methods (ArrayType) --
+    "index": _index_arr,
+    # -- numeric methods --
+    "bit_length": lambda c: F.bit_length(c),
+    "is_integer": lambda c: c == F.floor(c).cast("double"),
+    "conjugate": lambda c: c,
+    # -- datetime-ish accessors used as methods --
+    "date": F.to_date,
+    "isoformat": lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+    "timestamp": lambda c: F.unix_timestamp(c).cast("double"),
+    "weekday": lambda c: ((F.dayofweek(c) + 5) % 7),  # Monday=0 like Python
+}
+
+
+def dispatch_method(name: str, col: Column, *args, **kwargs) -> Column | None:
+    """Return the Column for ``elem.name(*args)`` if JVM-expressible, else None."""
+    fn = COLUMN_METHODS.get(name)
+    if fn is None:
+        return None
+    try:
+        return fn(col, *args, **kwargs)
+    except TypeError:
+        return None

@@ -1,0 +1,110 @@
+"""Core-facade queries (SURVEY.md Tier A/B/C demonstrated on driver data).
+
+Each query exercises an ObjectFrame/Expr capability end-to-end through
+Catalyst, with a DuckDB oracle proving the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_obj_spark.core import ObjectFrame
+from dask_obj_spark.expr import Expr, compile_expr
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+
+@query(
+    "counts_event_type",
+    oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def counts_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 ``counts``: two-phase hash aggregate (partial+final), the same
+    shape the reference builds by hand with counter/sum_counts
+    (``src/dask_obj/core.py:19-31,107-108``).
+
+    Returned as a DataFrame (event_type, cnt) for the oracle; the
+    ``Counter``-returning facade is ``ObjectFrame.counts`` (unit-tested).
+    """
+    events = ObjectFrame(load_table(spark, sf_dir, "events"))
+    return events.agg_by("event_type", F.count(F.lit(1)).alias("cnt")).df
+
+
+@query(
+    "attr_projection",
+    oracle="SELECT c_name AS value FROM customer",
+)
+def attr_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 broadcast attribute access → column pruning at the scan."""
+    customers = ObjectFrame(load_table(spark, sf_dir, "customer"))
+    return customers.c_name.df
+
+
+@query(
+    "pluck_multi",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders",
+)
+def pluck_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 list-of-keys pluck → multi-column projection."""
+    orders = ObjectFrame(load_table(spark, sf_dir, "orders"))
+    plucked = orders[["o_orderkey", "o_totalprice"]]
+    # unwrap the struct for a named-column oracle comparison
+    return plucked.df.select(
+        F.col("value.o_orderkey").alias("o_orderkey"),
+        F.col("value.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@query(
+    "expr_arithmetic",
+    oracle="SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS revenue "
+    "FROM lineitem WHERE l_quantity > 30",
+)
+def expr_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/B8 operator broadcasting: a recorded Expr compiled to Column
+    arithmetic (JVM-side, no Python in the loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = Expr("l_extendedprice") * (1 - Expr("l_discount"))
+    revenue = compile_expr(e)
+    return li.filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", revenue.alias("revenue")
+    )
+
+
+@query(
+    "expr_method_dispatch",
+    oracle="SELECT upper(c_mktsegment) AS seg, count(*) AS cnt "
+    "FROM customer GROUP BY upper(c_mktsegment)",
+)
+def expr_method_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 call capture + dispatch table: ``.upper()`` runs as F.upper
+    (JVM), not a Python UDF."""
+    cust = load_table(spark, sf_dir, "customer")
+    e = Expr("c_mktsegment").upper()
+    seg = compile_expr(e)
+    return cust.groupBy(seg.alias("seg")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "flatten_embeddings",
+    oracle="SELECT count(*) AS n FROM (SELECT unnest(embedding) FROM embeddings)",
+)
+def flatten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 flatten/explode over the embedding arrays (BASELINE B5)."""
+    emb = ObjectFrame(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.embedding.flatten()
+    return flat.df.agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "map_computed_column",
+    oracle="SELECT o_orderkey, o_totalprice * 1.1 AS gross FROM orders",
+)
+def map_computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 map + B8 operator broadcasting, expressed columnar: the facade
+    compiles ``frame * 1.1`` to Column arithmetic in the same plan as the
+    key projection (no Python in the loop, no zip shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    e = Expr("o_totalprice") * 1.1
+    return orders.select("o_orderkey", compile_expr(e).alias("gross"))

@@ -1,0 +1,80 @@
+"""Generic sources & sinks (reference surface: dask.bag module-level
+sources re-exposed at ``src/dask_obj/core.py:6``; sinks ``to_textfiles`` /
+``to_avro`` via the bag passthrough — SURVEY.md Tier D).
+
+All readers return plain DataFrames so Catalyst keeps predicate pushdown
+and column pruning; ``from_sequence`` is the ``db.from_sequence``
+equivalent with sane partitioning (NOT the reference's pathological
+one-element-per-partition default, SURVEY.md Appendix A).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def from_sequence(
+    spark: SparkSession,
+    items: Sequence[Any] | Iterable[Any],
+    schema=None,
+    npartitions: int | None = None,
+) -> DataFrame:
+    """``db.from_sequence`` equivalent (reference ``core.py:50-57``).
+
+    Scalars become single-column rows (column ``value``); dicts/Rows/tuples
+    become struct rows with inferred or given schema.  Unlike the reference
+    we default partitioning to Spark's choice, not one partition per item.
+    """
+    items = list(items)
+    if items and not isinstance(items[0], (dict, tuple, list)) and schema is None:
+        df = spark.createDataFrame([(x,) for x in items], schema=["value"])
+    else:
+        df = spark.createDataFrame(items, schema=schema)
+    if npartitions is not None:
+        df = df.repartition(npartitions)
+    return df
+
+
+def range_frame(spark: SparkSession, n: int, npartitions: int | None = None) -> DataFrame:
+    """``db.range`` equivalent → ``spark.range`` (distributed, no driver list)."""
+    return spark.range(n, numPartitions=npartitions) if npartitions else spark.range(n)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """``db.read_text`` equivalent; one row per line, column ``value``."""
+    return spark.read.text(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)  # never inferSchema in production scans
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+    """Sink dispatcher: parquet/json/csv/text/orc (``to_textfiles`` etc.).
+
+    Avro needs the spark-avro jar (not in this image) — raises with a clear
+    message instead of failing inside the JVM.
+    """
+    if fmt == "avro":
+        raise NotImplementedError(
+            "avro sink requires the spark-avro package on the classpath; "
+            "not available in this image (stubbed per environment contract)"
+        )
+    df.write.mode(mode).options(**options).format(fmt).save(path)

@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark AND its oracle SQL on DuckDB over the same parquet, then
+compare row count, column names, and order-insensitive values.
+
+This is the primary test (SURVEY.md §5.2.1) — if this passes at sf0.001
+locally, the driver's sf0.01 check should pass identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # tolerate float round-trip noise between engines
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    # driver compares order-insensitively with columns sorted by name
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(oracle_sf_dir):
+    con = _duck_connection(oracle_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle_sf_dir, duck):
+    sdf = QUERIES[name](spark, oracle_sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    if name not in ORACLE:
+        # rows-only contract for non-SQL-expressible ops
+        assert len(spark_rows) >= 0
+        return
+
+    res = duck.execute(ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    left = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
+    right = _rows_to_multiset(duck_cols, duck_rows)
+    assert left == right, f"{name}: value mismatch (first diff: {_first_diff(left, right)})"
+
+
+def _first_diff(a, b):
+    for x, y in zip(a, b):
+        if x != y:
+            return (x, y)
+    return ("length", len(a), len(b))
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
