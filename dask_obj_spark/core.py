@@ -136,7 +136,14 @@ class ObjectFrame:
                 pass
         else:
             typ = _spark_type_for(first)
-            if typ is not None:
+
+            def _same_type(x):
+                t = _spark_type_for(x)
+                return t is not None and type(t) is type(typ)
+
+            # all items must map to the same Spark type — the Arrow ingest
+            # path silently coerces mismatches to string otherwise
+            if typ is not None and all(_same_type(x) for x in items):
                 try:
                     schema = T.StructType([T.StructField(VALUE, typ)])
                     return spark.createDataFrame([(x,) for x in items], schema=schema), False
@@ -298,6 +305,9 @@ class ObjectFrame:
             vtype = self._df.schema[VALUE].dataType
             if isinstance(vtype, T.StructType) and name in vtype.fieldNames():
                 return self._select_value(F.col(VALUE).getField(name))
+            if isinstance(vtype, T.MapType):
+                # dict-shaped elements infer as MapType: attr ≡ key lookup
+                return self._select_value(F.col(VALUE).getItem(name))
         raise AttributeError(
             f"{name!r} is not a column/field of {self._df.columns}; "
             "(unknown names raise eagerly — deliberate upgrade over the reference)"
@@ -353,8 +363,11 @@ class ObjectFrame:
             for fr in frames:
                 zipped = zipped.zip(fr)
             n = len(frames)
+            # replace frame args by slot markers — an ObjectFrame must never
+            # be captured in an executor closure (it holds the SparkSession)
+            arg_slots = tuple("__zip_slot__" if isinstance(a, ObjectFrame) else a for a in args)
 
-            def apply_zipped(tup, _args=args, _f=func, _kw=kwargs, _n=n):
+            def apply_zipped(tup, _args=arg_slots, _f=func, _kw=kwargs, _n=n):
                 # zip() left-nests: (((e, f1), f2), f3) — unwrap exactly _n times
                 flat: list = []
                 cur = tup
@@ -364,7 +377,7 @@ class ObjectFrame:
                 flat.append(cur)
                 flat.reverse()  # [elem, f1, f2, ...]
                 elem, zvals = flat[0], iter(flat[1:])
-                real = [next(zvals) if isinstance(a, ObjectFrame) else a for a in _args]
+                real = [next(zvals) if a == "__zip_slot__" else a for a in _args]
                 return _f(elem, *real, **_kw)
 
             out = zipped._map_objects(apply_zipped)
@@ -459,11 +472,13 @@ class ObjectFrame:
         and ``aggregate`` is applied at least once — dask
         ``bag.reduction`` semantics.
         """
-        partials = (
-            self._element_rdd()
-            .mapPartitions(lambda it: [perpartition(list(it))])
-            .collect()
-        )
+        def _per(it):
+            items = list(it)
+            return [perpartition(items)] if items else []  # skip empty partitions
+
+        partials = self._element_rdd().mapPartitions(_per).collect()
+        if not partials:
+            return aggregate([])
         fan_in = split_every or 8
         while len(partials) > fan_in:
             partials = [

@@ -36,6 +36,7 @@ from __future__ import annotations
 import operator as _op
 from typing import Any, Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -355,13 +356,10 @@ def _fallback_udf(expr: Expr, done_frames: list, col: Column, fallback_type, wha
         )
     remaining = Expr.from_frames(NO_VALUE, tuple(expr.frames[len(done_frames):]))
 
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf(fallback_type)
-    def _replay(s: "pd.Series") -> "pd.Series":
+    def _replay(s: pd.Series) -> pd.Series:
         return s.map(lambda v: remaining.eval(v))
 
-    return _replay(col)
+    return F.pandas_udf(fallback_type)(_replay)(col)
 
 
 def _col_floordiv(a, b):

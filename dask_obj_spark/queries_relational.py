@@ -1,1 +1,727 @@
-"""Relational battery (SURVEY.md Tier D/E) — placeholder, filled next."""
+"""Relational battery (SURVEY.md Tier D — the dask.bag surface the
+reference re-exposes — and Tier E standard-SQL completions).
+
+Every query here is a DataFrame plan (Catalyst optimizes: pushdown,
+pruning, broadcast selection, partial aggregation) with a DuckDB oracle.
+Aggregated floats are rounded identically on both sides so cross-engine
+summation-order noise cannot flip the value hash.
+
+Scale annotations per query: what the plan does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- filter/scan
+
+
+@query(
+    "filter_pushdown",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity > 45 AND l_returnflag = 'R'",
+)
+def filter_pushdown(spark, sf_dir):
+    """bag.filter → Catalyst filter pushed to the parquet scan; only 4
+    columns read (pruning). At 100 TB this is the difference between
+    scanning 4 columns' row-groups and the whole table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "remove_predicate",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE NOT (o_orderstatus = 'F')",
+)
+def remove_predicate(spark, sf_dir):
+    """bag.remove(pred) → filter(~pred)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(~(F.col("o_orderstatus") == "F")).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "sample_deterministic",
+    oracle="SELECT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_orderkey % 7 = 0 AND l_linenumber = 1",
+)
+def sample_deterministic(spark, sf_dir):
+    """Deterministic pseudo-sampling (key-modulo). bag.random_sample maps
+    to df.sample (seeded Bernoulli — registered rows-only below) but the
+    oracle-checked variant must be engine-reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") % 7 == 0) & (F.col("l_linenumber") == 1)).select(
+        "l_orderkey", "l_partkey"
+    )
+
+
+@query("random_sample_rowsonly")
+def random_sample_rowsonly(spark, sf_dir):
+    """bag.random_sample → df.sample(seeded). No oracle: Bernoulli RNG is
+    engine-specific; the driver's rows-only check applies."""
+    return _t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+# ---------------------------------------------------------------- dedup/distinct
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark, sf_dir):
+    """bag.distinct → hash-aggregate dedup (partial+final; no full sort)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------- aggregation
+
+
+@query(
+    "tpch_q1_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_agg(spark, sf_dir):
+    """Tier D foldby-equivalent / BASELINE B2: TPC-H Q1-shaped multi-agg.
+    Partial aggregation happens map-side before the 6-group shuffle —
+    the canonical 100 TB-safe aggregation shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "scalar_aggs",
+    oracle="""
+    SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(stddev_pop(l_quantity), 6) AS std_qty,
+           round(var_pop(l_quantity), 6) AS var_qty,
+           count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def scalar_aggs(spark, sf_dir):
+    """bag.max/min/sum/mean/std/var/count + exact count-distinct in one
+    pass (Tier D scalar aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "any_all_bools",
+    oracle="SELECT bool_or(l_quantity > 49) AS any_high, "
+    "bool_and(l_quantity > 0) AS all_positive FROM lineitem",
+)
+def any_all_bools(spark, sf_dir):
+    """bag.any/all → bool_or/bool_and aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.bool_or(F.col("l_quantity") > 49).alias("any_high"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+    )
+
+
+@query("approx_distinct_rowsonly")
+def approx_distinct_rowsonly(spark, sf_dir):
+    """Tier E approximate aggregate: HyperLogLog++ distinct. No oracle —
+    sketch estimates are engine-specific by design; at 100 TB this
+    replaces an exact distinct's full shuffle with a fixed-size sketch."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt FROM lineitem
+    GROUP BY l_returnflag HAVING count(*) > 100
+    """,
+)
+def having_filter(spark, sf_dir):
+    """GROUP BY ... HAVING → agg then filter (Catalyst folds it into the
+    aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 100)
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """Tier E rollup: hierarchical subtotals (free in both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """Tier E cube: all grouping combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    """Tier E grouping sets via SQL (same Catalyst Expand operator)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """Tier E pivot → conditional aggregation (explicit value list: no
+    extra distinct-scan job, required shape at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
+    return pv.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))
+
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "join_lineitem_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_lineitem_orders(spark, sf_dir):
+    """Tier D equi-join / BASELINE B3. Both sides shuffle on orderkey at
+    scale unless orders fits the broadcast threshold — AQE decides at
+    runtime; co-partitioned bucketing is the 100 TB answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "broadcast_join_dims",
+    oracle="""
+    SELECT r_name, count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_join_dims(spark, sf_dir):
+    """Star-schema dimension joins with explicit broadcast: zero shuffle
+    of the fact side — THE pattern for 100 TB facts × small dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def semi_join_customers(spark, sf_dir):
+    """Tier E left-semi join (EXISTS): no row duplication, right side only
+    probed."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    """Tier E left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "cross_join_dims",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def cross_join_dims(spark, sf_dir):
+    """bag.product → crossJoin (both sides tiny; anything else at scale
+    must be an explicit, justified choice)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "outer_join_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def outer_join_counts(spark, sf_dir):
+    """Left outer join preserving order-less customers (count=0 rows)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT a.event_id AS base_id, count(*) AS n_following
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.event_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Tier E range join (theta): equi key + range predicate. The equi
+    component keeps it a hash join with the range as post-filter — NOT a
+    nested-loop cross product; essential at scale."""
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("a.event_id").alias("base_id"))
+        .agg(F.count(F.lit(1)).alias("n_following"))
+    )
+
+
+@query(
+    "asof_join_last_event",
+    oracle="""
+    SELECT o_orderkey,
+           (SELECT max(e.ts) FROM events e
+             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_ts
+    FROM orders o
+    WHERE o_custkey <= 200
+    """,
+)
+def asof_join_last_event(spark, sf_dir):
+    """Tier E as-of join: latest event at-or-before each order, per user.
+    Expressed as equi-join + range filter + max-aggregate (hash join +
+    partial agg — scales; the correlated-subquery oracle is the spec)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    e = _t(spark, sf_dir, "events")
+    joined = o.join(
+        e,
+        (o.o_custkey == e.user_id) & (e.ts <= o.o_orderdate),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(F.max("ts").alias("last_event_ts"))
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_nations(spark, sf_dir):
+    """Tier E set op: UNION (dedup)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_nations(spark, sf_dir):
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would be multiset difference
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------- order / topk
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """bag.topk / BASELINE B4 → TakeOrderedAndProject: per-partition
+    top-k then merge of k-sized heaps — never a full sort. Orderkey
+    tiebreak makes it deterministic across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey LIMIT 5
+    """,
+)
+def orderby_limit(spark, sf_dir):
+    """Tier E order-by + limit (ascending variant)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Tier E window: top-3 orders per customer (row_number). One shuffle
+    on the partition key; deterministic via orderkey tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER w AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """Tier E window: lag/lead/rank over a per-customer frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).alias("price_rank"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """bag.accumulate (prefix scan) expressed columnar: running total per
+    customer — the Tier D accumulate maps to exactly this window at scale
+    (the facade's generic-binop scan is unit-tested separately)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------- scalar funcs
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """Tier E scalar string library (A5 ``call`` dispatch targets)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Tier E date/time library."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@query(
+    "json_extraction",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_val
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def json_extraction(spark, sf_dir):
+    """Tier E JSON access over the events payload column."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_buckets(spark, sf_dir):
+    """Tier E conditional expressions (CASE WHEN) + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "in_filter_agg",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+)
+def in_filter_agg(spark, sf_dir):
+    """Tier E IN-list predicate (pushed to scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS discount_or_flag
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+)
+def null_handling(spark, sf_dir):
+    """Tier E NULL semantics: nullif/coalesce round-trip."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 13 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "discount_or_flag"
+        ),
+    )
+
+
+@query(
+    "sql_entrypoint",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def sql_entrypoint(spark, sf_dir):
+    """Tier E SQL entry point: spark.sql over registered views — same
+    Catalyst plan as the DataFrame build."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        "SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )

@@ -3,7 +3,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark python workers must import test modules (classes like Point are
+# pickled by reference to their defining module)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, _TESTS, os.environ.get("PYTHONPATH", "")]
+)
 
 from dask_obj_spark.session import get_spark  # noqa: E402
 

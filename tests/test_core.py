@@ -1,0 +1,293 @@
+"""ObjectFrame unit tests against FIXTURES.md §2 element shapes,
+asserting parity with the documented reference semantics
+(src/dask_obj/core.py) including the deliberate upgrades."""
+
+import pickle
+from collections import Counter
+
+import pytest
+
+from dask_obj_spark.core import ObjectFrame
+from dask_obj_spark.expr import Expr
+
+
+class Point:
+    def __init__(self, x, y):
+        self.x, self.y = x, y
+
+    def norm(self):
+        return (self.x**2 + self.y**2) ** 0.5
+
+
+@pytest.fixture(scope="module")
+def dicts(spark):
+    return ObjectFrame(
+        [{"a": 1, "b": "x", "c": {"inner": 1.5}}, {"a": 2, "b": "y", "c": {"inner": 2.5}}],
+        spark,
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return ObjectFrame([Point(3, 4), Point(6, 8), Point(0, 0)], spark)
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return ObjectFrame([1, 2, 2, 3, 3, 3], spark)
+
+
+# -- A1 construction / modes --------------------------------------------------
+
+
+def test_dicts_become_struct_mode(dicts):
+    assert not dicts.is_pickled
+    assert set(dicts.df.columns) == {"a", "b", "c"}
+
+
+def test_scalars_become_scalar_mode(nums):
+    assert nums.is_scalar and not nums.is_pickled
+
+
+def test_opaque_objects_become_pickled(points):
+    assert points.is_pickled
+
+
+def test_heterogeneous_falls_back_to_pickled(spark):
+    objs = ObjectFrame([1, "two", {3}, b"four"], spark)
+    assert objs.is_pickled
+    assert sorted(map(str, objs.compute())) == sorted(["1", "two", "b'four'", "{3}"])
+
+
+def test_adopt_dataframe(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    of = ObjectFrame(df)
+    assert of.count() == 5
+
+
+# -- A2/A3 broadcast projections ---------------------------------------------
+
+
+def test_attr_projection_struct(dicts):
+    assert sorted(dicts.a.compute()) == [1, 2]
+
+
+def test_nested_struct_field(dicts):
+    assert sorted(dicts.c.inner.compute()) == [1.5, 2.5]
+
+
+def test_getitem_single_and_multi(dicts):
+    assert sorted(dicts["b"].compute()) == ["x", "y"]
+    pairs = sorted(tuple(r) for r in dicts[["a", "b"]].compute())
+    assert pairs == [(1, "x"), (2, "y")]
+
+
+def test_attr_on_pickled_objects(points):
+    assert sorted(points.x.compute()) == [0, 3, 6]
+
+
+def test_unknown_attr_raises_eagerly(dicts):
+    # deliberate upgrade: the reference accepts any name silently
+    with pytest.raises(AttributeError):
+        dicts.nonexistent
+
+
+def test_array_getitem_is_zero_based(spark):
+    of = ObjectFrame([[10, 20], [30, 40]], spark)
+    assert not of.is_pickled
+    assert sorted(of[1].compute()) == [20, 40]
+
+
+# -- A4/A5 invocation ---------------------------------------------------------
+
+
+def test_call_dispatches_to_jvm(spark):
+    strs = ObjectFrame(["  Hello ", " wOrld"], spark)
+    assert sorted(strs.call("strip").call("upper").compute()) == ["HELLO", "WORLD"]
+
+
+def test_call_python_fallback(points):
+    assert sorted(points.call("norm").compute()) == [0.0, 5.0, 10.0]
+
+
+def test_callables_collection(spark):
+    fns = ObjectFrame([str.upper, str.lower], spark)
+    assert sorted(fns("MiXeD").compute()) == ["MIXED", "mixed"]
+
+
+# -- A6-A9 map / flatten / compute / persist ---------------------------------
+
+
+def test_map_item_first(nums):
+    assert sorted(nums.map(lambda x, k: x * k, 10).compute()) == [10, 20, 20, 30, 30, 30]
+
+
+def test_map_compute_flag(nums):
+    assert isinstance(nums.map(lambda x: x, compute=True), list)
+
+
+def test_map_with_frame_arg_zips(spark):
+    a = ObjectFrame([1, 2, 3], spark)
+    b = ObjectFrame([10, 20, 30], spark)
+    assert sorted(a.map(lambda x, y: x + y, b).compute()) == [11, 22, 33]
+
+
+def test_flatten_with_empty_inner(spark):
+    of = ObjectFrame([[1, 2], [3], [], [4, 5, 6]], spark)
+    assert sorted(of.flatten(compute=True)) == [1, 2, 3, 4, 5, 6]
+
+
+def test_compute_flatten_flag(spark):
+    of = ObjectFrame([[1], [2, 3]], spark)
+    assert sorted(of.compute(flatten=True)) == [1, 2, 3]
+
+
+def test_persist_returns_self(nums):
+    assert nums.persist() is nums
+
+
+# -- A10-A12 reductions -------------------------------------------------------
+
+
+def test_reduction_two_phase(nums):
+    assert nums.reduction(sum, sum) == 14
+
+
+def test_reduction_split_every(spark):
+    of = ObjectFrame(list(range(100)), spark, npartitions=10)
+    assert of.reduction(sum, sum, split_every=2) == 4950
+
+
+def test_counts_returns_counter(nums):
+    c = nums.counts()
+    assert isinstance(c, Counter)
+    assert c == Counter({1: 1, 2: 2, 3: 3})
+
+
+def test_counts_pickled_mode(spark):
+    objs = ObjectFrame(["a", "b", "a", ("t", 1), ("t", 1)], spark)
+    if not objs.is_pickled:
+        objs = objs._to_pickled()
+    assert objs.counts() == Counter({"a": 2, ("t", 1): 2, "b": 1})
+
+
+def test_fold(nums):
+    assert nums.fold(lambda a, b: a + b) == 14
+
+
+# -- operator broadcasting (uniform; deviation from reference documented) -----
+
+
+def test_operators_native(nums):
+    assert sorted(((nums + 1) * 2).compute()) == [4, 6, 6, 8, 8, 8]
+    assert sorted((nums**2).compute()) == [1, 4, 4, 9, 9, 9]
+    assert sorted((10 - nums).compute()) == [7, 7, 7, 8, 8, 9]
+    assert sorted((nums // 2).compute()) == [0, 1, 1, 1, 1, 1]
+
+
+def test_comparison_is_elementwise(nums):
+    mask = (nums >= 2).compute()
+    assert sorted(mask) == [False, True, True, True, True, True]
+
+
+def test_operators_on_pickled(points):
+    doubled = (points.x * 2).compute()
+    assert sorted(doubled) == [0, 6, 12]
+
+
+def test_operator_between_frames(spark):
+    a = ObjectFrame([1, 2, 3], spark)
+    b = ObjectFrame([10, 20, 30], spark)
+    assert sorted((a + b).compute()) == [11, 22, 33]
+
+
+# -- Tier D surface -----------------------------------------------------------
+
+
+def test_filter_python_predicate(nums):
+    assert sorted(nums.filter(lambda v: v % 2 == 1).compute()) == [1, 3, 3, 3]
+
+
+def test_filter_expr_predicate(nums):
+    e = Expr() % 2 == 0
+    assert sorted(nums.filter(e).compute()) == [2, 2]
+
+
+def test_remove(nums):
+    assert sorted(nums.remove(lambda v: v == 3).compute()) == [1, 2, 2]
+
+
+def test_distinct(nums):
+    assert sorted(nums.distinct().compute()) == [1, 2, 3]
+
+
+def test_groupby_collects(spark):
+    of = ObjectFrame([("a", 1), ("b", 2), ("a", 3)], spark)
+    groups = {k: sorted(v) for k, v in (of.groupby(lambda t: t[0])).compute()}
+    assert groups == {"a": [("a", 1), ("a", 3)], "b": [("b", 2)]}
+
+
+def test_foldby(spark):
+    of = ObjectFrame([("a", 1), ("b", 2), ("a", 3)], spark)
+    folded = dict(
+        of.foldby(
+            lambda t: t[0],
+            lambda acc, t: acc + t[1],
+            initial=0,
+            combine=lambda a, b: a + b,  # combines two partial accs (dask semantics)
+        ).compute()
+    )
+    assert folded == {"a": 4, "b": 2}
+
+
+def test_topk(spark):
+    of = ObjectFrame([5, 1, 9, 3], spark)
+    assert of.topk(2).compute() == [9, 5]
+
+
+def test_scalar_agg_methods(nums):
+    assert nums.max() == 3
+    assert nums.min() == 1
+    assert nums.sum() == 14
+    assert abs(nums.mean() - 14 / 6) < 1e-12
+    assert nums.count() == 6
+    assert nums.any() and nums.all()
+
+
+def test_accumulate_prefix_scan(spark):
+    of = ObjectFrame([1, 2, 3, 4, 5], spark, npartitions=3)
+    result = of.accumulate(lambda a, b: a + b).compute()
+    # unordered collection: compare as multiset of running sums per the
+    # partition-ordered scan contract
+    assert sorted(result) == [1, 3, 6, 10, 15]
+
+
+def test_take_and_first(nums):
+    assert len(nums.take(2)) == 2
+    assert nums.first() in (1, 2, 3)
+
+
+def test_zip(spark):
+    a = ObjectFrame([1, 2], spark)
+    b = ObjectFrame(["x", "y"], spark)
+    assert sorted(a.zip(b).compute()) == [(1, "x"), (2, "y")]
+
+
+def test_map_partitions(spark):
+    of = ObjectFrame(list(range(10)), spark, npartitions=2)
+    out = of.map_partitions(lambda it: [sum(it)]).compute()
+    assert sum(out) == 45 and len(out) == 2
+
+
+def test_use_df_attrs_passthrough(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    of = ObjectFrame(df, use_df_attrs=True)
+    # DataFrame surface wins when the flag is set (reference use_bag_attrs)
+    assert of.schema == df.schema
+
+
+def test_sinks_roundtrip(spark, nums, tmp_path):
+    out = str(tmp_path / "nums_parquet")
+    nums.to_parquet(out)
+    back = ObjectFrame(spark.read.parquet(out))
+    assert sorted(back.compute()) == [1, 2, 2, 3, 3, 3]

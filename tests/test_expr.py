@@ -1,0 +1,216 @@
+"""Expr unit tests: grammar parity with the reference doctest examples
+(src/dask_obj/expr.py:265-281, typo fixed), Python replay semantics
+(expr.py:393-435), re-rooting (expr.py:465-468), and compile-to-Column
+equivalence (property-tested against replay)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_obj_spark.expr import (
+    NO_VALUE,
+    CompileError,
+    Expr,
+    compile_expr,
+    replace_root_value,
+)
+
+
+class Obj:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+# -- C1-C5 capture + C7 rendering --------------------------------------------
+
+
+def test_attr_chain_str():
+    e = Expr("e")
+    assert str(e.foo) == "e.foo"
+    assert str(e.foo.bar) == "e.foo.bar"
+
+
+def test_getitem_str():
+    assert str(Expr("e")["k"]) == "e['k']"
+    assert str(Expr("e")[0]) == "e[0]"
+
+
+def test_call_str():
+    assert str(Expr("e").foo(1, two=2)) == "e.foo(1, two=2)"
+
+
+def test_func_application_str():
+    e = Expr("e").F(len)
+    assert str(e) == "len(e)"
+
+
+def test_operator_str():
+    assert str(Expr("e") + 1) == "(e + 1)"
+    assert str(1 + Expr("e")) == "(1 + e)"
+    assert str(-Expr("e")) == "(-e)"
+    assert str(abs(Expr("e"))) == "abs(e)"
+    assert str((Expr("a") + 1) * 2) == "((a + 1) * 2)"
+
+
+def test_structural_hash():
+    assert hash(Expr("e").x + 1) == hash(Expr("e").x + 1)
+    assert hash(Expr("e").x + 1) != hash(Expr("e").x + 2)
+
+
+def test_underscore_names_not_captured():
+    with pytest.raises(AttributeError):
+        Expr("e")._private
+
+
+# -- C9 evaluation ------------------------------------------------------------
+
+
+def test_eval_attr_and_item():
+    o = Obj(x=41, d={"k": "v"})
+    assert (Expr() .x + 1).eval(o) == 42
+    assert Expr().d["k"].eval(o) == "v"
+
+
+def test_eval_bare_attr_returns_value_not_call():
+    # reference quirk (expr.py:427): zero-arg attr returns the bound
+    # method/value; a following call frame triggers invocation
+    o = Obj(m=lambda: "called")
+    bare = Expr().m.eval(o)
+    assert callable(bare)
+    assert Expr().m().eval(o) == "called"
+
+
+def test_eval_method_call():
+    assert Expr().upper().eval("abc") == "ABC"
+    assert Expr().split(",").eval("a,b") == ["a", "b"]
+
+
+def test_eval_func_application():
+    assert Expr().F(len).eval("abcd") == 4
+    assert Expr().F(lambda v, k: v * k, 3).eval(2) == 6
+
+
+def test_eval_operators_include_reflected():
+    assert (10 - Expr()).eval(3) == 7
+    assert (Expr() ** 2).eval(3) == 9
+    assert (~Expr()).eval(5) == -6
+    assert ((Expr() + 1) * (Expr() - 1)).eval(3) == 8
+
+
+def test_eval_root_literal_and_callable():
+    assert (Expr(21) * 2).eval() == 42
+    assert (Expr(lambda: 10) + 5).eval() == 15  # lazy source constructor
+
+
+def test_eval_symbolic_root_without_value_raises():
+    with pytest.raises(ValueError):
+        (Expr() + 1).eval()
+
+
+# -- C11/C12 linearize / re-root ---------------------------------------------
+
+
+def test_frames_roundtrip():
+    e = Expr("e").x[0] + 1
+    rebuilt = Expr.from_frames(e.root, e.frames)
+    assert str(rebuilt) == str(e)
+
+
+def test_replace_root_value():
+    e = Expr("e").x * 10
+    assert replace_root_value(e, Obj(x=7)).eval() == 70
+
+
+# -- compile-to-Column --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "Ab", [10, 20], 2.5), (2, "cD", [30], 0.5)],
+        "id long, s string, arr array<int>, x double",
+    )
+
+
+def test_compile_named_root(df):
+    out = df.select(compile_expr(Expr("id") + 100).alias("v")).collect()
+    assert sorted(r.v for r in out) == [101, 102]
+
+
+def test_compile_method_dispatch(df):
+    out = df.select(compile_expr(Expr("s").upper()).alias("v")).collect()
+    assert sorted(r.v for r in out) == ["AB", "CD"]
+
+
+def test_compile_getitem_array(df):
+    out = df.select(compile_expr(Expr("arr")[0]).alias("v")).collect()
+    assert sorted(r.v for r in out) == [10, 30]
+
+
+def test_compile_operator_tree(df):
+    e = (Expr("id") * 2 + 1).F  # noqa: B018 — just building
+    e = Expr("id") * 2 + 1
+    out = df.select(compile_expr(e).alias("v")).collect()
+    assert sorted(r.v for r in out) == [3, 5]
+
+
+def test_compile_cross_column_operands(df):
+    e = Expr("id") + Expr("x")
+    out = df.select(compile_expr(e).alias("v")).collect()
+    assert sorted(r.v for r in out) == [2.5, 3.5]
+
+
+def test_compile_floordiv_matches_python(df):
+    e = Expr("id") // 2
+    out = df.select(compile_expr(e).alias("v")).collect()
+    assert sorted(r.v for r in out) == [0, 1]
+
+
+def test_compile_unknown_method_requires_fallback_type(df):
+    e = Expr("s").swapcase()  # no JVM mapping
+    with pytest.raises(CompileError):
+        compile_expr(e)
+    out = df.select(compile_expr(e, fallback_type="string").alias("v")).collect()
+    assert sorted(r.v for r in out) == sorted(["aB", "Cd"])
+
+
+def test_compile_symbolic_root_requires_column():
+    with pytest.raises(CompileError):
+        compile_expr(Expr() + 1)
+
+
+# -- property test: compiled Column ≡ Python replay ---------------------------
+
+
+def test_property_compile_equals_replay(spark):
+    from hypothesis import given, settings, strategies as st
+
+    rows = [(i, float(i) + 0.5) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "a long, b double")
+    data = [dict(a=r[0], b=r[1]) for r in rows]
+
+    # arithmetic chain with at most one trailing comparison: Spark booleans
+    # are not numeric (unlike Python bools), a documented analysis-time
+    # semantic difference — arithmetic on a comparison result is rejected
+    # by Catalyst rather than silently coerced
+    arith = st.sampled_from(["add", "sub", "mul"])
+    cmps = st.sampled_from(["ge", "lt", "eq"])
+    consts = st.integers(min_value=-5, max_value=5)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.tuples(arith, consts), min_size=1, max_size=4),
+        st.one_of(st.none(), st.tuples(cmps, consts)),
+    )
+    def check(chain, final_cmp):
+        e = Expr("a")
+        for opname, c in chain:
+            e = getattr(e, f"__{opname}__")(c)
+        if final_cmp is not None:
+            e = getattr(e, f"__{final_cmp[0]}__")(final_cmp[1])
+        compiled = [r.v for r in df.select(compile_expr(e).alias("v")).collect()]
+        replayed = [replace_root_value(e, row["a"]).eval() for row in data]
+        assert compiled == replayed
+
+    check()

@@ -17,14 +17,17 @@ import __spark_entry__ as entrymod
 
 
 def _norm(v):
+    # returns a (tag, value) pair so rows with NULLs still sort
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return (1, "NaN")
         # tolerate float round-trip noise between engines
-        return round(v, 6)
+        return (1, str(round(v, 6)))
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return (1, str(tuple(_norm(x) for x in v)))
+    return (1, str(v))
 
 
 def _rows_to_multiset(cols, rows):
