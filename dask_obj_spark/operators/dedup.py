@@ -1,1 +1,454 @@
-"""Deduplication operators — placeholder, filled next."""
+"""Deduplication operators (north-star Tier E; SURVEY.md §2 Tier E rows).
+
+Five families, all designed for 100 TB operation:
+
+- **exact**: hash-groupBy on content (two-phase hash agg, no sort).
+- **MinHash + LSH**: word-shingle → H portable min-hashes → band-bucket →
+  candidate pairs via equi-join on (band, hash) — the standard
+  sub-quadratic near-dup pipeline.  Every step is JVM-side DataFrame ops
+  (explode/transform/groupBy/join); no UDFs.
+- **SimHash**: frequency-weighted bitwise fingerprint; near-dups have
+  small Hamming distance.
+- **n-gram Jaccard**: exact pairwise similarity via shingle explode +
+  equi-join on shingle (inverted index join), intersection counts from
+  groupBy — the verification stage after LSH candidates.
+- **embedding cosine**: near-dup by vector similarity (see also
+  operators/similarity.py).
+
+Scale notes: the only quadratic surface is candidate-pair verification,
+bounded by LSH bucket sizes; hot shingles (stop-phrases) are the skew
+risk — mitigated by `max_shingle_freq` frequency capping, the standard
+trick (drop shingles appearing in too many docs; they carry no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_obj_spark.functions.hashing import (
+    duck_porthash,
+    duck_word_shingles,
+    porthash,
+    word_shingles,
+)
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+# -- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup: dropDuplicates on the given columns (hash-based)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Per-content groups: keeper id (min) + copy count; the 100 TB form
+    hashes content first so the shuffle carries 8-byte keys, not payloads."""
+    return (
+        df.select(id_col, F.md5(F.col(content_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -- MinHash ------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 4
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of hash_i.
+
+    One narrow projection — shingling, H hash evaluations, and the min
+    all happen inside whole-stage codegen; nothing shuffles."""
+    sh = word_shingles(text_col, shingle_n)
+
+    def hash_with(salt: str):
+        # single-arg lambda: F.transform passes the array INDEX to a
+        # second lambda param, so the salt must be closed over, not
+        # defaulted
+        return lambda s: porthash(s, salt)
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hash_with(str(i)))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_bands(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature into (doc_id, band_id, band_hash): docs sharing
+    any band land in the same bucket."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(pairs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard (= fraction of equal
+    signature components).  Join is equi on (band_id, band_hash) — a hash
+    join whose cost is bucket-bounded, never all-pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n).cache()
+    bands_df = lsh_bands(sig, bands, rows_per_band)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sa.sig"), F.col("sb.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes),
+        6,
+    )
+    return (
+        cand.join(sa, cand.id1 == F.col("sa.doc_id"))
+        .join(sb, cand.id2 == F.col("sb.doc_id"))
+        .select("id1", "id2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+# -- exact n-gram Jaccard -----------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 4,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct word shingles via inverted-index join.
+
+    |A∩B| from groupBy on joined shingles; |A∪B| = |A|+|B|−|A∩B|.
+    ``max_shingle_freq`` drops stop-shingles (appear in > N docs) before
+    the join — the skew guard that keeps this viable at scale."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.round(
+        F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(sa, F.col("id1") == F.col("sa.doc_id"))
+        .join(sb, F.col("id2") == F.col("sb.doc_id"))
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 24
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Frequency-weighted SimHash: per token occurrence, each fingerprint
+    bit votes +1/−1 by the token-hash bit; majority sign sets the bit.
+
+    Explode + single groupBy (partial+final agg); ``bits`` aggregate
+    expressions are generated, all codegen'd."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", porthash(F.col("tok"), "sim"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("fingerprint"))
+
+
+def simhash_near_pairs(fp_df: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by Hamming distance over fingerprints, bucketed by
+    fingerprint halves (a pair within distance d shares at least one
+    half when d < bits/2 — pigeonhole), avoiding the full cross join."""
+    half = bits // 2
+    lo = F.col("fingerprint").bitwiseAND(F.lit(2**half - 1))
+    hi = F.shiftright(F.col("fingerprint"), half)
+    keyed = fp_df.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(F.array(F.concat(F.lit("l"), lo), F.concat(F.lit("h"), hi))).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- embedding cosine near-dup ------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str, probe_mod: int, threshold: float
+) -> DataFrame:
+    """Cosine near-dups of probe vectors (id % probe_mod == 0) against the
+    corpus: broadcast the small probe side, JVM fold for the dot product."""
+    from dask_obj_spark.operators.similarity import cosine_sim
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    probes = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv")
+    )
+    pairs = base.join(F.broadcast(probes), F.col("pid") < F.col("vid"))
+    sim = F.round(cosine_sim(F.col("pv"), F.col("v")), 6)
+    return pairs.select(
+        F.col("pid").alias("id1"), F.col("vid").alias("id2"), sim.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+# ====================== oracle SQL builders (DuckDB) =========================
+
+
+def _duck_sig_cte(num_hashes: int, shingle_n: int) -> str:
+    sh = duck_word_shingles("text", shingle_n)
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {duck_porthash('s', str(i))})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, {sh} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id, {mins} FROM shingled
+    )"""
+
+
+def _duck_bands_select(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+# ============================== queries ======================================
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups_q(spark, sf_dir):
+    """Exact dedup (BASELINE B6 first half)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_bands",
+    oracle=_duck_sig_cte(16, 4) + _duck_bands_select(16, 4),
+)
+def dedup_minhash_bands_q(spark, sf_dir):
+    """MinHash LSH banding table — the full signature pipeline is
+    oracle-checked bit-for-bit via the portable md5-derived hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", 16, 4)
+    return lsh_bands(sig, 4, 4)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_duck_sig_cte(16, 4)
+    + ", bands AS ("
+    + _duck_bands_select(16, 4)
+    + """
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2,
+           round(("""
+    + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16))
+    + """) / 16.0, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
+              JOIN sig sb ON cand.id2 = sb.doc_id
+    WHERE round(("""
+    + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16))
+    + """) / 16.0, 6) >= 0.5
+    """,
+)
+def dedup_minhash_pairs_q(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (BASELINE B6 second half)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.doc_id
+               JOIN sizes sb ON id2 = sb.doc_id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard pairs ≥ 0.6 (verification-grade near-dup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", 4, 0.6, max_shingle_freq=None)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, """
+    + duck_porthash("tok", "sim")
+    + """ AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, """
+    + ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    + """ FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST("""
+    + " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    + """ AS BIGINT) AS fingerprint FROM votes
+    """,
+)
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash fingerprints, oracle-checked bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprint(docs, "doc_id", "text")
+
+
+@query("dedup_simhash_pairs_rowsonly")
+def dedup_simhash_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) via half-fingerprint pigeonhole
+    buckets. Rows-only: pair set is a deterministic function of the
+    oracle-checked fingerprints; the bucketing join is the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash_fingerprint(docs, "doc_id", "text"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vid AS pid, v AS pv FROM base WHERE vid % 50 = 0
+    )
+    SELECT pid AS id1, vid AS id2,
+           round(list_dot_product(pv, v) /
+                 (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6)
+             AS cosine
+    FROM base JOIN probes ON pid < vid
+    WHERE round(list_dot_product(pv, v) /
+                (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6)
+          >= 0.2
+    """,
+)
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup: probe set × corpus with broadcast join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, "vec_id", "embedding", probe_mod=50, threshold=0.2)

@@ -1,1 +1,284 @@
-"""Similarity search operators — placeholder, filled next."""
+"""Similarity search over embedding columns (north-star Tier E).
+
+Reference has no vector ops (SURVEY.md §2 Tier E; the only imports in
+`/root/reference/src/dask_obj/core.py:3-10` are dask/toolz/operator).
+Built Spark-first:
+
+- **cosine kernel**: `F.zip_with` product + `F.aggregate` left-fold sum —
+  pure JVM whole-stage-codegen arithmetic, no UDF, no Python boundary.
+- **brute-force top-k**: small probe set broadcast against the corpus
+  (BroadcastNestedLoopJoin — the *corpus* side never shuffles), then
+  per-probe top-k via window `row_number`.  This is the exact baseline.
+- **LSH ANN**: random-hyperplane (sign) LSH.  P sign bits from fixed ±1
+  hyperplanes, split into two half-keys (pigeonhole: any pair agreeing on
+  ≥ P/2 bits shares a half) → candidates via equi-join on the half-key →
+  exact cosine re-rank of candidates only.  Sub-quadratic: cost is
+  bucket-size-bounded, and the join is a plain shuffled/broadcast hash
+  join Catalyst already knows how to plan.
+
+Oracle determinism: every float expression is generated with the SAME
+left-to-right association in Spark (`F.aggregate` fold) and DuckDB
+(explicit `a[1]*b[1] + a[2]*b[2] + ...` chain), both over float64, so
+results are bit-identical — rankings compare without tolerance.
+
+100 TB notes: brute-force is the *per-probe-batch* building block (probe
+batches broadcast in ~64 MB chunks); LSH is the standing-index path —
+the (bucket → vec) table is a materialized, bucketed-by-key dataset so
+probe joins are shuffle-free.  Hyperplane count trades recall for bucket
+size; skewed buckets (dense regions) are handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+# -- cosine kernel ------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns — JVM-side left fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def duck_dot(a: str, b: str, dim: int) -> str:
+    """DuckDB expression computing the identical left-associated dot sum.
+    ``0.0 + x1 + x2 + ...`` parses left-assoc — same FP op order as the
+    Spark ``F.aggregate`` fold, hence bit-identical float64 results."""
+    return "(0.0 + " + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def duck_cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"{duck_dot(a, b, dim)} / "
+        f"(sqrt({duck_dot(a, a, dim)}) * sqrt({duck_dot(b, b, dim)}))"
+    )
+
+
+# -- brute-force top-k --------------------------------------------------------
+
+
+def cosine_topk_brute(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for probe vectors (id % probe_mod == 0).
+
+    The probe side is broadcast; the corpus scans once with no shuffle
+    until the final per-probe top-k (tiny: ≤ |probes|·|corpus| pairs only
+    conceptually — physically a streamed nested-loop against an in-memory
+    probe table)."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    probes = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv")
+    )
+    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+    scored = pairs.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+# -- random-hyperplane LSH ANN ------------------------------------------------
+
+DIM = 64  # driver testdata embedding dimensionality (FIXTURES.md)
+NBITS = 8  # sign bits per vector → 2 half-keys of 4 bits (16 buckets each)
+
+_rng = random.Random(42)
+HYPERPLANES: list[list[float]] = [
+    [1.0 if _rng.random() < 0.5 else -1.0 for _ in range(DIM)] for _ in range(NBITS)
+]
+
+
+def _sign_bit(v: Column, plane: list[float]) -> Column:
+    p = F.array(*[F.lit(c) for c in plane])
+    return F.when(dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_half_keys(v: Column) -> Column:
+    """Two pigeonhole half-keys ("l<n>", "h<n>") from NBITS sign bits."""
+    bits = [_sign_bit(v, pl) for pl in HYPERPLANES]
+    half = NBITS // 2
+    lo = None
+    hi = None
+    for i in range(half):
+        t_lo = bits[i] * (2 ** (half - 1 - i))
+        t_hi = bits[half + i] * (2 ** (half - 1 - i))
+        lo = t_lo if lo is None else lo + t_lo
+        hi = t_hi if hi is None else hi + t_hi
+    return F.array(F.concat(F.lit("l"), lo), F.concat(F.lit("h"), hi))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH half-key buckets → candidate equi-join →
+    exact cosine re-rank of candidates only.  May return < k rows per
+    probe (standard ANN recall trade); every returned neighbor's score is
+    exact."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    keyed = base.select(
+        "vid", "v", F.explode(lsh_half_keys(F.col("v"))).alias("bucket")
+    )
+    probes = keyed.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv"), "bucket"
+    )
+    cand = (
+        keyed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("pid") != F.col("vid"))
+        .select("pid", "pv", "vid", "v")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+# ====================== oracle SQL builders (DuckDB) =========================
+
+
+def _duck_base(probe_mod: int) -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vid AS pid, v AS pv FROM base WHERE vid % {probe_mod} = 0
+    )"""
+
+
+def _duck_topk_select(k: int) -> str:
+    cos = duck_cosine("pv", "v", DIM)
+    return f"""
+    , scored AS (
+      SELECT pid AS id1, vid AS id2, {cos} AS cos_raw
+      FROM base JOIN probes ON pid <> vid
+    ), ranked AS (
+      SELECT id1, id2, cos_raw,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM scored
+    )
+    SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _duck_bits_cte() -> str:
+    half = NBITS // 2
+    bit_exprs = []
+    for bi, plane in enumerate(HYPERPLANES):
+        terms = "(0.0 + " + " + ".join(
+            f"v[{i + 1}]*({plane[i]})" for i in range(DIM)
+        ) + ")"
+        bit_exprs.append(f"CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END AS b{bi}")
+    lo = " + ".join(f"b{i} * {2 ** (half - 1 - i)}" for i in range(half))
+    hi = " + ".join(f"b{half + i} * {2 ** (half - 1 - i)}" for i in range(half))
+    return f"""
+    , bits AS (
+      SELECT vid, v, {", ".join(bit_exprs)} FROM base
+    ), keyed AS (
+      SELECT vid, v, 'l' || ({lo}) AS bucket FROM bits
+      UNION ALL
+      SELECT vid, v, 'h' || ({hi}) AS bucket FROM bits
+    )"""
+
+
+@query(
+    "sim_cosine_topk_brute",
+    oracle=_duck_base(50) + _duck_topk_select(10),
+)
+def sim_cosine_topk_brute_q(spark, sf_dir):
+    """Exact cosine top-10 neighbors for 1-in-50 probe vectors
+    (BASELINE.md B7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+
+
+@query(
+    "sim_cosine_topk_lsh",
+    oracle=_duck_base(50)
+    + _duck_bits_cte()
+    + """
+    , cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM keyed c JOIN (
+        SELECT k.vid AS pid, k.v AS pv, k.bucket FROM keyed k WHERE k.vid % 50 = 0
+      ) p ON c.bucket = p.bucket AND p.pid <> c.vid
+    ), scored AS (
+      SELECT pid AS id1, vid AS id2, """
+    + duck_cosine("pv", "v", DIM)
+    + """ AS cos_raw FROM cand
+    ), ranked AS (
+      SELECT id1, id2, cos_raw,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM scored
+    )
+    SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk_lsh_q(spark, sf_dir):
+    """Hyperplane-LSH ANN top-10 — the 100 TB scale path, oracle-checked
+    exactly (deterministic hyperplanes embedded in both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, "vec_id", "embedding", probe_mod=50, k=10)
+
+
+@query(
+    "sim_norms",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT vid, round(sqrt({duck_dot("v", "v", DIM)}), 6) AS l2
+    FROM base
+    """,
+)
+def sim_norms_q(spark, sf_dir):
+    """Per-vector L2 norm — the kernel primitive, oracle-checked over
+    every row (validates the fold/association contract end-to-end)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("vid"),
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("l2"),
+    )

@@ -1,0 +1,123 @@
+"""Unit tests for the dedup/similarity building blocks.
+
+The oracle-parity suite (test_oracle_parity.py) is the end-to-end gate;
+these pin the primitives: the portable hash is bit-identical across
+Spark and DuckDB, shingling agrees, and the LSH/SimHash guarantees hold
+on hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dask_obj_spark.functions.hashing import (
+    duck_porthash,
+    duck_word_shingles,
+    porthash,
+    word_shingles,
+)
+from dask_obj_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+    simhash_near_pairs,
+)
+from dask_obj_spark.operators.similarity import cosine_topk_brute
+
+WORDS = "the quick brown fox jumps over the lazy dog again and again"
+NEAR = "the quick brown fox jumps over the lazy cat again and again"
+OTHER = "completely different content with no overlap whatsoever here now"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, WORDS), (2, NEAR), (3, OTHER), (4, WORDS)], ["doc_id", "text"]
+    )
+
+
+def test_porthash_cross_engine_identity(spark):
+    samples = ["", "a", "hello world", "Ünïcode ✓", "x" * 500]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r[0] for r in sdf.select(porthash("s", "salt")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {duck_porthash('?', 'salt')}", [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
+    assert all(h >= 0 for h in got)  # 60-bit ⇒ always positive
+
+
+def test_shingles_cross_engine_identity(spark):
+    sdf = spark.createDataFrame([(WORDS,)], ["s"])
+    got = sdf.select(word_shingles("s", 3)).collect()[0][0]
+    con = duckdb.connect()
+    # the generated expression references its input twice → two `?` binds
+    want = con.execute(f"SELECT {duck_word_shingles('?', 3)}", [WORDS, WORDS]).fetchone()[0]
+    # DuckDB list_distinct does not preserve order; the pipelines only take
+    # min-over-array, so set equality is the actual contract
+    assert sorted(got) == sorted(want)
+    assert "the quick brown" in got
+
+
+def test_shingles_short_text(spark):
+    # text shorter than n → single (whole-text) shingle, never empty
+    sdf = spark.createDataFrame([("one two",)], ["s"])
+    got = sdf.select(word_shingles("s", 4)).collect()[0][0]
+    assert got == ["one two"]
+
+
+def test_exact_dedup(docs):
+    assert exact_dedup(docs, ["text"]).count() == 3
+    assert exact_dedup(docs).count() == 4  # doc_id differs
+
+
+def test_minhash_finds_identical_and_near(docs):
+    pairs = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", 16, 8, 3, 0.0
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 1.0  # identical docs: every component equal
+    # one-word edit (true Jaccard 7/13): 8 bands of 2 give ~94% recall, and
+    # the hash is deterministic so this asserts a fixed outcome
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exactness(docs):
+    rows = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.0, max_shingle_freq=None
+        ).collect()
+    }
+    assert rows[(1, 4)] == 1.0
+    # 10 distinct 3-shingles each, 7 shared (the dog→cat edit touches the
+    # three windows covering position 8) → 7/13
+    assert rows[(1, 2)] == round(7 / 13, 6)
+    assert (1, 3) not in rows
+
+
+def test_simhash_hamming_props(docs):
+    fp = simhash_fingerprint(docs, "doc_id", "text")
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    assert vals[1] == vals[4]
+    pairs = {(r.id1, r.id2): r.hamming for r in simhash_near_pairs(fp, 64).collect()}
+    assert pairs[(1, 4)] == 0
+    # bucketing guarantee: Hamming ≤ bits/2 − 1 pairs always surface
+    assert pairs[(1, 2)] <= 12
+
+
+def test_cosine_topk_brute_shape(spark):
+    rows = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = cosine_topk_brute(rows, "vec_id", "embedding", probe_mod=4, k=2).collect()
+    assert [(r.id2, r.rank) for r in got] == [(1, 1), (2, 2)]
