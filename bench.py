@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: BASELINE.md §2 workload (B1-B8) at sf0.1.
+
+Runs each headline query end-to-end (materialized via the `noop` sink so
+executor-side work is measured, not driver row transfer), median of 3
+warm runs after 1 warmup. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"b1_counts": sec, ...}, "sf": 0.1}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_obj_spark.queries import QUERIES, load_all_queries
+from dask_obj_spark.session import get_spark
+
+# bench name → registered query (BASELINE.md §2 row)
+WORKLOAD = {
+    "b1_counts": "counts_event_type",
+    "b2_foldby_agg": "tpch_q1_agg",
+    "b3_join_agg": "join_lineitem_orders",
+    "b4_topk": "topk_orders",
+    "b5_flatten": "flatten_embeddings",
+    "b6_dedup_exact": "dedup_exact_groups",
+    "b6_dedup_minhash": "dedup_minhash_pairs",
+    "b7_cosine_topk": "sim_cosine_topk_brute",
+    "b8_window_agg": "window_tumbling_events",
+}
+
+WARMUP_RUNS = 1
+TIMED_RUNS = 3
+
+
+def materialize(df) -> None:
+    """Run the full plan on the executors; no rows cross to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="dask_obj_spark-bench")
+    load_all_queries()
+
+    timings: dict[str, float] = {}
+    for bench_name, qname in WORKLOAD.items():
+        fn = QUERIES[qname]
+        for _ in range(WARMUP_RUNS):
+            materialize(fn(spark, sf_dir))
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[bench_name] = round(statistics.median(runs), 3)
+        print(f"# {bench_name} ({qname}): {timings[bench_name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "baseline_workload_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Streaming window tests: batch/stream parity (the Structured Streaming
+contract — same query, same answer) plus session-window semantics on a
+hand-built fixture. Oracle parity of the batch window queries is covered
+by test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dask_obj_spark.sources import load_table
+from dask_obj_spark.streaming.windows import (
+    events_stream,
+    run_stream_to_memory,
+    session_agg,
+    stream_tumbling_counts,
+    tumbling_agg,
+)
+
+
+def test_stream_matches_batch(spark, oracle_sf_dir):
+    st = run_stream_to_memory(
+        spark, stream_tumbling_counts(events_stream(spark, oracle_sf_dir)), "parity_t"
+    )
+    batch = tumbling_agg(
+        load_table(spark, oracle_sf_dir, "events"), "ts", "event_type"
+    ).select("w_start", "event_type", "n")
+    assert {tuple(r) for r in st.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_session_window_gap_semantics(spark):
+    ts = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(25)),  # one session (gaps < 30)
+        (1, ts(56)),                           # 31-min gap → new session
+        (2, ts(0)),                            # other key: independent state
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "value", F.lit(1.0)
+    )
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n)
+        for r in session_agg(df, "ts", "user_id", "30 minutes").collect()
+    }
+    e = lambda m: int(datetime(2024, 1, 1, 0, m).timestamp())
+    assert got == {
+        (1, e(0), e(25), 3),
+        (1, e(56), e(56), 1),
+        (2, e(0), e(0), 1),
+    }
