@@ -1,1 +1,349 @@
-"""Text analysis operators — placeholder, filled next."""
+"""Text-analysis operators over the ``documents`` table (north-star Tier
+E; absent in the reference — `/root/reference/src/dask_obj/core.py:3-10`
+imports only dask/toolz/operator, no text code).
+
+All operators are pure DataFrame expressions (split/filter/transform/
+aggregate higher-order functions + groupBy) — no Python UDFs, so the hot
+path stays inside whole-stage codegen and scales linearly with executors:
+
+- **token counting**: whitespace tokens and a BPE-ish regex pre-tokenizer
+  (letter runs / digit runs / single punctuation — the GPT-2-style split
+  minus byte-level merges, which need a learned vocab).
+- **quality scoring**: length, punctuation/alpha/stopword ratios, mean
+  token length — the standard cheap pre-filters of LLM data pipelines.
+- **language ID**: per-language stopword-profile hit counts → argmax
+  (explode + row_number, deterministic tie-break). An n-gram heuristic,
+  not a model: the point is the distributed shape (broadcast profiles,
+  narrow scoring, no shuffle until the tiny argmax).
+- **tf-idf**: classic explode → per-(doc,term) tf → per-term df → join →
+  score; top-k terms per doc via window.
+- **winnowing fingerprints**: char k-gram rolling hashes, min per
+  sliding window of w hashes (Schleimer et al. MOSS scheme) — the
+  document-fingerprinting primitive for plagiarism/copy detection.
+
+Scale notes: token explode multiplies rows by ~doc length — aggregate
+immediately after (tf groupBy) so the shuffle carries (doc, term, n)
+triples, never raw tokens; stopword/profile lookups are broadcast-map
+lookups via `array_contains` on literal arrays; winnowing emits O(len/w)
+fingerprints per doc. The only wide ops are groupBys on already-reduced
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.functions.hashing import duck_porthash, porthash
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+# Shared stopword profiles (tiny on purpose: they ride inside the plan as
+# literal arrays — at 100 TB these become a broadcast dict, same plan shape).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "big", "merge"],
+    "en": ["the", "and", "of", "to", "in", "is", "order", "table", "group"],
+    "es": ["el", "la", "de", "que", "los", "por", "slow", "agg", "vector"],
+    "fr": ["le", "la", "et", "les", "des", "une", "scan", "data", "small"],
+    "zh": ["de", "shi", "zai", "le", "he", "you", "join", "customer", "row"],
+}
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def ws_tokens(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_tokens(c: Column | str) -> Column:
+    """BPE-style pre-tokenization: letter runs, digit runs, single
+    punctuation marks (regexp_extract_all — one JVM pass)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        F.size(ws_tokens(t)).alias("n_ws_tokens"),
+        F.size(bpe_tokens(t)).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_exact"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cheap quality signals; `quality` is a fixed linear combination so
+    downstream filters are a single pushdown-able predicate."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), F.lower(w))))
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    total = F.length(t)
+    mean_tok = total / n_tok
+    stop_ratio = stop_hits / n_tok
+    alpha_ratio = alpha / total
+    punct_ratio = punct / total
+    quality = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Predict language by stopword-profile hit count (argmax, ties →
+    lexicographically first language)."""
+    toks = F.transform(ws_tokens(text_col), lambda w: F.lower(w))
+    scores = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(
+                    F.filter(
+                        toks,
+                        lambda w: F.array_contains(
+                            F.array(*[F.lit(m) for m in markers]), w
+                        ),
+                    )
+                ).alias("score"),
+            )
+            for lang, markers in sorted(LANG_PROFILES.items())
+        ]
+    )
+    scored = df.select(id_col, F.explode(scores).alias("s")).select(
+        id_col, F.col("s.lang").alias("lang"), F.col("s.score").alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "score")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df), ties → term
+    asc). Tokens are reduced to (doc, term, tf) immediately after the
+    explode, so the shuffle never carries raw token streams."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(ws_tokens(text_col), lambda w: F.lower(w))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()  # scalar, folded into the plan as a literal
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    scored = tf.join(doc_freq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, kgram: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every char k-gram, keep the
+    min hash of each sliding window of `window` consecutive hashes,
+    dedupe. Guarantees any shared substring ≥ kgram+window-1 chars
+    produces a shared fingerprint."""
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - kgram + 1, F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: porthash(F.substring(t, i, kgram), "fp"),
+    )
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(mins).alias("fp")
+    ).distinct()
+
+
+def facets(df: DataFrame, dims: list[str], measure: str) -> DataFrame:
+    """Faceted counts + mean measure over the given dimensions."""
+    return df.groupBy(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(measure), 6).alias(f"avg_{measure}"),
+    )
+
+
+# ====================== oracle SQL builders (DuckDB) =========================
+
+_DUCK_WS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _duck_list_lit(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+# ============================== queries ======================================
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_WS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_exact
+    FROM documents
+    """,
+)
+def text_token_stats_q(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per document."""
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_WS} AS toks,
+             length(text) AS total,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+             len(list_filter({_DUCK_WS},
+                 w -> list_contains({_duck_list_lit(STOPWORDS)}, lower(w)))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(total / len(toks), 6) AS mean_token_len,
+           round(stop_hits / len(toks), 6) AS stopword_ratio,
+           round(alpha / total, 6) AS alpha_ratio,
+           round(punct / total, 6) AS punct_ratio,
+           round(0.4 * (alpha / total) + 0.3 * (stop_hits / len(toks))
+                 + 0.3 * (1.0 - least((punct / total) * 5, 1.0)), 6) AS quality
+    FROM t
+    """,
+)
+def text_quality_scores_q(spark, sf_dir):
+    """Per-doc quality signals (alpha/punct/stopword ratios + combo)."""
+    return quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+                                    w -> lower(w)) AS tl
+      FROM documents
+    ), scored AS (
+    """
+    + " UNION ALL ".join(
+        f"""SELECT doc_id, '{lang}' AS lang,
+               len(list_filter(tl, w -> list_contains({_duck_list_lit(markers)}, w))) AS score
+            FROM toks"""
+        for lang, markers in sorted(LANG_PROFILES.items())
+    )
+    + """
+    ), ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rn = 1
+    """,
+)
+def text_langid_q(spark, sf_dir):
+    """Stopword-profile language ID (deterministic argmax)."""
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df_ AS (
+      SELECT term, count(*) AS df_ FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, tf.term,
+             round(tf * ln((SELECT n_docs FROM n) * 1.0 / df_), 6) AS tfidf
+      FROM tf JOIN df_ ON tf.term = df_.term
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 tf-idf terms per document."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 8 + 1, 1) + 1),
+                            i -> {duck_porthash("substr(text, i, 8)", "fp")}) AS hashes
+      FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hashes) - 4 + 1, 1) + 1),
+               i -> list_min(hashes[i:i+3]))) AS mins
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, unnest(mins) AS fp FROM wins
+    """,
+)
+def text_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprints (char 8-grams, window 4) per document."""
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 8, 4
+    )
+
+
+@query(
+    "text_facets",
+    oracle="""
+    SELECT lang, source, count(*) AS n, round(avg(n_chars), 6) AS avg_n_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_facets_q(spark, sf_dir):
+    """Corpus facets: lang × source counts + mean length."""
+    return facets(load_table(spark, sf_dir, "documents"), ["lang", "source"], "n_chars")
