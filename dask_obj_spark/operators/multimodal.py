@@ -1,1 +1,264 @@
-"""Multimodal column operators — placeholder, filled next."""
+"""Multimodal (image/audio/video) column operators (north-star Tier E;
+absent in the reference — `/root/reference/src/dask_obj/core.py:3-10`
+has no binary/media handling).
+
+Design for 100 TB:
+
+- Media payloads are **opaque `BinaryType` columns** with a typed
+  metadata struct (`mime`, `kind`, `n_bytes`). Blobs > ~2 GB or cold
+  archives use the *pointer convention*: `payload NULL` + a `ref` path
+  column, fetched inside the decode UDF (SURVEY.md §2 Tier E row).
+- Decode / feature-extract run as **Arrow-batched `mapInPandas`** UDFs:
+  whole partitions stream through Python as columnar batches — the only
+  sanctioned Python boundary. Partitioning stays whatever the upstream
+  scan chose; no shuffle is introduced by any per-row media op.
+- Real codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+  `decode_media` dispatches to a **deterministic fake decoder** by
+  default and raises `NotImplementedError` for `backend="real"` — the
+  Spark-side plumbing (schema, batch iteration, UDF signature) is real
+  and oracle-/unit-tested either way.
+- Frame sampling is pure column algebra (`sequence` + `substring`):
+  sampling every Nth fixed-size frame never needs Python.
+
+The driver test data has no binary fixtures, so `as_multimodal`
+manufactures payloads deterministically from `documents.text` (UTF-8
+bytes) — byte-level ops are then oracle-checkable through DuckDB string
+functions over the same text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+KINDS = ["image", "audio", "video"]
+MIMES = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def as_multimodal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a multimodal table from text rows: binary payload
+    (UTF-8 bytes) + metadata struct. Deterministic: kind = id % 3."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    mime = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in MIMES.items() for x in kv]
+        ),
+        kind,
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            kind.alias("kind"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# -- decode / feature extraction (mapInPandas boundary) -----------------------
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_space", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
+    """Decode payloads to per-item features via Arrow-batched mapInPandas.
+
+    ``backend="real"`` is the production slot (PIL/ffmpeg/soundfile per
+    ``meta.kind``) — unavailable in this container by design.
+
+    The batch function is a self-contained closure (no references to this
+    package) so cloudpickle ships it by value — workers never need
+    dask_obj_spark importable.
+    """
+    if backend == "real":
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg/soundfile) are not installed; "
+            "use backend='fake' (deterministic byte-level decode)"
+        )
+    if backend != "fake":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "n_space": payloads.map(lambda b: bytes(b).count(b" ")),
+                    "checksum": payloads.map(lambda b: sum(bytes(b)) % (2**31)),
+                }
+            )
+
+    return df.mapInPandas(run, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_width", LongType()),
+        StructField("resized_height", LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image-resize plumbing: filter to image kind, 'decode' dimensions
+    deterministically from the byte stream, compute the letterboxed
+    target size (aspect-preserving). The pixel work is the stub; the
+    schema/batch/partition shape is the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 317) + 16  # fake intrinsic dims, deterministic
+            h = (n % 211) + 16
+            scale = pd.concat([target_w / w, target_h / h], axis=1).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "resized_width": (w * scale).astype("int64"),
+                    "resized_height": (h * scale).astype("int64"),
+                }
+            )
+
+    return df.filter(F.col("meta.kind") == "image").mapInPandas(run, RESIZE_SCHEMA)
+
+
+# -- frame sampling (pure column algebra) -------------------------------------
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 16, every: int = 4
+) -> DataFrame:
+    """Sample every Nth fixed-size frame from video payloads: frame i
+    covers bytes [i*frame_bytes, (i+1)*frame_bytes). Pure sequence +
+    substring + md5 — no Python, no shuffle."""
+    txt = F.decode(F.col("payload"), "utf-8")  # ASCII fixture ⇒ 1 byte/char
+    n_frames = F.floor((F.octet_length("payload") - 1) / frame_bytes) + 1
+    idxs = F.filter(
+        F.sequence(F.lit(0), n_frames - 1), lambda i: i % every == 0
+    )
+    frame = lambda i: F.substring(txt, (i * frame_bytes + 1).cast("int"), frame_bytes)
+    frames = F.transform(
+        idxs,
+        lambda i: F.struct(i.alias("frame_idx"), F.md5(frame(i)).alias("frame_md5")),
+    )
+    return (
+        df.filter(F.col("meta.kind") == "video")
+        .select("doc_id", F.explode(frames).alias("f"))
+        .select("doc_id", "f.frame_idx", "f.frame_md5")
+    )
+
+
+# ============================== queries ======================================
+
+
+@query(
+    "mm_payload_meta",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, kind,
+           CASE kind WHEN 'image' THEN 'image/png'
+                     WHEN 'audio' THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS mime,
+           n_bytes
+    FROM k
+    """,
+)
+def mm_payload_meta_q(spark, sf_dir):
+    """Multimodal ingest: binary payload + typed metadata struct."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) - length(replace(text, ' ', '')) AS n_space
+    FROM documents
+    """,
+)
+def mm_decode_features_q(spark, sf_dir):
+    """Arrow-batched mapInPandas decode of binary payloads — byte count
+    and space count oracle-checked (checksum is covered rows-only below;
+    DuckDB has no byte-fold)."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode_media(mm).select("doc_id", "n_bytes", "n_space")
+
+
+@query("mm_decode_checksum_rowsonly")
+def mm_decode_checksum_q(spark, sf_dir):
+    """Full fake-decode output incl. byte-sum checksum (rows-only: the
+    byte fold is not expressible in DuckDB SQL)."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode_media(mm)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text,
+             (octet_length(encode(text)) - 1) // 16 AS max_frame
+      FROM documents WHERE doc_id % 3 = 2
+    ), idx AS (
+      SELECT doc_id, text, unnest(range(0, max_frame + 1)) AS frame_idx FROM v
+    )
+    SELECT doc_id, frame_idx, md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
+    FROM idx WHERE frame_idx % 4 = 0
+    """,
+)
+def mm_frame_sample_q(spark, sf_dir):
+    """Every-4th 16-byte frame of video payloads with per-frame hash —
+    frame sampling as pure column algebra."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return sample_frames(mm, 16, 4)
+
+
+@query("mm_resize_rowsonly")
+def mm_resize_q(spark, sf_dir):
+    """Aspect-preserving resize plumbing over image payloads (rows-only:
+    dimensions come from the stubbed decoder)."""
+    mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return resize_images(mm, 64, 64)

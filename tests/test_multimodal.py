@@ -1,0 +1,71 @@
+"""Unit tests for multimodal column plumbing: schema, Arrow-batched
+decode, stub gating, frame sampling geometry."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_obj_spark.operators.multimodal import (
+    as_multimodal,
+    decode_media,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def mm(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "x" * 40), (2, "0123456789abcdef" * 5)],
+        ["doc_id", "text"],
+    )
+    return as_multimodal(df, "doc_id", "text")
+
+
+def test_schema_and_meta(mm):
+    assert dict(mm.dtypes)["payload"] == "binary"
+    rows = {r.doc_id: r.meta for r in mm.collect()}
+    assert rows[0].kind == "image" and rows[0].mime == "image/png"
+    assert rows[1].kind == "audio" and rows[2].kind == "video"
+    assert rows[0].n_bytes == len("alpha beta")
+
+
+def test_decode_fake_checksum(mm):
+    got = {r.doc_id: r for r in decode_media(mm).collect()}
+    payload = b"alpha beta"
+    assert got[0].n_bytes == len(payload)
+    assert got[0].n_space == 1
+    assert got[0].checksum == sum(payload) % (2**31)
+
+
+def test_decode_real_backend_is_stubbed(mm):
+    with pytest.raises(NotImplementedError):
+        decode_media(mm, backend="real")
+    with pytest.raises(ValueError):
+        decode_media(mm, backend="nope")
+
+
+def test_frame_sample_geometry(mm):
+    # doc 2 (video): 80 bytes → frames 0..4; every 4th → idx 0 and 4
+    got = sorted(
+        (r.frame_idx, r.frame_md5)
+        for r in sample_frames(mm, 16, 4).filter(F.col("doc_id") == 2).collect()
+    )
+    text = "0123456789abcdef" * 5
+    exp = [
+        (i, hashlib.md5(text[i * 16 : (i + 1) * 16].encode()).hexdigest())
+        for i in (0, 4)
+    ]
+    assert got == exp
+
+
+def test_resize_only_images_and_aspect(mm):
+    rows = resize_images(mm, 64, 64).collect()
+    assert {r.doc_id for r in rows} == {0}  # only kind == image
+    r = rows[0]
+    assert max(r.resized_width, r.resized_height) <= 64
+    # aspect preserved within integer truncation
+    assert abs(r.resized_width / r.resized_height - r.width / r.height) < 0.2
