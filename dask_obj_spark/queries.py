@@ -35,6 +35,7 @@ def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import dask_obj_spark.queries_core  # noqa: F401
     import dask_obj_spark.queries_relational  # noqa: F401
+    import dask_obj_spark.queries_tierd  # noqa: F401
     import dask_obj_spark.operators.dedup  # noqa: F401
     import dask_obj_spark.operators.similarity  # noqa: F401
     import dask_obj_spark.operators.text  # noqa: F401

@@ -1,0 +1,234 @@
+"""Remaining Tier D/E operator queries (SURVEY.md §2): generic ordered
+fold (``foldby``/``fold`` with an arbitrary non-commutative binop),
+exact + approximate percentiles, per-partition Arrow map
+(``map_partitions``), tuple-unpacking map (``starmap``), a Python UDTF,
+and batch sessionization via ``applyInPandas`` (the UDAF-style arbitrary
+stateful aggregation).
+
+Worker-shipped closures here are self-contained (imports inside, no
+references to this package) so cloudpickle serializes them by value and
+executors never need ``dask_obj_spark`` on their PYTHONPATH.
+
+Scale notes: applyInPandas shuffles once on the group key and streams
+each group through Python as Arrow batches — acceptable when groups are
+bounded (users, types); the non-Python equivalents stay preferred for
+anything expressible in columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+FOLD_MOD = 1000003
+
+
+@query(
+    "foldby_custom_binop",
+    oracle=f"""
+    SELECT event_type,
+           list_reduce(list(event_id ORDER BY event_id),
+                       (a, b) -> (a * 31 + b) % {FOLD_MOD}) AS folded
+    FROM events GROUP BY event_type
+    """,
+)
+def foldby_custom_binop_q(spark, sf_dir):
+    """Generic foldby (reference: bag.foldby via use_bag_attrs,
+    SURVEY.md Tier D): an arbitrary NON-commutative integer binop
+    ``acc*31 + x mod p`` folded in event_id order per group — the case
+    Spark's algebraic aggregates can't express, done with one shuffle +
+    per-group Arrow batches."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def fold_group(pdf):
+        import functools
+
+        import pandas as _pd
+
+        ids = sorted(int(x) for x in pdf["event_id"])
+        acc = functools.reduce(lambda a, b: (a * 31 + b) % 1000003, ids)
+        return _pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "folded": [acc]}
+        )
+
+    return ev.select("event_type", "event_id").groupBy("event_type").applyInPandas(
+        fold_group, "event_type string, folded long"
+    )
+
+
+@query(
+    "percentile_groups",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_groups_q(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont` — both linear interpolation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+    )
+
+
+@query("approx_percentile_rowsonly")
+def approx_percentile_q(spark, sf_dir):
+    """Sketch-based percentile (percentile_approx / KLL-style): the 100 TB
+    path — single-pass, mergeable, bounded memory. Rows-only: the sketch
+    is engine-specific by definition."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx")
+    )
+
+
+@query(
+    "map_partitions_arrow",
+    oracle="SELECT event_id, value * 2.0 + 1.0 AS v2 FROM events",
+)
+def map_partitions_arrow_q(spark, sf_dir):
+    """Per-partition map (reference: bag.map_partitions, Tier D) as
+    mapInArrow: zero-copy columnar batches, no row materialization. The
+    arithmetic is deliberately also SQL-expressible so the Python/Arrow
+    path is oracle-checked bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def run(batches):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        for batch in batches:
+            v2 = _pc.add(_pc.multiply(batch.column("value"), 2.0), 1.0)
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), v2], ["event_id", "v2"]
+            )
+
+    return ev.mapInArrow(run, "event_id bigint, v2 double")
+
+
+@query(
+    "starmap_struct",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity * l_extendedprice * (1 - l_discount), 6) AS amount
+    FROM lineitem
+    """,
+)
+def starmap_struct_q(spark, sf_dir):
+    """Tuple-unpacking map (reference: bag.starmap, Tier D): pack fields
+    into a struct, apply a function over the unpacked components —
+    compiled to plain column arithmetic, never a Python tuple."""
+    li = load_table(spark, sf_dir, "lineitem")
+    packed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct("l_quantity", "l_extendedprice", "l_discount").alias("t"),
+    )
+    amount = (
+        F.col("t.l_quantity")
+        * F.col("t.l_extendedprice")
+        * (F.lit(1) - F.col("t.l_discount"))
+    )
+    return packed.select(
+        "l_orderkey", "l_linenumber", F.round(amount, 6).alias("amount")
+    )
+
+
+@query(
+    "udtf_word_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udtf_word_explode_q(spark, sf_dir):
+    """Python UDTF (Tier E UDF/UDAF/UDTF surface): one input row → many
+    output rows via a lateral join. The class is defined locally so it
+    ships by value."""
+    from pyspark.sql.functions import udtf
+
+    class SplitWords:
+        def eval(self, doc_id, text):
+            for w in text.strip().split():
+                yield (doc_id, w)
+
+    split_words = udtf(SplitWords, returnType="doc_id bigint, word string")
+    spark.udtf.register("split_words", split_words)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.word
+        FROM documents_v d, LATERAL split_words(d.doc_id, d.text) s
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+@query(
+    "sessionize_pandas",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           floor(epoch(min(ts)))::BIGINT AS sess_start,
+           count(*) AS n
+    FROM numbered GROUP BY user_id, sess_no
+    """,
+)
+def sessionize_pandas_q(spark, sf_dir):
+    """Arbitrary stateful per-key aggregation via applyInPandas (the
+    batch twin of applyInPandasWithState): imperative sessionization,
+    one shuffle on user_id, per-user Arrow batch through Python.
+    Cross-checked against both the SQL oracle and the declarative
+    F.session_window query (window_session_events)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def sessionize(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("ts")
+        gap = _pd.Timedelta(minutes=30)
+        out = []
+        start = prev = None
+        n = 0
+        for t in pdf["ts"]:
+            if prev is None or (t - prev) > gap:
+                if start is not None:
+                    out.append((start, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        out.append((start, n))
+        uid = pdf["user_id"].iloc[0]
+        return _pd.DataFrame(
+            {
+                "user_id": [uid] * len(out),
+                "sess_start": [int(s.timestamp()) for s, _ in out],
+                "n": [c for _, c in out],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize, "user_id bigint, sess_start bigint, n bigint"
+    )

@@ -125,6 +125,35 @@ def stream_tumbling_counts(
     )
 
 
+def stream_stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event count that survives across micro-batches
+    (the template for arbitrary keyed state — sessionizers, CEP,
+    online aggregates Spark has no built-in for).
+
+    State is one bigint per user; at scale state lives in the state
+    store (RocksDB-backed on a real cluster), partitioned by the
+    groupBy key, and this op introduces exactly one shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, n_events bigint",
+        "n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:

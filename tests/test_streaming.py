@@ -50,3 +50,24 @@ def test_session_window_gap_semantics(spark):
         (1, e(56), e(56), 1),
         (2, e(0), e(0), 1),
     }
+
+
+def test_stateful_user_counts_matches_batch(spark, oracle_sf_dir):
+    from dask_obj_spark.streaming.windows import stream_stateful_user_counts
+
+    st = run_stream_to_memory(
+        spark,
+        stream_stateful_user_counts(events_stream(spark, oracle_sf_dir)),
+        "stateful_t",
+        mode="update",
+    )
+    # update mode may emit a row per micro-batch; the LAST emission per
+    # user is the final state
+    final = {r.user_id: r.n_events for r in st.collect()}
+    batch = (
+        load_table(spark, oracle_sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert final == {r.user_id: r["count"] for r in batch}
