@@ -1,0 +1,113 @@
+"""Scale techniques as first-class operators: salting for skewed keys,
+bucketing for shuffle-free co-located joins.
+
+The reference has no notion of skew or co-location (its only
+partitioning control is `npartitions`, `/root/reference/src/dask_obj/
+core.py:51-57`); these are the 100 TB-grade completions of that surface.
+
+- **Salted aggregation**: a low-cardinality/skewed group key makes one
+  reducer per hot key the bottleneck. Two-phase form: group on
+  (key, salt) with salt = hash(uniquifier) % B → partial results spread
+  over B× reducers → final group on key merges the partials. Result is
+  IDENTICAL to the plain groupBy (oracle-checked); only the shuffle
+  layout changes. AQE's skew handling covers joins; salting covers
+  aggregation skew, which AQE does not rebalance.
+- **Bucketed join**: both sides written bucketed+sorted by the join key
+  → Spark plans a SortMergeJoin with NO Exchange on either side (the
+  shuffle is paid once at write time, amortized over every later join).
+  This is the standing-table strategy for repeated big-big joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    salt_from: str,
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {count, sum, min, max}; all are algebraic, so partial-per-salt then
+    final-merge is exact.
+    """
+    partial_fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    merge_fns = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(buckets)))
+    partial = salted.groupBy(key, "_salt").agg(
+        *[
+            partial_fns[fn](F.col(src)).alias(f"_p_{out}")
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(key).agg(
+        *[
+            merge_fns[fn](F.col(f"_p_{out}")).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key — pays the
+    shuffle once so every later equi-join/agg on that key is
+    exchange-free."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key (plan shows no
+    Exchange under the SortMergeJoin)."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def plan_has_exchange(df: DataFrame, below: str | None = None) -> bool:
+    """True if the physical plan contains a shuffle Exchange (test/
+    introspection helper; `below`: only look under the first operator
+    whose name contains this string)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if below is not None:
+        idx = plan.find(below)
+        plan = plan[idx:] if idx >= 0 else plan
+    return "Exchange hashpartitioning" in plan
+
+
+# ============================== queries ======================================
+
+
+@query(
+    "skew_salted_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_counts_q(spark, sf_dir):
+    """Skew-safe two-phase aggregation over the 5-hot-key event_type
+    column — identical answer to the plain groupBy, B× the reducer
+    parallelism on the heavy first phase."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "event_type",
+        salt_from="event_id",
+        aggs={"n": ("event_id", "count"), "sum_value": ("value", "sum")},
+        buckets=16,
+    )
+    return out.select("event_type", "n", F.round("sum_value", 6).alias("sum_value"))

@@ -38,6 +38,7 @@ def load_all_queries() -> None:
     import dask_obj_spark.queries_tierd  # noqa: F401
     import dask_obj_spark.operators.dedup  # noqa: F401
     import dask_obj_spark.operators.similarity  # noqa: F401
+    import dask_obj_spark.operators.scale  # noqa: F401
     import dask_obj_spark.operators.text  # noqa: F401
     import dask_obj_spark.operators.multimodal  # noqa: F401
     import dask_obj_spark.streaming.windows  # noqa: F401

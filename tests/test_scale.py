@@ -1,0 +1,63 @@
+"""Scale-technique tests: salted aggregation equivalence + shuffle
+layout, bucketed-join exchange elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_obj_spark.operators.scale import (
+    bucketed_join,
+    plan_has_exchange,
+    salted_agg,
+    write_bucketed,
+)
+from dask_obj_spark.sources import load_table
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = salted_agg(
+        ev,
+        "event_type",
+        salt_from="event_id",
+        aggs={"n": ("event_id", "count"), "sum_value": ("value", "sum")},
+        buckets=16,
+    ).withColumn("sum_value", F.round("sum_value", 6))
+    plain = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_agg_spreads_keys(spark, sf_dir):
+    # the first-phase shuffle must be on (key, salt): 5 keys × 16 salts
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .count()
+    )
+    assert partial.count() == 5 * 16
+
+
+@pytest.mark.filterwarnings("ignore::UserWarning")
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "t_orders_b", "o_orderkey", buckets=4)
+        write_bucketed(lineitem, "t_lineitem_b", "o_orderkey", buckets=4)
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        assert not plan_has_exchange(joined)
+        # same join on the raw (unbucketed) frames DOES shuffle
+        raw = orders.join(lineitem, "o_orderkey")
+        assert plan_has_exchange(raw)
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
