@@ -175,6 +175,70 @@ def cosine_topk_lsh(
     )
 
 
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+CENTROID_MOD = 61  # deterministic coarse centroids: vid % 61 == 1
+NPROBE = 2
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 10,
+    centroid_mod: int = CENTROID_MOD,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are assigned to their nearest coarse
+    centroid (one cell each); a probe searches its `nprobe` nearest
+    cells with exact cosine re-ranking.
+
+    Plan shape (the part that matters at 100 TB): centroid table is tiny
+    and broadcast; assignment is a narrow broadcast nested-loop + per-id
+    argmin (no corpus shuffle); the candidate join is a plain equi-join
+    on cell id, so probe cost is bounded by cell size, never all-pairs.
+    In production the cell table is a standing dataset bucketed by cell
+    (see operators/scale.py write_bucketed) and centroids come from
+    k-means; here they are deterministic (vid % centroid_mod == 1) so
+    the DuckDB oracle reproduces the index exactly."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = base.filter(F.col("vid") % centroid_mod == 1).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = cosine_sim(F.col("v"), F.col("cv"))
+    aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .select("vid", "v", "cid", sim.alias("cs"))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    cells = assign.filter(F.col("rn") == 1).select("vid", "v", "cid")
+    pcells = (
+        assign.filter((F.col("rn") <= nprobe) & (F.col("vid") % probe_mod == 0))
+        .select(F.col("vid").alias("pid"), F.col("v").alias("pv"), "cid")
+    )
+    cand = (
+        cells.join(F.broadcast(pcells), "cid")
+        .filter(F.col("pid") != F.col("vid"))
+        .select("pid", "pv", "vid", "v")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
 # ====================== oracle SQL builders (DuckDB) =========================
 
 
@@ -262,6 +326,47 @@ def sim_cosine_topk_lsh_q(spark, sf_dir):
     exactly (deterministic hyperplanes embedded in both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, "vec_id", "embedding", probe_mod=50, k=10)
+
+
+@query(
+    "sim_cosine_topk_ivf",
+    oracle=_duck_base(50)
+    + f"""
+    , cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {CENTROID_MOD} = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid,
+             {duck_cosine("b.v", "c.cv", DIM)} AS cs
+      FROM base b, cents c
+    ), ranked_assign AS (
+      SELECT vid, v, cid, cs,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS (
+      SELECT vid, v, cid FROM ranked_assign WHERE rn = 1
+    ), pcells AS (
+      SELECT vid AS pid, v AS pv, cid
+      FROM ranked_assign WHERE rn <= {NPROBE} AND vid % 50 = 0
+    ), cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM pcells p JOIN cells c ON p.cid = c.cid AND p.pid <> c.vid
+    ), scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine("pv", "v", DIM)} AS cos_raw
+      FROM cand
+    ), rank2 AS (
+      SELECT id1, id2, cos_raw,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM scored
+    )
+    SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
+    FROM rank2 WHERE rank <= 10
+    """,
+)
+def sim_cosine_topk_ivf_q(spark, sf_dir):
+    """IVF ANN top-10 (deterministic coarse centroids, nprobe=2) — the
+    second scale path next to hyperplane LSH, oracle-checked exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
 
 
 @query(

@@ -121,3 +121,22 @@ def test_cosine_topk_brute_shape(spark):
     )
     got = cosine_topk_brute(rows, "vec_id", "embedding", probe_mod=4, k=2).collect()
     assert [(r.id2, r.rank) for r in got] == [(1, 1), (2, 2)]
+
+
+def test_ivf_recall_vs_brute(spark, oracle_sf_dir):
+    from dask_obj_spark.operators.similarity import cosine_topk_brute, cosine_topk_ivf
+    from dask_obj_spark.sources import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    brute = {
+        (r.id1, r.id2)
+        for r in cosine_topk_brute(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    ivf = {
+        (r.id1, r.id2)
+        for r in cosine_topk_ivf(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    # ANN contract: subset scoring is exact, recall is partial but real
+    assert len(ivf) > 0
+    recall = len(brute & ivf) / len(brute)
+    assert recall > 0.2, f"IVF recall collapsed: {recall}"
