@@ -61,20 +61,34 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of hash_i.
 
-    One narrow projection — shingling, H hash evaluations, and the min
-    all happen inside whole-stage codegen; nothing shuffles."""
-    sh = word_shingles(text_col, shingle_n)
-
-    def hash_with(salt: str):
-        # single-arg lambda: F.transform passes the array INDEX to a
-        # second lambda param, so the salt must be closed over, not
-        # defaulted
-        return lambda s: porthash(s, salt)
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hash_with(str(i)))) for i in range(num_hashes)]
+    Shape: explode shingles to rows, evaluate the H hashes as TOP-LEVEL
+    column expressions, then min-aggregate back per doc. Hash evaluation
+    inside `F.transform` lambdas runs in Catalyst's interpreted mode
+    (higher-order functions don't get whole-stage codegen) and measured
+    ~30x slower; at row level the md5 chain is codegen'd. The groupBy is
+    algebraic (min), so partial aggregation shrinks the shuffle to one
+    row per (doc, partition)."""
+    # one TINY shuffle of the raw doc rows by id up front: the hash
+    # partitioning survives explode/project, so the shingle explode and
+    # the 16 hash evaluations parallelize across all cores regardless of
+    # input file layout, and the final groupBy(doc_id) needs NO second
+    # exchange. Explicit partition count: this is a compute-bound stage,
+    # AQE's size-based coalescing must not shrink it.
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    sh_rows = df.repartition(ncores, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    hashed = sh_rows.select(
+        "doc_id",
+        *[porthash(F.col("shingle"), str(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_bands(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

@@ -170,23 +170,43 @@ def winnow_fingerprints(
     """Winnowing document fingerprints: hash every char k-gram, keep the
     min hash of each sliding window of `window` consecutive hashes,
     dedupe. Guarantees any shared substring ≥ kgram+window-1 chars
-    produces a shared fingerprint."""
+    produces a shared fingerprint.
+
+    Shape: explode k-grams to rows (cheap string lambda), hash at row
+    level (codegen'd), then a sliding `min` window over gram position.
+    The original all-array form (`array_min(slice(hashes, i, w))` inside
+    `F.transform`) is O(n*w) interpreted-mode allocations per doc —
+    measured ~30x slower at sf0.1. The window shuffle on doc_id also
+    provides the compute parallelism regardless of input file layout."""
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - kgram + 1, F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: porthash(F.substring(t, i, kgram), "fp"),
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substring(t, i, kgram)
     )
-    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
-    mins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        )
+    # one TINY shuffle of the raw doc rows by id up front: the hash
+    # partitioning survives explode/project, so gram explode + hashing
+    # parallelize across all cores, and the window's required
+    # distribution on doc_id is already satisfied (sort only, no second
+    # exchange). Explicit count: compute-bound stage, AQE's size-based
+    # coalescing must not shrink it.
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(ncores, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.alias("n_grams"),
+        F.posexplode(grams).alias("pos", "gram"),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(mins).alias("fp")
-    ).distinct()
+    hashed = exploded.select(
+        "doc_id", "n_grams", "pos", porthash(F.col("gram"), "fp").alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    # only full windows start at pos ≤ n_grams - window (0-based); short
+    # docs (n_grams < window) keep their single partial window at pos 0
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - window, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
 
 
 def facets(df: DataFrame, dims: list[str], measure: str) -> DataFrame:
