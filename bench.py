@@ -35,6 +35,7 @@ WORKLOAD = {
     "b6_dedup_exact": "dedup_exact_groups",
     "b6_dedup_minhash": "dedup_minhash_pairs",
     "b7_cosine_topk": "sim_cosine_topk_brute",
+    "b7_cosine_topk_np": "sim_cosine_topk_numpy_rowsonly",
     "b8_window_agg": "window_tumbling_events",
 }
 

@@ -140,3 +140,24 @@ def test_ivf_recall_vs_brute(spark, oracle_sf_dir):
     assert len(ivf) > 0
     recall = len(brute & ivf) / len(brute)
     assert recall > 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_numpy_brute_matches_exact_pairs(spark, oracle_sf_dir):
+    from dask_obj_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_brute_numpy,
+    )
+    from dask_obj_spark.sources import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    exact = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_topk_brute(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    fast = {
+        (r.id1, r.id2): r.cosine
+        for r in cosine_topk_brute_numpy(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    # identical neighbor sets; scores agree to float-summation noise
+    assert set(exact) == set(fast)
+    assert all(abs(exact[p] - fast[p]) < 1e-5 for p in exact)
