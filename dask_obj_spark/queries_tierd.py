@@ -232,3 +232,15 @@ def sessionize_pandas_q(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         sessionize, "user_id bigint, sess_start bigint, n bigint"
     )
+
+
+@query("stratified_sample_rowsonly")
+def stratified_sample_q(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions
+    with a fixed seed. Rows-only: the engine's RNG stream is
+    implementation-defined; statistical properties are unit-tested."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.5, "click": 0.2, "purchase": 1.0, "signup": 0.1, "error": 0.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type"
+    )

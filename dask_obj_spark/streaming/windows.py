@@ -170,6 +170,53 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup_upsert(
+    spark: SparkSession, stream: DataFrame, target_dir: str
+) -> None:
+    """foreachBatch sink: streaming exact dedup into a parquet target.
+
+    Per micro-batch: hash content, drop in-batch duplicates, anti-join
+    against the hashes already in the target, append only novel rows —
+    the standard idempotent streaming-upsert pattern (content-keyed, so
+    replays/retries cannot double-insert). At scale the target is a
+    table bucketed by content_hash so the anti-join is exchange-free
+    (operators/scale.py), or a Delta/Iceberg MERGE where available."""
+    from pyspark.sql import functions as F  # noqa: F811 (worker-safe import)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "doc_id", F.md5(F.col("text")).alias("content_hash")
+        ).dropDuplicates(["content_hash"])
+        try:
+            existing = batch_df.sparkSession.read.parquet(target_dir).select(
+                "content_hash"
+            )
+            batch = batch.join(existing, "content_hash", "left_anti")
+        except Exception:
+            pass  # first batch: target does not exist yet
+        batch.write.mode("append").parquet(target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ============================== queries ======================================
 
 

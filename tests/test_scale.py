@@ -61,3 +61,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_stratified_sample_fractions(spark, oracle_sf_dir):
+    ev = load_table(spark, oracle_sf_dir, "events")
+    fractions = {"view": 0.5, "click": 0.2, "purchase": 1.0, "signup": 0.1, "error": 0.0}
+    sample = ev.sampleBy("event_type", fractions, seed=42)
+    got = {r.event_type: r["count"] for r in sample.groupBy("event_type").count().collect()}
+    base = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got.get("error", 0) == 0
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    for k, frac in [("view", 0.5), ("click", 0.2), ("signup", 0.1)]:
+        assert abs(got[k] / base[k] - frac) < 0.15
+    # deterministic under a fixed seed
+    again = ev.sampleBy("event_type", fractions, seed=42).count()
+    assert again == sample.count()

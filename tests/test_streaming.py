@@ -71,3 +71,25 @@ def test_stateful_user_counts_matches_batch(spark, oracle_sf_dir):
         .collect()
     )
     assert final == {r.user_id: r["count"] for r in batch}
+
+
+def test_foreachbatch_dedup_upsert_idempotent(spark, oracle_sf_dir, tmp_path):
+    from dask_obj_spark.streaming.windows import documents_stream, stream_dedup_upsert
+
+    target = str(tmp_path / "dedup_target")
+    stream_dedup_upsert(spark, documents_stream(spark, oracle_sf_dir), target)
+    distinct_contents = (
+        load_table(spark, oracle_sf_dir, "documents")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .count()
+    )
+    first = spark.read.parquet(target).count()
+    assert first == distinct_contents
+    # re-run with a fresh checkpoint (simulated replay): content-keyed
+    # anti-join keeps the target unchanged
+    import shutil
+
+    shutil.rmtree(target + "_ckpt")
+    stream_dedup_upsert(spark, documents_stream(spark, oracle_sf_dir), target)
+    assert spark.read.parquet(target).count() == first
