@@ -299,6 +299,66 @@ def cosine_topk_ivf(
     )
 
 
+# -- mini k-means (iterative; feeds production IVF) ---------------------------
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over vector columns — the iterative-
+    algorithm pattern on Spark, and the production centroid source for
+    `cosine_topk_ivf` (which uses fixed modular centroids only so the
+    DuckDB oracle can replay the index).
+
+    Per iteration: centroids (k x dim, driver-held model state — same
+    contract as MLlib) broadcast into an argmin assignment (squared
+    euclidean), then new centroids via posexplode + groupBy(cell, pos)
+    avg — the shuffle carries k*dim partial sums per partition, never
+    vectors. Init = first k vectors by id (seeded/deterministic).
+    Returns (vid, cell)."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [list(r.v) for r in base.orderBy("vid").limit(k).collect()]
+
+    def assign_for(cent_rows: list[list[float]]) -> DataFrame:
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for cent in cent_rows
+        ]
+        pairs = F.array(
+            *[
+                F.struct(d.alias("dist"), F.lit(i).alias("cell"))
+                for i, d in enumerate(dists)
+            ]
+        )
+        return base.select("vid", "v", F.array_min(pairs).getField("cell").alias("cell"))
+
+    assigned = assign_for(cents)
+    for _ in range(iters):
+        new_rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        by_cell = {r.cell: list(r.centroid) for r in new_rows}
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+        assigned = assign_for(cents)
+    return assigned.select("vid", "cell")
+
+
 # ====================== oracle SQL builders (DuckDB) =========================
 
 
@@ -386,6 +446,15 @@ def sim_cosine_topk_lsh_q(spark, sf_dir):
     exactly (deterministic hyperplanes embedded in both engines)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, "vec_id", "embedding", probe_mod=50, k=10)
+
+
+@query("sim_kmeans_cells_rowsonly")
+def sim_kmeans_cells_q(spark, sf_dir):
+    """Mini k-means cell assignment (3 Lloyd iterations, deterministic
+    init) — rows-only: iterative algorithms are outside single-statement
+    SQL; convergence/determinism are unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
 
 
 @query("sim_cosine_topk_numpy_rowsonly")

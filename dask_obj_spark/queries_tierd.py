@@ -244,3 +244,33 @@ def stratified_sample_q(spark, sf_dir):
     return ev.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "event_type"
     )
+
+
+@query(
+    "array_map_functions",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sq_sum,
+           round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+           round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+           round(list_sort(embedding::DOUBLE[])[1], 6) AS smallest
+    FROM embeddings
+    """,
+)
+def array_map_functions_q(spark, sf_dir):
+    """Array higher-order functions (Tier E scalar library): transform /
+    filter / aggregate / sort over the embedding arrays, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(sq_sum, 6).alias("sq_sum"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.element_at(F.array_sort(v), 1), 6).alias("smallest"),
+    )

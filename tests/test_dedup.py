@@ -161,3 +161,21 @@ def test_numpy_brute_matches_exact_pairs(spark, oracle_sf_dir):
     # identical neighbor sets; scores agree to float-summation noise
     assert set(exact) == set(fast)
     assert all(abs(exact[p] - fast[p]) < 1e-5 for p in exact)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from dask_obj_spark.operators.similarity import kmeans_assign
+
+    # two tight, well-separated blobs in 4-d; init takes the first k=2
+    # vectors (one from each blob by construction)
+    rows = [(0, [0.0, 0.1, 0.0, 0.05]), (1, [9.9, 10.0, 10.1, 10.0]),
+            (2, [0.1, 0.0, 0.1, 0.0]), (3, [10.0, 9.9, 10.0, 10.1]),
+            (4, [0.05, 0.1, 0.0, 0.1]), (5, [10.1, 10.0, 9.9, 10.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vid: r.cell for r in kmeans_assign(df, "vec_id", "embedding", 2, 3).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+    # deterministic across runs
+    again = {r.vid: r.cell for r in kmeans_assign(df, "vec_id", "embedding", 2, 3).collect()}
+    assert got == again
