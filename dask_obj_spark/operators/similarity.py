@@ -85,18 +85,24 @@ def cosine_topk_brute(
     The probe side is broadcast; the corpus scans once with no shuffle
     until the final per-probe top-k (tiny: ≤ |probes|·|corpus| pairs only
     conceptually — physically a streamed nested-loop against an in-memory
-    probe table)."""
+    probe table).
+
+    Norms are precomputed once per vector BEFORE the pair join (the
+    factored `dot/(‖p‖·‖v‖)` evaluates the sqrt-fold subexpressions
+    identically, so values — and the oracle hash — are bit-unchanged,
+    but the per-pair interpreted work drops from 3 folds to 1)."""
     base = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("vn", l2_norm(F.col("v")))
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
-        F.col("vid").alias("pid"), F.col("v").alias("pv")
+        F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
     )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
     scored = pairs.select(
         F.col("pid").alias("id1"),
         F.col("vid").alias("id2"),
-        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     return (

@@ -274,3 +274,33 @@ def array_map_functions_q(spark, sf_dir):
         F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
         F.round(F.element_at(F.array_sort(v), 1), 6).alias("smallest"),
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS d,
+           floor(epoch(date_trunc('hour', ts)))::BIGINT AS h,
+           grouping(floor(epoch(date_trunc('day', ts)))::BIGINT,
+                    floor(epoch(date_trunc('hour', ts)))::BIGINT) AS lvl,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(d, h)
+    """,
+)
+def rollup_time_hierarchy_q(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one ROLLUP pass produces
+    hourly, daily, and grand-total aggregates (grouping_id distinguishes
+    the level) — the multi-granularity time rollup pattern, one shuffle
+    for all levels."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        "value",
+    )
+    return b.rollup("d", "h").agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
