@@ -367,3 +367,92 @@ def text_fingerprints_q(spark, sf_dir):
 def text_facets_q(spark, sf_dir):
     """Corpus facets: lang × source counts + mean length."""
     return facets(load_table(spark, sf_dir, "documents"), ["lang", "source"], "n_chars")
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of all word bigrams taken
+    by the single most frequent bigram (high → boilerplate/spam). One
+    explode reduced immediately to (doc, bigram) counts; max/sum per doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "w"),
+    )
+    # consecutive-token pairing as a window lead: ONE shuffle on doc_id
+    # (no token self-join), which the bigram groupBy then reuses
+    w_next = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = (
+        toks.withColumn("w2", w_next)
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("bigram"))
+    )
+    counts = pairs.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_ratio"),
+        F.sum("c").alias("n_bigrams"),
+    )
+
+
+def scrub_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pipeline scrubbing: redact email-like tokens and digit runs, count
+    the redactions (the shape of a PII pass; production swaps in its own
+    pattern set). Pure regexp_replace — one projection."""
+    t = F.col(text_col)
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    digits_re = "[0-9]{3,}"
+    after_email = F.regexp_replace(t, email_re, "<EMAIL>")
+    scrubbed = F.regexp_replace(after_email, digits_re, "<NUM>")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(email_re), 0))
+    n_num = F.size(F.regexp_extract_all(after_email, F.lit(digits_re), 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("scrubbed"),
+        n_email.alias("n_emails"),
+        n_num.alias("n_numbers"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS c FROM pairs GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           round(max(c) / sum(c), 6) AS top_bigram_ratio,
+           sum(c) AS n_bigrams
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio_q(spark, sf_dir):
+    """Repetition filter signal (most-frequent-bigram share per doc)."""
+    return repetition_ratio(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_scrub",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS after_email
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(after_email, '[0-9]{3,}', '<NUM>', 'g') AS scrubbed,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(after_email, '[0-9]{3,}')) AS n_numbers
+    FROM e
+    """,
+)
+def text_scrub_q(spark, sf_dir):
+    """Redaction pass: emails + digit runs → placeholders, with counts."""
+    return scrub_text(load_table(spark, sf_dir, "documents"), "doc_id", "text")
