@@ -76,3 +76,15 @@ def test_stratified_sample_fractions(spark, oracle_sf_dir):
     # deterministic under a fixed seed
     again = ev.sampleBy("event_type", fractions, seed=42).count()
     assert again == sample.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the predicate must become a partition filter on the scan, not a
+    # post-scan row filter over all partitions
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
