@@ -304,3 +304,55 @@ def rollup_time_hierarchy_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@query(
+    "asof_join_merge",
+    oracle="""
+    SELECT o_orderkey,
+           (SELECT max(e.ts) FROM events e
+             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_ts
+    FROM orders o
+    WHERE o_custkey <= 200
+    """,
+)
+def asof_join_merge_q(spark, sf_dir):
+    """As-of join, merge form (the 100 TB pattern): union the tagged
+    event/order rows, ONE window over (user, time) carries the running
+    max event time to each order row — no join, so no per-order blow-up
+    of candidate events (the equi-join form in asof_join_last_event
+    materializes every earlier event per order before aggregating).
+    Same correlated-subquery oracle as the join form."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("ts").alias("ev_ts"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            F.col("o_custkey").alias("uid"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+            F.lit(1).alias("kind"),
+            "o_orderkey",
+            F.lit(None).cast("timestamp").alias("ev_ts"),
+        )
+    )
+    merged = ev.unionByName(orders)
+    # events sort BEFORE orders at equal t (kind asc) so an event at
+    # exactly the order time is included — matching the oracle's <=
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_event_ts", F.max("ev_ts").over(w))
+        .filter(F.col("kind") == 1)
+        .select("o_orderkey", "last_event_ts")
+    )
