@@ -456,3 +456,70 @@ def text_repetition_ratio_q(spark, sf_dir):
 def text_scrub_q(spark, sf_dir):
     """Redaction pass: emails + digit runs → placeholders, with counts."""
     return scrub_text(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text,
+             0.4 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text))
+             + 0.3 * (len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> list_contains(['the','a','of','to','and','in','is','it','for','on'], lower(w))))
+                      / len(string_split_regex(trim(text), '\\s+')))
+             + 0.3 * (1.0 - least((length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                                   / length(text)) * 5, 1.0)) AS quality
+      FROM documents
+    ), keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), toks AS (
+      SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+                                    w -> lower(w)) AS tl
+      FROM documents
+    ), scored AS (
+    """
+    + " UNION ALL ".join(
+        f"""SELECT doc_id, '{lang}' AS lang,
+               len(list_filter(tl, w -> list_contains({_duck_list_lit(markers)}, w))) AS score
+            FROM toks"""
+        for lang, markers in sorted(LANG_PROFILES.items())
+    )
+    + """
+    ), lang_pick AS (
+      SELECT doc_id, lang AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT q.doc_id,
+           lp.pred_lang,
+           round(q.quality, 6) AS quality,
+           md5(regexp_replace(q.text, '[0-9]{3,}', '<NUM>', 'g')) AS clean_hash
+    FROM q
+    JOIN keepers k ON q.doc_id = k.doc_id
+    JOIN lang_pick lp ON q.doc_id = lp.doc_id AND lp.rn = 1
+    WHERE q.quality >= 0.3
+    """,
+)
+def pipeline_clean_corpus_q(spark, sf_dir):
+    """Capstone: the composed LLM-data cleaning pipeline in ONE lazy plan
+    — quality gate → exact-dedup keepers (anti-amplification: semi-join
+    on the keeper set) → language tag → scrub → stable content hash.
+    Catalyst fuses the narrow stages; the only shuffles are the dedup
+    groupBy and the langid argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
+    keepers = (
+        docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    langs = language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    scrubbed = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.col("text"), "[0-9]{3,}", "<NUM>")).alias("clean_hash"),
+    )
+    return (
+        quality.filter(F.col("quality") >= 0.3)
+        .join(keepers, "doc_id", "left_semi")
+        .join(langs, "doc_id")
+        .join(scrubbed, "doc_id")
+        .select("doc_id", "pred_lang", "quality", "clean_hash")
+    )
