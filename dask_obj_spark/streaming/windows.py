@@ -170,6 +170,45 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the clicks by
+    the same user in the preceding `within` interval. Watermarks on both
+    sides + the time-range join condition bound the buffered state (rows
+    older than watermark+range are evicted) — without them a
+    stream-stream join would buffer forever."""
+
+    def prep(s: DataFrame) -> DataFrame:
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return s
+
+    c = (
+        prep(clicks)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", within)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    p = (
+        prep(purchases)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", within)
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("purchase_ts"),
+        F.unix_timestamp("click_ts").alias("click_ts"),
+    )
+
+
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream."""
     import os

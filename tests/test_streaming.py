@@ -93,3 +93,37 @@ def test_foreachbatch_dedup_upsert_idempotent(spark, oracle_sf_dir, tmp_path):
     shutil.rmtree(target + "_ckpt")
     stream_dedup_upsert(spark, documents_stream(spark, oracle_sf_dir), target)
     assert spark.read.parquet(target).count() == first
+
+
+def test_stream_stream_join_matches_batch(spark, oracle_sf_dir):
+    from dask_obj_spark.streaming.windows import stream_click_purchase_join
+
+    st = run_stream_to_memory(
+        spark,
+        stream_click_purchase_join(
+            events_stream(spark, oracle_sf_dir), events_stream(spark, oracle_sf_dir)
+        ),
+        "ss_join_t",
+        mode="append",
+    )
+    ev = load_table(spark, oracle_sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("purchase_ts"),
+        F.unix_timestamp("click_ts").alias("click_ts"),
+    )
+    got = {tuple(r) for r in st.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
