@@ -356,3 +356,26 @@ def asof_join_merge_q(spark, sf_dir):
         .filter(F.col("kind") == 1)
         .select("o_orderkey", "last_event_ts")
     )
+
+
+@query(
+    "pysource_synthetic_docs",
+    oracle="""
+    SELECT i AS doc_id,
+           'synthetic document number ' || i || ' repeat ' || (i % 7) AS text
+    FROM range(200) t(i)
+    """,
+)
+def pysource_synthetic_docs_q(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 V2 API): deterministic
+    partitioned generator, oracle-checked against the equivalent
+    generate-series SQL."""
+    from dask_obj_spark.sources.io import register_synthetic_docs_source
+
+    register_synthetic_docs_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 200)
+        .option("parts", 8)
+        .load()
+    )

@@ -78,3 +78,47 @@ def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "over
             "not available in this image (stubbed per environment contract)"
         )
     df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def register_synthetic_docs_source(spark) -> None:
+    """Register a custom Python DataSource (Spark 4 DataSource V2 Python
+    API): a deterministic synthetic-documents generator, partitioned so
+    each task generates its own id range — the template for reading any
+    external system Spark lacks a connector for (classes are defined
+    locally so they pickle by value to the executors).
+
+    Usage: spark.read.format("synthetic_docs")
+                .option("rows", N).option("parts", P).load()
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Part(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", 100))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            per = max(1, self.rows // self.parts)
+            bounds = list(range(0, self.rows, per)) + [self.rows]
+            return [_Part(a, b) for a, b in zip(bounds, bounds[1:])]
+
+        def read(self, part):
+            for i in range(part.start, part.end):
+                yield (i, f"synthetic document number {i} repeat {i % 7}")
+
+    class SyntheticDocs(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs"
+
+        def schema(self):
+            return "doc_id bigint, text string"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(SyntheticDocs)
