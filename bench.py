@@ -37,6 +37,9 @@ WORKLOAD = {
     "b7_cosine_topk": "sim_cosine_topk_brute",
     "b7_cosine_topk_np": "sim_cosine_topk_numpy_rowsonly",
     "b8_window_agg": "window_tumbling_events",
+    # beyond BASELINE.md §2: regression-track the optimized custom operators
+    "b9_text_fingerprints": "text_fingerprints",
+    "b10_clean_pipeline": "pipeline_clean_corpus",
 }
 
 WARMUP_RUNS = 1
