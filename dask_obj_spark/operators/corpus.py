@@ -1,0 +1,373 @@
+"""Training-corpus pipeline operators: the steps between "raw documents"
+and "training batches" that a 100 TB LLM data pipeline runs after the
+per-doc filters in operators/text.py and the pair generation in
+operators/dedup.py.
+
+Absent in the reference (its only imports are dask/toolz/operator —
+`/root/reference/src/dask_obj/core.py:3-10`); these are the Tier-E
+"training-data pipeline" categories the brief requires as first-class.
+
+- **connected components** (`connected_components`): MinHash-LSH gives
+  candidate *pairs*; choosing what to keep needs *clusters*. Iterative
+  min-label propagation over the undirected pair graph: each round,
+  every vertex takes the min label among itself and its neighbours;
+  fixpoint = per-component min doc_id. At sf scales near-dup clusters
+  are tiny (diameter ≲ 4), so this converges in a handful of rounds;
+  at 100 TB the same loop structure hosts the large-star/small-star
+  optimisation (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) which bounds rounds at O(log n) with edge
+  rewriting — the per-round shape (join edges⋈labels, groupBy-min) is
+  identical, so the operator is drop-in upgradeable. Lineage is cut
+  every round with localCheckpoint (a plan that doubles per iteration
+  would stall the optimizer long before the cluster was the problem).
+
+- **sequence packing** (`pack_bins`): group documents into contiguous
+  token-budget bins (the "sequence packing" step that turns documents
+  into fixed-budget training rows). Deterministic contiguous packing:
+  within each stream (source), order by doc_id, bin = exclusive-prefix
+  token count // budget. One window per stream partition — no global
+  sort, so the shuffle is per-source and the operator scales with the
+  number of streams, not corpus size.
+
+- **contamination check** (`contamination_hits`): n-gram overlap of
+  every train doc against the eval set's shingle inventory (the
+  train/test decontamination step). The eval side is small by
+  construction → broadcast hash join; train shingles never shuffle.
+
+- **int8 quantization** (`quantize_embeddings_int8`): per-vector absmax
+  scalar quantization of float embeddings (the storage/serving format
+  for ANN at scale: 4× smaller, SIMD-dot-friendly). Explode → window
+  absmax → top-level arithmetic: everything whole-stage codegen, no
+  interpreted higher-order functions in the hot path (PLANS.md trap).
+
+- **weighted sampling** (`weighted_sample`): keep each doc with
+  probability = its quality score, deterministically — keep iff
+  porthash(doc_id) % 1e6 < floor(quality * 1e6). Reproducible across
+  runs/engines (integer compare, no RNG state), trivially pushdown-able,
+  and re-weightable by swapping the score column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.functions.hashing import (
+    duck_porthash,
+    duck_word_shingles,
+    porthash,
+    word_shingles,
+)
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+# -- connected components -----------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected edge list.
+
+    Returns (id, cluster_id) for every vertex that appears in ``edges``;
+    cluster_id is the minimum vertex id of the component.  Each round is
+    one join + one algebraic groupBy(min) — both partial-aggregated, both
+    keyed on vertex id, so consecutive rounds reuse the same hash
+    partitioning.  Convergence is detected with a LIMIT 1 probe (any
+    vertex whose label still shrank), not a full count.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["d"] == labels["id"]).select(
+            F.col("s").alias("id"), F.col("lbl")
+        )
+        new = (
+            labels.select("id", "lbl")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        shrank = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if shrank == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every doc → its near-dup cluster id (singletons are their own
+    cluster); keeper = the min-id member."""
+    comp = connected_components(pairs, "id1", "id2")
+    joined = docs.select(id_col).join(
+        comp, docs[id_col] == comp["id"], "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        F.when(cluster == F.col(id_col), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_keeper"
+        ),
+    )
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stream_col: str,
+    budget: int,
+) -> DataFrame:
+    """Contiguous token-budget packing: within each stream (ordered by
+    id), bin = exclusive-prefix token count // budget.  All integer
+    arithmetic — bit-exact on any engine."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(id_col),
+        F.col(stream_col),
+        n_tok.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.withColumn(
+        "bin_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast(
+            "bigint"
+        ),
+    )
+
+
+# -- contamination check ------------------------------------------------------
+
+
+def contamination_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_mod: int = 20,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Per train doc: how many of its distinct ``shingle_n``-gram
+    shingles also occur anywhere in the eval split (doc_id % eval_mod
+    == 0).  The eval shingle inventory is broadcast — at 100 TB the eval
+    set is fixed and tiny relative to train, so the train side streams
+    through a broadcast hash join with zero shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % eval_mod == 0).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# -- int8 embedding quantization ----------------------------------------------
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-vector absmax int8 quantization, summarized as exact integer
+    stats (q_min/q_max/q_sum) + the float scale.
+
+    Explode → window absmax over vec_id → `floor(v/(amax/127) + 0.5)`
+    as top-level column arithmetic (floor-of-shifted = round-half-up,
+    identical on every engine; `F.round` half-up vs banker's differs).
+    Zero vectors (amax = 0) are excluded rather than divided by."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    wv = Window.partitionBy("vec_id")
+    with_amax = base.withColumn("amax", F.max(F.abs(F.col("v"))).over(wv)).filter(
+        F.col("amax") > 0
+    )
+    q = with_amax.withColumn(
+        "qv",
+        F.floor(F.col("v") / (F.col("amax") / F.lit(127.0)) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return q.groupBy("vec_id").agg(
+        F.round(F.max("amax") / F.lit(127.0), 6).alias("scale"),
+        F.min("qv").alias("q_min"),
+        F.max("qv").alias("q_max"),
+        F.sum("qv").alias("q_sum"),
+    )
+
+
+# -- deterministic weighted sampling ------------------------------------------
+
+
+def weighted_sample(scored: DataFrame, id_col: str, score_col: str) -> DataFrame:
+    """Keep each row iff porthash(id) % 1e6 < floor(score * 1e6) — i.e.
+    with probability ≈ score, but fully deterministic (no RNG, no
+    partition-order dependence; survives repartition/retry)."""
+    h = porthash(F.col(id_col).cast("string"), "wsamp") % F.lit(1000000)
+    cutoff = F.floor(F.col(score_col) * F.lit(1000000.0)).cast("bigint")
+    return scored.filter(h < cutoff)
+
+
+# ============================== queries ======================================
+
+
+def _clusters_oracle() -> str:
+    from dask_obj_spark.operators.dedup import _duck_pairs_sql
+
+    # RECURSIVE qualifies the whole CTE list; only `reach` recurses.
+    return (
+        _duck_pairs_sql(16, 4, 0.5).replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+    , edges AS (
+      SELECT id1 AS s, id2 AS d FROM pairs
+      UNION ALL
+      SELECT id2 AS s, id1 AS d FROM pairs
+    ), reach AS (
+      SELECT s AS id, s AS lbl FROM edges
+      UNION
+      SELECT e.s AS id, r.lbl
+      FROM reach r JOIN edges e ON e.d = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+    )
+
+
+@query("corpus_dedup_clusters", oracle=_clusters_oracle())
+def corpus_dedup_clusters_q(spark, sf_dir):
+    """Near-dup cluster assignment for every document (MinHash-LSH pairs
+    → connected components → keeper flag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    return dedup_cluster_assignment(docs, pairs, "doc_id")
+
+
+@query(
+    "corpus_pack_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def corpus_pack_bins_q(spark, sf_dir):
+    """Token-budget sequence packing (256-token bins per source stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins(docs, "doc_id", "text", "source", 256)
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({duck_word_shingles("text", 8)}) AS sh
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+    )
+    SELECT s.doc_id, count(*) AS n_overlap
+    FROM sh s JOIN ev ON s.sh = ev.sh
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_contamination_q(spark, sf_dir):
+    """Train/eval 8-gram contamination hits (eval = doc_id % 20 == 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_hits(docs, "doc_id", "text", 20, 8)
+
+
+@query(
+    "corpus_quantize_int8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+    ), m AS (
+      SELECT vec_id, v, max(abs(v)) OVER (PARTITION BY vec_id) AS amax FROM b
+    ), q AS (
+      SELECT vec_id, amax,
+             CAST(floor(v / (amax / 127.0) + 0.5) AS BIGINT) AS qv
+      FROM m WHERE amax > 0
+    )
+    SELECT vec_id,
+           round(max(amax) / 127.0, 6) AS scale,
+           min(qv) AS q_min, max(qv) AS q_max, sum(qv) AS q_sum
+    FROM q GROUP BY vec_id
+    """,
+)
+def corpus_quantize_int8_q(spark, sf_dir):
+    """Absmax int8 quantization stats per embedding vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb, "vec_id", "embedding")
+
+
+def _weighted_sample_oracle() -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    h = duck_porthash("CAST(q.doc_id AS VARCHAR)", "wsamp")
+    return f"""
+    WITH q AS ({duck_quality_select()})
+    SELECT q.doc_id, q.quality
+    FROM q
+    WHERE {h} % 1000000 < CAST(floor(q.quality * 1000000.0) AS BIGINT)
+    """
+
+
+@query("corpus_weighted_sample", oracle=_weighted_sample_oracle())
+def corpus_weighted_sample_q(spark, sf_dir):
+    """Deterministic quality-weighted downsample of documents."""
+    from dask_obj_spark.operators.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
+    return weighted_sample(scored, "doc_id", "quality")

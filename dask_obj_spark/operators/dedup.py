@@ -350,28 +350,37 @@ def dedup_minhash_bands_q(spark, sf_dir):
     return lsh_bands(sig, 4, 4)
 
 
-@query(
-    "dedup_minhash_pairs",
-    oracle=_duck_sig_cte(16, 4)
-    + ", bands AS ("
-    + _duck_bands_select(16, 4)
-    + """
+def _duck_pairs_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """sig CTE + bands + cand + the est_jaccard select — the complete
+    minhash_candidate_pairs() computation as DuckDB SQL (shared with the
+    connected-components oracle in operators/corpus.py)."""
+    est = (
+        "round(("
+        + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+        + f") / {num_hashes}.0, 6)"
+    )
+    return (
+        _duck_sig_cte(num_hashes, bands)
+        + ", bands AS ("
+        + _duck_bands_select(num_hashes, bands)
+        + f"""
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id1, id2, {est} AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
+                JOIN sig sb ON cand.id2 = sb.doc_id
+      WHERE {est} >= {threshold}
+    )"""
     )
-    SELECT id1, id2,
-           round(("""
-    + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16))
-    + """) / 16.0, 6) AS est_jaccard
-    FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
-              JOIN sig sb ON cand.id2 = sb.doc_id
-    WHERE round(("""
-    + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16))
-    + """) / 16.0, 6) >= 0.5
-    """,
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_duck_pairs_sql(16, 4, 0.5) + "\n    SELECT id1, id2, est_jaccard FROM pairs\n",
 )
 def dedup_minhash_pairs_q(spark, sf_dir):
     """MinHash-LSH near-dup candidate pairs (BASELINE B6 second half)."""

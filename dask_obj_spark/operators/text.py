@@ -244,9 +244,11 @@ def text_token_stats_q(spark, sf_dir):
     return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "text_quality_scores",
-    oracle=f"""
+def duck_quality_select() -> str:
+    """The quality_scores() computation as a standalone DuckDB SELECT —
+    shared by the text_quality_scores oracle and downstream consumers
+    (operators/corpus.py weighted sampling)."""
+    return f"""
     WITH t AS (
       SELECT doc_id, text, {_DUCK_WS} AS toks,
              length(text) AS total,
@@ -265,8 +267,10 @@ def text_token_stats_q(spark, sf_dir):
            round(0.4 * (alpha / total) + 0.3 * (stop_hits / len(toks))
                  + 0.3 * (1.0 - least((punct / total) * 5, 1.0)), 6) AS quality
     FROM t
-    """,
-)
+    """
+
+
+@query("text_quality_scores", oracle=duck_quality_select())
 def text_quality_scores_q(spark, sf_dir):
     """Per-doc quality signals (alpha/punct/stopword ratios + combo)."""
     return quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")

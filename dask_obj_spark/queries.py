@@ -36,6 +36,7 @@ def load_all_queries() -> None:
     import dask_obj_spark.queries_core  # noqa: F401
     import dask_obj_spark.queries_relational  # noqa: F401
     import dask_obj_spark.queries_tierd  # noqa: F401
+    import dask_obj_spark.operators.corpus  # noqa: F401
     import dask_obj_spark.operators.dedup  # noqa: F401
     import dask_obj_spark.operators.similarity  # noqa: F401
     import dask_obj_spark.operators.scale  # noqa: F401

@@ -1,0 +1,124 @@
+"""Unit tests for operators/corpus.py (training-corpus pipeline ops).
+
+Oracle parity at sf0.01 is covered by test_oracle_parity.py; these pin
+the operator semantics directly on hand-built inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_obj_spark.operators.corpus import (
+    connected_components,
+    contamination_hits,
+    dedup_cluster_assignment,
+    pack_bins,
+    quantize_embeddings_int8,
+    weighted_sample,
+)
+
+
+def test_connected_components_two_chains_and_singleton(spark):
+    # components: {1,2,3,4} via a chain, {10,11}, vertex 20 self-loop
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # path graph 0-1-2-...-9: worst case for min-label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"]
+    )
+    got = connected_components(edges).collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == 10
+
+
+def test_dedup_cluster_assignment_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id1", "id2"])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_cluster_assignment(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, 1),
+        1: (1, 1),
+        2: (2, 1),
+        3: (0, 0),
+        4: (4, 1),
+        5: (0, 0),
+    }
+
+
+def test_pack_bins_contiguous_budget(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),  # 3 tokens, cum 3, bin 0
+            (2, "d e", "s1"),  # 2 tokens, cum 5, bin 0 (prefix 3 < 4)
+            (3, "f g h i", "s1"),  # 4 tokens, cum 9, bin 1 (prefix 5)
+            (4, "x", "s2"),  # other stream starts at bin 0
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["bin_id"])
+        for r in pack_bins(docs, "doc_id", "text", "source", 4).collect()
+    }
+    assert rows == {1: (3, 3, 0), 2: (2, 5, 0), 3: (4, 9, 1), 4: (1, 1, 0)}
+
+
+def test_contamination_hits_counts_distinct_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four"),  # eval (id % 2 == 0 with eval_mod=2)
+            (1, "one two three four five"),  # train: shares 2-grams
+            (3, "nothing shared here at all"),  # train: no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_hits(docs, "doc_id", "text", 2, 2).collect()
+    }
+    # doc1's 2-gram shingles: {one two, two three, three four, four five};
+    # eval inventory: {one two, two three, three four} -> 3 hits
+    assert rows == {1: 3}
+
+
+def test_quantize_int8_bounds_and_exact_absmax(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = quantize_embeddings_int8(emb, "vec_id", "embedding").collect()
+    got = {r["vec_id"]: r for r in rows}
+    # zero vector is excluded, not divided by
+    assert set(got) == {1}
+    r = got[1]
+    # absmax element hits exactly ±127; everything within int8 range
+    assert r["q_min"] == -127 and -127 <= r["q_max"] <= 127
+    assert abs(r["scale"] - 2.0 / 127.0) < 1e-6
+    # 1.0 -> floor(63.5 + 0.5) = 64; -2.0 -> -127; 0.5 -> 32; sum = -31
+    assert r["q_sum"] == 64 - 127 + 32
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    scored = spark.createDataFrame(
+        [(i, 0.5) for i in range(400)], ["doc_id", "score"]
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(scored, "doc_id", "score").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(scored, "doc_id", "score").collect())
+    assert a == b  # no RNG: identical across runs
+    # rate ~ 0.5 (hash-uniform; wide tolerance to stay non-flaky)
+    assert 0.35 * 400 < len(a) < 0.65 * 400
+    # score=0 keeps nothing, score=1 keeps everything
+    zero = scored.withColumn("score", F.lit(0.0))
+    one = scored.withColumn("score", F.lit(1.0))
+    assert weighted_sample(zero, "doc_id", "score").count() == 0
+    assert weighted_sample(one, "doc_id", "score").count() == 400
