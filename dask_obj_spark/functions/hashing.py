@@ -48,6 +48,27 @@ def word_shingles(col: Column | str, n: int) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams (non-distinct, corpus-frequency semantics) —
+    `word_shingles` minus the per-doc distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def duck_word_ngrams(expr: str, n: int) -> str:
+    """Identical non-distinct n-grams as a DuckDB SQL expression string."""
+    words = f"string_split_regex(trim({expr}), '\\s+')"
+    return (
+        f"list_transform("
+        f"range(greatest(len({words}) - {n}, 0) + 1), "
+        f"i -> array_to_string({words}[i+1:i+{n}], ' '))"
+    )
+
+
 def duck_word_shingles(expr: str, n: int) -> str:
     """Identical shingling as a DuckDB SQL expression string."""
     words = f"string_split_regex(trim({expr}), '\\s+')"

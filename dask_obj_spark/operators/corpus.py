@@ -54,8 +54,10 @@ from pyspark.sql import functions as F
 
 from dask_obj_spark.functions.hashing import (
     duck_porthash,
+    duck_word_ngrams,
     duck_word_shingles,
     porthash,
+    word_ngrams,
     word_shingles,
 )
 from dask_obj_spark.queries import query
@@ -158,6 +160,98 @@ def pack_bins(
             "bigint"
         ),
     )
+
+
+def pack_payload(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stream_col: str,
+    budget: int,
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize the packed training rows: concatenate each bin's
+    documents (in id order) into one payload string + integer stats.
+
+    One groupBy on (stream, bin) after the packing window; the in-group
+    ordering is imposed by `array_sort` over (id, text) structs, so the
+    result is deterministic regardless of partitioning/arrival order
+    (never rely on collect_list order)."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = df.select(
+        F.col(id_col), F.col(stream_col), F.col(text_col), n_tok.alias("n_tokens")
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ).cast("bigint"),
+    )
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(text_col)))),
+        lambda s: s[text_col],
+    )
+    return binned.groupBy(stream_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.concat_ws(sep, ordered_texts).alias("payload"),
+    )
+
+
+# -- corpus mixing ------------------------------------------------------------
+
+
+def mix_rebalance(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministically downsample per group to hit a target mixture:
+    keep a row iff porthash(id) % 1e6 < floor(weight[key] * 1e6).
+
+    The weight table rides in the plan as a CASE chain (at 100 TB: a
+    broadcast join against a weights dim — same shape, no shuffle on the
+    fact side either way)."""
+    cutoff = None
+    for k, wgt in sorted(weights.items()):
+        cond = F.col(key_col) == k
+        cutoff = (
+            F.when(cond, F.lit(wgt))
+            if cutoff is None
+            else cutoff.when(cond, F.lit(wgt))
+        )
+    cutoff = (cutoff.otherwise(F.lit(default)) if cutoff is not None else F.lit(default))
+    h = porthash(F.col(id_col).cast("string"), "mix") % F.lit(1000000)
+    return df.filter(h < F.floor(cutoff * F.lit(1000000.0)).cast("bigint"))
+
+
+# -- n-gram vocabulary --------------------------------------------------------
+
+
+def ngram_vocab(
+    df: DataFrame, text_col: str, n: int, min_count: int, k: int
+) -> DataFrame:
+    """Top-k corpus n-grams by total frequency (BPE/phrase-vocab prep).
+
+    Explode collapses straight into a partial-aggregated groupBy, so the
+    shuffle carries (ngram, partial_count) — never raw token streams.
+    The global rank window runs AFTER the top-k limit (≤ k rows on one
+    partition by construction, not a global sort of the vocab)."""
+    counts = (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("ngram")).limit(k)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(rank_w))
 
 
 # -- contamination check ------------------------------------------------------
@@ -304,6 +398,74 @@ def corpus_pack_bins_q(spark, sf_dir):
     """Token-budget sequence packing (256-token bins per source stream)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_bins(docs, "doc_id", "text", "source", 256)
+
+
+@query(
+    "corpus_pack_payload",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, text, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM t
+    ), b AS (
+      SELECT doc_id, source, text, n_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+      FROM c
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+           string_agg(text, chr(10) ORDER BY doc_id) AS payload
+    FROM b GROUP BY source, bin_id
+    """,
+)
+def corpus_pack_payload_q(spark, sf_dir):
+    """Packed training rows: per-(source, 256-token bin) concatenated
+    payload + integer stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_payload(docs, "doc_id", "text", "source", 256, "\n")
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {duck_porthash("CAST(doc_id AS VARCHAR)", "mix")} % 1000000
+          < CAST(floor((CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END)
+                       * 1000000.0) AS BIGINT)
+    """,
+)
+def corpus_mix_rebalance_q(spark, sf_dir):
+    """Deterministic mixture rebalancing: downsample the over-represented
+    'en' slice to ~30% keep rate, keep the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_rebalance(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 0.3}, 1.0
+    )
+
+
+@query(
+    "corpus_ngram_vocab",
+    oracle=f"""
+    WITH g AS (
+      SELECT unnest({duck_word_ngrams("text", 2)}) AS ngram FROM documents
+    ), c AS (
+      SELECT ngram, count(*) AS n FROM g GROUP BY ngram HAVING count(*) >= 5
+    ), top AS (
+      SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT 100
+    )
+    SELECT ngram, n, row_number() OVER (ORDER BY n DESC, ngram) AS rank
+    FROM top
+    """,
+)
+def corpus_ngram_vocab_q(spark, sf_dir):
+    """Top-100 bigrams with count >= 5 (phrase/BPE vocab prep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_vocab(docs, "text", 2, 5, 100)
 
 
 @query(

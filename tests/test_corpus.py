@@ -12,7 +12,10 @@ from dask_obj_spark.operators.corpus import (
     connected_components,
     contamination_hits,
     dedup_cluster_assignment,
+    mix_rebalance,
+    ngram_vocab,
     pack_bins,
+    pack_payload,
     quantize_embeddings_int8,
     weighted_sample,
 )
@@ -71,6 +74,41 @@ def test_pack_bins_contiguous_budget(spark):
         for r in pack_bins(docs, "doc_id", "text", "source", 4).collect()
     }
     assert rows == {1: (3, 3, 0), 2: (2, 5, 0), 3: (4, 9, 1), 4: (1, 1, 0)}
+
+
+def test_pack_payload_order_is_by_id_not_arrival(spark):
+    docs = spark.createDataFrame(
+        [(3, "cc", "s"), (1, "aa", "s"), (2, "bb", "s")],
+        ["doc_id", "text", "source"],
+    ).repartition(4)  # scramble physical order
+    rows = pack_payload(docs, "doc_id", "text", "source", 100, "|").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["bin_tokens"], r["payload"]) == (3, 3, "aa|bb|cc")
+
+
+def test_mix_rebalance_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 300 else "de") for i in range(400)],
+        ["doc_id", "lang"],
+    )
+    kept = mix_rebalance(docs, "doc_id", "lang", {"en": 0.3}, 1.0)
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["de"] == 100  # default weight 1.0 keeps all
+    assert 0.15 * 300 < by_lang["en"] < 0.45 * 300  # ~30% of en
+    # weight 0 drops the group entirely
+    assert mix_rebalance(docs, "doc_id", "lang", {"en": 0.0}, 1.0).filter(
+        F.col("lang") == "en"
+    ).count() == 0
+
+
+def test_ngram_vocab_counts_and_rank(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x y")], ["doc_id", "text"]
+    )
+    # bigrams: doc1: "a b","b a","a b"; doc2: "a b","b c"; doc3: "x y"
+    rows = ngram_vocab(docs, "text", 2, 2, 10).collect()
+    assert [(r["ngram"], r["n"], r["rank"]) for r in rows] == [("a b", 3, 1)]
 
 
 def test_contamination_hits_counts_distinct_overlap(spark):
