@@ -40,6 +40,8 @@ WORKLOAD = {
     # beyond BASELINE.md §2: regression-track the optimized custom operators
     "b9_text_fingerprints": "text_fingerprints",
     "b10_clean_pipeline": "pipeline_clean_corpus",
+    "b11_dedup_clusters": "corpus_dedup_clusters",
+    "b12_contamination": "corpus_contamination",
 }
 
 WARMUP_RUNS = 1
