@@ -256,6 +256,23 @@ def stream_dedup_upsert(
     q.awaitTermination()
 
 
+def stream_dedup_within_watermark(
+    stream: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps the first row per key and evicts each key's state once the
+    event-time watermark passes it — unlike plain dropDuplicates on a
+    stream, whose state grows with every key ever seen. The operator for
+    "the same event may be redelivered within N minutes" (at-least-once
+    sources), and the streaming face of the exact-dedup operator family
+    (operators/dedup.py)."""
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 # ============================== queries ======================================
 
 

@@ -127,3 +127,23 @@ def test_stream_stream_join_matches_batch(spark, oracle_sf_dir):
     got = {tuple(r) for r in st.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, oracle_sf_dir):
+    from dask_obj_spark.streaming.windows import stream_dedup_within_watermark
+
+    st = run_stream_to_memory(
+        spark,
+        stream_dedup_within_watermark(
+            events_stream(spark, oracle_sf_dir), ["user_id", "event_type"]
+        ).select("user_id", "event_type"),
+        "parity_ddww",
+        mode="append",
+    )
+    batch = (
+        load_table(spark, oracle_sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    # single-file source -> one micro-batch -> dedup output == distinct keys
+    assert {tuple(r) for r in st.collect()} == {tuple(r) for r in batch.collect()}
