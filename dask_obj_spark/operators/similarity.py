@@ -514,6 +514,76 @@ def sim_cosine_topk_ivf_q(spark, sf_dir):
     return cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
 
 
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-probe recall@k of an ANN result against exact ground truth:
+    |approx ∩ truth| / k. The evaluation harness every ANN deployment
+    needs before trusting an index — both inputs are (id1, id2) top-k
+    tables keyed by probe."""
+    t = truth.select("id1", "id2")
+    a = approx.select(F.col("id1").alias("aid1"), F.col("id2").alias("aid2"))
+    j = t.join(a, (t["id1"] == a["aid1"]) & (t["id2"] == a["aid2"]), "left")
+    return (
+        j.groupBy("id1")
+        .agg(F.round(F.count("aid2") / F.lit(float(k)), 6).alias("recall"))
+        .select(F.col("id1").alias("probe_id"), "recall")
+    )
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=_duck_base(50)
+    + f"""
+    , t_scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine("pv", "v", DIM)} AS cos_raw
+      FROM base JOIN probes ON pid <> vid
+    ), t_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM t_scored
+    ), truth AS (
+      SELECT id1, id2 FROM t_ranked WHERE rank <= 10
+    ), cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {CENTROID_MOD} = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid,
+             {duck_cosine("b.v", "c.cv", DIM)} AS cs
+      FROM base b, cents c
+    ), ranked_assign AS (
+      SELECT vid, v, cid, cs,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS (
+      SELECT vid, v, cid FROM ranked_assign WHERE rn = 1
+    ), pcells AS (
+      SELECT vid AS pid, v AS pv, cid
+      FROM ranked_assign WHERE rn <= {NPROBE} AND vid % 50 = 0
+    ), cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM pcells p JOIN cells c ON p.cid = c.cid AND p.pid <> c.vid
+    ), a_scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine("pv", "v", DIM)} AS cos_raw
+      FROM cand
+    ), a_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM a_scored
+    ), approx AS (
+      SELECT id1, id2 FROM a_ranked WHERE rank <= 10
+    )
+    SELECT t.id1 AS probe_id, round(count(a.id2) / 10.0, 6) AS recall
+    FROM truth t LEFT JOIN approx a ON t.id1 = a.id1 AND t.id2 = a.id2
+    GROUP BY t.id1
+    """,
+)
+def sim_ivf_recall_q(spark, sf_dir):
+    """Recall@10 of the IVF index against exact brute-force ground truth,
+    per probe — oracle-checked end-to-end (both sides replayed in SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    approx = cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return ann_recall(truth, approx, 10)
+
+
 @query(
     "sim_norms",
     oracle=f"""
