@@ -334,7 +334,9 @@ def weighted_sample(scored: DataFrame, id_col: str, score_col: str) -> DataFrame
 # ============================== queries ======================================
 
 
-def _clusters_oracle() -> str:
+def _clusters_ctes() -> str:
+    """WITH RECURSIVE chain through `comp` (id, cluster_id) — shared by
+    the cluster-assignment oracle and the pack-export capstone."""
     from dask_obj_spark.operators.dedup import _duck_pairs_sql
 
     # RECURSIVE qualifies the whole CTE list; only `reach` recurses.
@@ -352,7 +354,14 @@ def _clusters_oracle() -> str:
       FROM reach r JOIN edges e ON e.d = r.id
     ), comp AS (
       SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )"""
     )
+
+
+def _clusters_oracle() -> str:
+    return (
+        _clusters_ctes()
+        + """
     SELECT d.doc_id,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id,
            CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
@@ -398,6 +407,53 @@ def corpus_pack_bins_q(spark, sf_dir):
     """Token-budget sequence packing (256-token bins per source stream)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_bins(docs, "doc_id", "text", "source", 256)
+
+
+@query(
+    "pipeline_pack_export",
+    oracle=_clusters_ctes()
+    + """
+    , keepers AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+    ), kt AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM keepers
+    ), kc AS (
+      SELECT doc_id, source, text, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM kt
+    ), kb AS (
+      SELECT doc_id, source, text, n_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+      FROM kc
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+           string_agg(text, chr(10) ORDER BY doc_id) AS payload
+    FROM kb GROUP BY source, bin_id
+    """,
+)
+def pipeline_pack_export_q(spark, sf_dir):
+    """Capstone composition: near-dup cluster keepers (iterative
+    connected components over MinHash-LSH pairs) fed straight into
+    token-budget sequence packing — raw corpus to deduplicated packed
+    training rows in one engine-side pipeline. Only the tiny pair graph
+    leaves the declarative plan (the CC loop); the rest fuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    assign = dedup_cluster_assignment(docs, pairs, "doc_id")
+    keepers = docs.join(
+        assign.filter(F.col("is_keeper") == 1).select("doc_id"), "doc_id"
+    )
+    return pack_payload(keepers, "doc_id", "text", "source", 256, "\n")
 
 
 @query(
