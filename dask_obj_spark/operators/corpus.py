@@ -111,6 +111,54 @@ def connected_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected edge list (edges walked both ways) —
+    the second iterative-algorithm template next to connected_components,
+    and a corpus tool in its own right: on a document-similarity graph,
+    high-rank nodes are the central/representative documents of each
+    near-dup neighbourhood (useful for canonical-doc selection beyond
+    plain min-id keepers).
+
+    Per round: contributions = edges ⋈ ranks ⋈ out-degrees (one shuffle
+    keyed on vertex), then groupBy(dst).sum — partial-aggregated. In a
+    symmetrized graph every vertex has out-degree ≥ 1, so there is no
+    dangling-mass correction term. Lineage cut per round via
+    localCheckpoint, same as connected_components."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = sym.union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct().localCheckpoint(eager=True)
+    verts = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks, sym["s"] == ranks["id"])
+            .join(outdeg, "s")
+            .select(F.col("d"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        sums = contrib.groupBy("d").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            verts.join(sums, verts["id"] == sums["d"], "left")
+            .select(
+                "id",
+                (base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def dedup_cluster_assignment(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -229,6 +277,30 @@ def mix_rebalance(
     cutoff = (cutoff.otherwise(F.lit(default)) if cutoff is not None else F.lit(default))
     h = porthash(F.col(id_col).cast("string"), "mix") % F.lit(1000000)
     return df.filter(h < F.floor(cutoff * F.lit(1000000.0)).cast("bigint"))
+
+
+def hash_split(
+    df: DataFrame, id_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the hash of the id picks
+    the split via cumulative fraction cutoffs. Stable under reshuffles,
+    retries, and incremental reruns (a doc never migrates between
+    splits when new data arrives — the property random splits lack)."""
+    h = porthash(F.col(id_col).cast("string"), "split") % F.lit(1000000)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cutoff = F.lit(int(acc * 1000000))
+        expr = (
+            F.when(h < cutoff, F.lit(name))
+            if expr is None
+            else expr.when(h < cutoff, F.lit(name))
+        )
+    last = items[-1][0]
+    split = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return df.withColumn("split", split)
 
 
 # -- n-gram vocabulary --------------------------------------------------------
@@ -484,6 +556,46 @@ def corpus_pack_payload_q(spark, sf_dir):
     payload + integer stats."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_payload(docs, "doc_id", "text", "source", 256, "\n")
+
+
+@query("graph_pagerank_rowsonly")
+def graph_pagerank_q(spark, sf_dir):
+    """PageRank centrality over the MinHash near-dup graph (10 rounds) —
+    rows-only: fixed-point iteration with aggregation is outside
+    single-statement SQL (DuckDB forbids aggregates in recursive terms);
+    semantics pinned by the Python-reference test instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    return pagerank(pairs, "id1", "id2", n_iter=10)
+
+
+@query(
+    "corpus_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {duck_porthash("CAST(doc_id AS VARCHAR)", "split")} % 1000000 AS hv
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN hv < 980000 THEN 'train'
+                WHEN hv < 990000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def corpus_split_q(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test split by id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        {"train": 0.98, "val": 0.01, "test": 0.01},
+    )
 
 
 @query(

@@ -12,10 +12,12 @@ from dask_obj_spark.operators.corpus import (
     connected_components,
     contamination_hits,
     dedup_cluster_assignment,
+    hash_split,
     mix_rebalance,
     ngram_vocab,
     pack_bins,
     pack_payload,
+    pagerank,
     quantize_embeddings_int8,
     weighted_sample,
 )
@@ -144,6 +146,43 @@ def test_quantize_int8_bounds_and_exact_absmax(spark):
     assert abs(r["scale"] - 2.0 / 127.0) < 1e-6
     # 1.0 -> floor(63.5 + 0.5) = 64; -2.0 -> -127; 0.5 -> 32; sum = -31
     assert r["q_sum"] == 64 - 127 + 32
+
+
+def test_pagerank_matches_python_reference(spark):
+    # path graph 1-2-3 plus isolated pair 10-11
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+
+    # straight-line reference replay (symmetric graph, no dangling mass)
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    n = len(sym)
+    ranks = {v: 1.0 / n for v in sym}
+    for _ in range(10):
+        nxt = {}
+        for v in sym:
+            in_sum = sum(ranks[u] / len(sym[u]) for u in sym if v in sym[u])
+            nxt[v] = 0.15 / n + 0.85 * in_sum
+        ranks = nxt
+    for v in sym:
+        assert abs(got[v] - ranks[v]) < 1e-6
+    # middle of the path outranks its endpoints; ranks sum to ~1
+    assert got[2] > got[1] and got[2] > got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_hash_split_deterministic_partition(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 500  # total partition: every row exactly one split
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    # stable across recomputation
+    again = {r["split"]: r["n"] for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
 
 
 def test_weighted_sample_deterministic_and_monotone(spark):
