@@ -725,3 +725,86 @@ def sql_entrypoint(spark, sf_dir):
         "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name ORDER BY n_name"
     )
+
+
+# ---------------------------------------------------------------- funnel
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), staged AS (
+      SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM users u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id
+    )
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase): users counted
+    at the furthest stage they reached IN ORDER (a click only counts
+    after the user's first view; a purchase only after that first
+    qualifying click). The behavioral-analytics operator bags/SQL alike
+    lack as a primitive.
+
+    Plan: three per-user min-aggregations chained by equi-joins, all
+    keyed on user_id — one partitioning reused across every stage
+    (exchange reuse), per-stage outputs are one row per qualifying user.
+    At 100 TB: events pre-bucketed by user_id make the whole funnel
+    shuffle-free; stages beyond the first operate on shrinking user
+    subsets."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    staged = (
+        users.join(t1.select("user_id", "t1"), "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))

@@ -199,3 +199,25 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     one = scored.withColumn("score", F.lit(1.0))
     assert weighted_sample(zero, "doc_id", "score").count() == 0
     assert weighted_sample(one, "doc_id", "score").count() == 400
+
+
+def test_funnel_stage_requires_order(spark, monkeypatch):
+    from datetime import datetime
+
+    import dask_obj_spark.queries_relational as qr
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        (2, ts(0), "view"), (2, ts(2), "click"), (2, ts(1), "purchase"),
+        # user 3: click before any view -> stage 1 only
+        (3, ts(0), "click"), (3, ts(1), "view"),
+        # user 4: never viewed -> stage 0
+        (4, ts(0), "error"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    monkeypatch.setattr(qr, "_t", lambda s, d, n: df)
+    got = {r["stage"]: r["n_users"] for r in qr.funnel_stages(spark, "unused").collect()}
+    assert got == {3: 1, 2: 1, 1: 1, 0: 1}
