@@ -808,3 +808,41 @@ def funnel_stages(spark, sf_dir):
         )
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS c0 FROM ud GROUP BY user_id
+    )
+    SELECT CAST(epoch(c.c0) AS BIGINT) AS cohort_ts,
+           date_diff('day', c.c0, ud.day) AS day_offset,
+           count(DISTINCT ud.user_id) AS n_active
+    FROM ud JOIN cohort c ON ud.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day, counted
+    active per day-offset — THE product-analytics companion to the funnel.
+
+    Plan: distinct user-days (partial-agg'd), per-user min for the cohort
+    day, join back on user_id (same partitioning — exchange reuse), then
+    a count-distinct per (cohort, offset). Day boundaries are integral
+    seconds, so epoch casts are portable (no truncate-vs-round hazard).
+    At 100 TB the user-day dedup is the load-bearing shrink: the retention
+    matrix itself is tiny (days x offsets)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("c0"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            F.unix_timestamp("c0").alias("cohort_ts"),
+            F.datediff(F.col("day"), F.col("c0")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -221,3 +221,32 @@ def test_funnel_stage_requires_order(spark, monkeypatch):
     monkeypatch.setattr(qr, "_t", lambda s, d, n: df)
     got = {r["stage"]: r["n_users"] for r in qr.funnel_stages(spark, "unused").collect()}
     assert got == {3: 1, 2: 1, 1: 1, 0: 1}
+
+
+def test_retention_cohorts_semantics(spark, monkeypatch):
+    from datetime import datetime
+
+    import dask_obj_spark.queries_relational as qr
+
+    d = lambda day, h=3: datetime(2024, 1, day, h)
+    rows = [
+        # user 1: first active day1, returns day2 and day3
+        (1, d(1)), (1, d(2)), (1, d(3)),
+        # user 2: first active day1 only (two events same day -> one user-day)
+        (2, d(1)), (2, d(1, 9)),
+        # user 3: first active day2, returns day3
+        (3, d(2)), (3, d(3)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "event_type", F.lit("view")
+    )
+    monkeypatch.setattr(qr, "_t", lambda s, dd, n: df)
+    got = {
+        (r["cohort_ts"], r["day_offset"]): r["n_active"]
+        for r in qr.retention_cohorts(spark, "unused").collect()
+    }
+    e = lambda day: int(datetime(2024, 1, day).timestamp())
+    assert got == {
+        (e(1), 0): 2, (e(1), 1): 1, (e(1), 2): 1,
+        (e(2), 0): 1, (e(2), 1): 1,
+    }
