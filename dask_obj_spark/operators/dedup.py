@@ -239,16 +239,33 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = S
 
 def simhash_near_pairs(fp_df: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs by Hamming distance over fingerprints, bucketed by
-    fingerprint halves (a pair within distance d shares at least one
-    half when d < bits/2 — pigeonhole), avoiding the full cross join."""
-    half = bits // 2
-    lo = F.col("fingerprint").bitwiseAND(F.lit(2**half - 1))
-    hi = F.shiftright(F.col("fingerprint"), half)
-    keyed = fp_df.select(
-        "doc_id",
-        "fingerprint",
-        F.explode(F.array(F.concat(F.lit("l"), lo), F.concat(F.lit("h"), hi))).alias("bucket"),
-    )
+    fingerprint blocks: the fingerprint is split into ``max_hamming + 1``
+    blocks, so a pair within distance ``max_hamming`` differs in at most
+    ``max_hamming`` blocks and must share at least one block verbatim
+    (pigeonhole) — COMPLETE recall without the full cross join.  Each
+    doc lands in ``max_hamming + 1`` buckets; join cost is bucket-bounded.
+
+    Degenerate case ``max_hamming >= bits``: no block split can help
+    (a pair may differ in every block), so everything shares one bucket
+    — the exact all-pairs semantics, at cross-join cost."""
+    if max_hamming >= bits:
+        keyed = fp_df.select("doc_id", "fingerprint", F.lit("all").alias("bucket"))
+    else:
+        n_blocks = max_hamming + 1
+        base, rem = divmod(bits, n_blocks)
+        widths = [base + 1] * rem + [base] * (n_blocks - rem)  # every block ≥ 1 bit
+        keys, off = [], 0
+        for i, w in enumerate(widths):
+            keys.append(
+                F.concat(
+                    F.lit(f"b{i}_"),
+                    F.shiftright(F.col("fingerprint"), off).bitwiseAND(F.lit(2**w - 1)),
+                )
+            )
+            off += w
+        keyed = fp_df.select(
+            "doc_id", "fingerprint", F.explode(F.array(*keys)).alias("bucket")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(
         F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
@@ -417,8 +434,44 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
 
 
 @query(
-    "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
     oracle="""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 2
+    ), sh AS (
+      SELECT doc_id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.doc_id
+               JOIN sizes sb ON id2 = sb.doc_id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_capped_q(spark, sf_dir):
+    """Jaccard with the `max_shingle_freq` skew guard ON (stop-shingles
+    appearing in > 2 docs dropped before the inverted-index join) — the
+    guarded path is the one that runs at 100 TB, so it gets its own
+    oracle row rather than inheriting the unguarded query's evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", 4, 0.6, max_shingle_freq=2)
+
+
+# fingerprint computation as a DuckDB CTE chain, shared by the fingerprint
+# and near-pair oracles (ends with the `fp` relation: doc_id, fingerprint)
+_DUCK_SIMHASH_FP = (
+    """
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM documents
@@ -432,13 +485,19 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
         f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
     )
     + """ FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, CAST("""
+    ), fp AS (
+      SELECT doc_id, CAST("""
     + " + ".join(
         f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
     )
     + """ AS BIGINT) AS fingerprint FROM votes
-    """,
+    )"""
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=_DUCK_SIMHASH_FP + "\n    SELECT doc_id, fingerprint FROM fp\n",
 )
 def dedup_simhash_q(spark, sf_dir):
     """SimHash fingerprints, oracle-checked bit-for-bit."""
@@ -446,11 +505,20 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_fingerprint(docs, "doc_id", "text")
 
 
-@query("dedup_simhash_pairs_rowsonly")
+@query(
+    "dedup_simhash_pairs",
+    oracle=_DUCK_SIMHASH_FP
+    + """
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """,
+)
 def dedup_simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3) via half-fingerprint pigeonhole
-    buckets. Rows-only: pair set is a deterministic function of the
-    oracle-checked fingerprints; the bucketing join is the scale path."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via (max_hamming+1)-block
+    pigeonhole buckets — complete recall, so the brute-force all-pairs
+    SQL is an exact oracle; the bucketed join is the scale path."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash_fingerprint(docs, "doc_id", "text"))
 

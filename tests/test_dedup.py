@@ -108,10 +108,31 @@ def test_simhash_hamming_props(docs):
     fp = simhash_fingerprint(docs, "doc_id", "text")
     vals = {r.doc_id: r.fingerprint for r in fp.collect()}
     assert vals[1] == vals[4]
+    # max_hamming ≥ bits → degenerate all-pairs bucket: every pair surfaces
     pairs = {(r.id1, r.id2): r.hamming for r in simhash_near_pairs(fp, 64).collect()}
     assert pairs[(1, 4)] == 0
-    # bucketing guarantee: Hamming ≤ bits/2 − 1 pairs always surface
-    assert pairs[(1, 2)] <= 12
+    assert len(pairs) == 6  # all C(4,2) pairs present in the degenerate path
+
+
+def test_simhash_block_pigeonhole_complete(spark):
+    # (max_hamming+1)-block guarantee: a pair with ≤ max_hamming differing
+    # bits ALWAYS shares a block.  doc 2 differs from doc 1 by one bit in
+    # EACH half (bits 2 and 20) — the case a two-half split drops.
+    fps = spark.createDataFrame(
+        [(1, 0), (2, (1 << 2) | (1 << 20)), (3, (1 << 1) | (1 << 9) | (1 << 15) | (1 << 22))],
+        ["doc_id", "fingerprint"],
+    )
+    got = {(r.id1, r.id2): r.hamming for r in simhash_near_pairs(fps, 3, 24).collect()}
+    assert got[(1, 2)] == 2
+    assert (1, 3) not in got  # hamming 4 > max_hamming: correctly excluded
+    # brute-force reference over every pair: recall must be complete
+    rows = fps.collect()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            d = bin(a.fingerprint ^ b.fingerprint).count("1")
+            key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+            assert (key in got) == (d <= 3), (key, d)
 
 
 def test_cosine_topk_brute_shape(spark):
