@@ -81,6 +81,39 @@ def _spark_type_for(value: Any) -> T.DataType | None:
     return None
 
 
+def _contiguous_repartition(df: "DataFrame", npartitions: int) -> "DataFrame":
+    """Order-preserving repartition: contiguous ordered slices.
+
+    ``monotonically_increasing_id`` is (partition, position)-ordered and
+    local collections are parallelized as contiguous chunks, so the id
+    order IS the original sequence order; range-partitioning on it gives
+    dask-``from_sequence``-shaped partitions."""
+    ord_col = "__of_ord__"
+    tagged = df.withColumn(ord_col, F.monotonically_increasing_id())
+    return (
+        tagged.repartitionByRange(npartitions, ord_col)
+        .sortWithinPartitions(ord_col)
+        .drop(ord_col)
+    )
+
+
+class _EmptySentinel:
+    """Pickle-safe 'no value' marker (checked with isinstance, not identity —
+    identity does not survive the driver→executor pickle boundary).  Used as
+    the no-``initial`` default so ``None`` stays a legitimate initial value."""
+
+
+_EMPTY = _EmptySentinel()
+
+
+def _fold_list(binop: Callable, items: list, initial: Any = _EMPTY) -> Any:
+    if not items:
+        return initial
+    if not isinstance(initial, _EmptySentinel):
+        return functools.reduce(binop, items, initial)
+    return functools.reduce(binop, items)
+
+
 class ObjectFrame:
     """Distributed object collection (the ``DaskObjects`` equivalent).
 
@@ -103,6 +136,7 @@ class ObjectFrame:
     ):
         self._config = dict(config or {})
         self._use_df_attrs = use_df_attrs
+        from_sequence = False
         if isinstance(items, ObjectFrame):
             df, _pickled = items._df, items._pickled
         elif isinstance(items, DataFrame):
@@ -111,8 +145,17 @@ class ObjectFrame:
             if spark is None:
                 raise ValueError("spark session required to build from a sequence")
             df, _pickled = self._ingest(spark, items)
+            from_sequence = True
         if npartitions is not None:
-            df = df.repartition(npartitions)
+            # sequences carry a positional contract (accumulate scans, zip,
+            # cross-collection dunders): round-robin repartition() scrambles
+            # element order across partitions, so slice contiguously like
+            # dask's from_sequence; plain DataFrames have no such contract.
+            df = (
+                _contiguous_repartition(df, npartitions)
+                if from_sequence
+                else df.repartition(npartitions)
+            )
         self._df = df
         self._pickled = _pickled
 
@@ -486,11 +529,11 @@ class ObjectFrame:
             ]
         return aggregate(partials)
 
-    def fold(self, binop: Callable, initial: Any = None, combine: Callable | None = None) -> Any:
+    def fold(self, binop: Callable, initial: Any = _EMPTY, combine: Callable | None = None) -> Any:
         comb = combine or binop
 
         def per(items: list) -> Any:
-            return functools.reduce(binop, items, initial) if initial is not None else functools.reduce(binop, items)
+            return _fold_list(binop, items, initial)
 
         return self.reduction(per, lambda ps: functools.reduce(comb, ps))
 
@@ -660,24 +703,32 @@ class ObjectFrame:
     def all(self) -> bool:
         return bool(self._scalar_agg(F.min(self._value_column().cast("boolean"))))
 
-    def accumulate(self, binop: Callable, initial: Any = None) -> "ObjectFrame":
+    def accumulate(self, binop: Callable, initial: Any = _EMPTY) -> "ObjectFrame":
         """Prefix scan (bag.accumulate): classic two-pass distributed scan —
         per-partition fold, driver-side exclusive prefix of the (tiny)
-        per-partition results, then a re-scan with the carried prefix."""
+        per-partition results, then a re-scan with the carried prefix.
+
+        toolz/dask semantics: with an ``initial`` the output has n+1
+        elements and starts with the initial itself; the sentinel default
+        keeps ``None`` usable as a real initial value."""
+        has_initial = not isinstance(initial, _EmptySentinel)
         rdd = self._element_rdd()
         parts = rdd.mapPartitionsWithIndex(
-            lambda i, it: [(i, _fold_list(binop, list(it), initial))]
-        ).collect()
+            lambda i, it: [(i, _fold_list(binop, list(it)))]  # fold WITHOUT initial:
+        ).collect()  # the initial enters exactly once, via the driver-side carry
         parts.sort()
         prefix: dict[int, Any] = {}
-        carry = _EMPTY if initial is None else initial
+        carry: Any = initial if has_initial else _EMPTY
         for idx, folded in parts:
             prefix[idx] = carry
             if not isinstance(folded, _EmptySentinel):
                 carry = folded if isinstance(carry, _EmptySentinel) else binop(carry, folded)
+        first_idx = parts[0][0] if parts else 0
 
         def scan(idx, it):
             acc = prefix.get(idx, _EMPTY)
+            if has_initial and idx == first_idx:
+                yield acc  # the n+1'th element: the initial leads the output
             for x in it:
                 acc = x if isinstance(acc, _EmptySentinel) else binop(acc, x)
                 yield acc
@@ -745,22 +796,6 @@ class ObjectFrame:
 
     def to_pandas(self):
         return self._df.toPandas()
-
-
-class _EmptySentinel:
-    """Pickle-safe 'no value' marker (checked with isinstance, not identity —
-    identity does not survive the driver→executor pickle boundary)."""
-
-
-_EMPTY = _EmptySentinel()
-
-
-def _fold_list(binop: Callable, items: list, initial: Any) -> Any:
-    if not items:
-        return _EMPTY
-    if initial is not None:
-        return functools.reduce(binop, items, initial)
-    return functools.reduce(binop, items)
 
 
 def _merge_counters(a: Counter, b: Counter) -> Counter:

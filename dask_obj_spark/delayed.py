@@ -22,6 +22,7 @@ Deliberate fixes vs the reference: ``map`` passes the item FIRST
 from __future__ import annotations
 
 import operator as _op
+import threading
 from concurrent.futures import Future, ThreadPoolExecutor, as_completed
 from typing import Any, Callable, Iterator
 
@@ -35,23 +36,38 @@ class _Task:
     for composite tasks); otherwise the seed is the item itself — even
     when the item happens to be callable (collections of callables are a
     first-class case, reference A4).
+
+    ``run()`` memoizes: a task referenced from several downstream thunks
+    (binary operators between collections, stacked derivations) executes
+    its chain exactly once; the lock keeps side-effecting steps
+    single-shot even when two pool threads race on the same task.
     """
 
-    __slots__ = ("seed", "steps", "thunk")
+    __slots__ = ("seed", "steps", "thunk", "_lock", "_done", "_value")
 
     def __init__(self, seed: Any, steps: tuple = (), thunk: bool = False):
         self.seed = seed
         self.steps = steps
         self.thunk = thunk
+        self._lock = threading.Lock()
+        self._done = False
+        self._value = None
 
     def then(self, fn: Callable[[Any], Any]) -> "_Task":
         return _Task(self.seed, self.steps + (fn,), self.thunk)
 
     def run(self) -> Any:
-        val = self.seed() if self.thunk else self.seed
-        for fn in self.steps:
-            val = fn(val)
-        return val
+        if self._done:
+            return self._value
+        with self._lock:
+            if self._done:
+                return self._value
+            val = self.seed() if self.thunk else self.seed
+            for fn in self.steps:
+                val = fn(val)
+            self._value = val
+            self._done = True
+            return val
 
 
 class DelayedObjects:
@@ -89,7 +105,17 @@ class DelayedObjects:
         return self._futures
 
     def _derive(self, fn: Callable[[Any], Any]) -> "DelayedObjects":
-        tasks = [t.then(fn) for t in self._tasks]
+        if self._futures is not None:
+            # eager chain: derive over the PARENT futures so each stage
+            # computes once (the reference maps over the previous
+            # collection's futures; re-running the chain from the seed
+            # would be O(k²) across a k-step chain and would repeat
+            # side-effecting steps).  No deadlock: dependencies always
+            # point at earlier-submitted tasks, so a blocked child's
+            # parent is already running on (or done with) some worker.
+            tasks = [_Task(lambda f=f: fn(f.result()), thunk=True) for f in self._futures]
+        else:
+            tasks = [t.then(fn) for t in self._tasks]
         return DelayedObjects([], eager=self._eager, max_workers=self._max_workers, _tasks=tasks)
 
     # -- broadcast surface (B5, same semantics as A2-A5) ----------------------
@@ -143,13 +169,29 @@ def _do_make_binary(opname: str, reflected: bool):
             # positional element-wise combination of the two task lists
             if len(other._tasks) != len(self._tasks):
                 raise ValueError("operator between DelayedObjects of different lengths")
-            tasks = [
-                _Task(
-                    lambda a=a, b=b: fn(b.run(), a.run()) if reflected else fn(a.run(), b.run()),
-                    thunk=True,
-                )
-                for a, b in zip(self._tasks, other._tasks)
-            ]
+            if self._futures is not None and other._futures is not None:
+                # both sides eagerly submitted: combine their futures so
+                # neither operand chain is re-executed
+                pairs = zip(self._futures, other._futures)
+                tasks = [
+                    _Task(
+                        lambda a=a, b=b: fn(b.result(), a.result())
+                        if reflected
+                        else fn(a.result(), b.result()),
+                        thunk=True,
+                    )
+                    for a, b in pairs
+                ]
+            else:
+                # lazy: operand _Task.run() is memoized, so a chain shared
+                # by several combined thunks still executes once
+                tasks = [
+                    _Task(
+                        lambda a=a, b=b: fn(b.run(), a.run()) if reflected else fn(a.run(), b.run()),
+                        thunk=True,
+                    )
+                    for a, b in zip(self._tasks, other._tasks)
+                ]
             return DelayedObjects([], eager=self._eager, max_workers=self._max_workers, _tasks=tasks)
         return self._derive((lambda o: fn(other, o)) if reflected else (lambda o: fn(o, other)))
 

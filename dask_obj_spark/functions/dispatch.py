@@ -58,7 +58,20 @@ def _find(col: Column, sub: str) -> Column:
 def _count_sub(col: Column, sub: str) -> Column:
     import re
 
+    if sub == "":
+        # Python: ''.join-points count — 'abc'.count('') == 4 == len + 1
+        return F.length(col) + 1
     return F.size(F.split(col, re.escape(sub), -1)) - 1
+
+
+def _islower(col: Column) -> Column:
+    # Python islower(): at least one cased char AND no uppercase cased char.
+    # 'abc1'.islower() is True, '123'.islower() is False (uncased-only).
+    return col.rlike("[a-zA-Z]") & (col == F.lower(col))
+
+
+def _isupper(col: Column) -> Column:
+    return col.rlike("[a-zA-Z]") & (col == F.upper(col))
 
 
 def _get(col: Column, key: Any, default: Any = None) -> Column:
@@ -99,8 +112,8 @@ COLUMN_METHODS: dict[str, Callable[..., Column]] = {
     "isdigit": lambda c: c.rlike(r"^[0-9]+$"),
     "isalpha": lambda c: c.rlike(r"^[A-Za-z]+$"),
     "isspace": lambda c: c.rlike(r"^\s+$"),
-    "islower": lambda c: c == F.lower(c),
-    "isupper": lambda c: c == F.upper(c),
+    "islower": _islower,
+    "isupper": _isupper,
     "join": lambda c, arr=None: F.array_join(arr, c) if arr is not None else F.array_join(c, ""),
     "encode": lambda c: F.encode(c, "utf-8"),
     "decode": lambda c: F.decode(c, "utf-8"),

@@ -174,7 +174,10 @@ def sample_frames(
         lambda i: F.struct(i.alias("frame_idx"), F.md5(frame(i)).alias("frame_md5")),
     )
     return (
-        df.filter(F.col("meta.kind") == "video")
+        # empty payloads have no frames: without this filter n_frames = 0,
+        # sequence(0, -1) yields a DESCENDING [0, -1] and a spurious
+        # frame-0 row (md5 of '') — the oracle's range() emits nothing
+        df.filter((F.col("meta.kind") == "video") & (F.octet_length("payload") > 0))
         .select("doc_id", F.explode(frames).alias("f"))
         .select("doc_id", "f.frame_idx", "f.frame_md5")
     )

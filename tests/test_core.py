@@ -262,6 +262,18 @@ def test_accumulate_prefix_scan(spark):
     assert sorted(result) == [1, 3, 6, 10, 15]
 
 
+def test_accumulate_with_initial(spark):
+    # toolz semantics: n+1 outputs, the initial itself leads
+    of = ObjectFrame([1, 2, 3, 4, 5], spark, npartitions=3)
+    result = of.accumulate(lambda a, b: a + b, initial=10).compute()
+    assert sorted(result) == [10, 11, 13, 16, 20, 25]
+    # None is a legitimate initial (sentinel default, not None-check)
+    keep_first = ObjectFrame([7, 8], spark, npartitions=2).accumulate(
+        lambda a, b: b if a is None else a, initial=None
+    ).compute()
+    assert keep_first == [None, 7, 7]
+
+
 def test_take_and_first(nums):
     assert len(nums.take(2)) == 2
     assert nums.first() in (1, 2, 3)

@@ -71,3 +71,44 @@ def test_map_item_first_arg_order():
     # deliberate fix: the reference curries extra args BEFORE the item
     d = DelayedObjects(["a", "b"]).map(lambda item, suffix: item + suffix, "!")
     assert d.compute() == ["a!", "b!"]
+
+
+def test_eager_chain_runs_each_stage_once():
+    # a k-step eager chain must execute each step once per item (derive
+    # over parent futures), not re-run the chain from the seed per stage
+    import threading
+
+    calls = []
+    lock = threading.Lock()
+
+    def step1(x):
+        with lock:
+            calls.append(("s1", x))
+        return x * 10
+
+    def step2(x):
+        with lock:
+            calls.append(("s2", x))
+        return x + 1
+
+    d = DelayedObjects([1, 2, 3], eager=True)
+    out = d.map(step1).map(step2).compute()
+    assert out == [11, 21, 31]
+    assert sorted(calls) == [("s1", 1), ("s1", 2), ("s1", 3), ("s2", 10), ("s2", 20), ("s2", 30)]
+
+
+def test_lazy_binary_op_memoizes_operands():
+    # the same operand collection used in several combined thunks runs once
+    calls = []
+    base = DelayedObjects([1, 2]).map(lambda x: (calls.append(x), x * 2)[1])
+    tot = (base + base).compute()
+    assert tot == [4, 8]
+    assert sorted(calls) == [1, 2]
+
+
+def test_eager_binary_op_uses_futures_once():
+    calls = []
+    a = DelayedObjects([1, 2], eager=True).map(lambda x: (calls.append(x), x)[1])
+    b = DelayedObjects([10, 20], eager=True)
+    assert (a + b).compute() == [11, 22]
+    assert sorted(calls) == [1, 2]

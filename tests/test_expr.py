@@ -214,3 +214,25 @@ def test_property_compile_equals_replay(spark):
         assert compiled == replayed
 
     check()
+
+
+def test_dispatch_python_parity_edge_cases(spark):
+    """JVM dispatch must agree with the Python method it claims to map
+    (the module's 'semantics-faithful' contract), including uncased
+    strings for islower/isupper and the empty-substring count."""
+    from dask_obj_spark.functions.dispatch import dispatch_method
+
+    vals = ["abc", "ABC", "aBc", "123", "abc1", "ABC1", "", "a b", "  "]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    cols = [
+        dispatch_method("islower", F.col("s")).alias("lo"),
+        dispatch_method("isupper", F.col("s")).alias("up"),
+        dispatch_method("count", F.col("s"), "b").alias("cb"),
+        dispatch_method("count", F.col("s"), "").alias("ce"),
+    ]
+    got = {r.s: r for r in df.select("s", *cols).collect()}
+    for v in vals:
+        assert got[v].lo == v.islower(), ("islower", v)
+        assert got[v].up == v.isupper(), ("isupper", v)
+        assert got[v].cb == v.count("b"), ("count b", v)
+        assert got[v].ce == v.count(""), ("count empty", v)

@@ -62,6 +62,13 @@ def test_frame_sample_geometry(mm):
     assert got == exp
 
 
+def test_frame_sample_empty_payload(spark):
+    # doc_id 5 % 3 == 2 → video kind, but the payload is empty: no frames
+    # (regression: sequence(0, -1) used to emit a spurious frame-0 row)
+    df = spark.createDataFrame([(5, "")], ["doc_id", "text"])
+    assert sample_frames(as_multimodal(df, "doc_id", "text"), 16, 4).count() == 0
+
+
 def test_resize_only_images_and_aspect(mm):
     rows = resize_images(mm, 64, 64).collect()
     assert {r.doc_id for r in rows} == {0}  # only kind == image
