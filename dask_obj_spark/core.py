@@ -53,6 +53,10 @@ from dask_obj_spark.expr import Expr, compile_expr
 from dask_obj_spark.functions.dispatch import dispatch_method
 
 VALUE = "value"
+# companion position column on zip-derived frames: the positional contract
+# is settled driver-side at materialize (compute/take), never by a
+# distributed global sort
+ORD = "__ord__"
 
 
 def _spark_type_for(value: Any) -> T.DataType | None:
@@ -259,15 +263,23 @@ class ObjectFrame:
         return r[0] if self.is_scalar else r
 
     def _map_objects(self, fn: Callable[[Any], Any]) -> "ObjectFrame":
-        """Element→element map in pickled mode (Arrow-batched)."""
+        """Element→element map in pickled mode (Arrow-batched).  A zip
+        position column rides along so downstream materialize stays
+        order-correct."""
         import pandas as pd
+
+        has_ord = ORD in self._df.columns
 
         def gen(batches):
             for pdf in batches:
                 out = [_dumps(fn(pickle.loads(bytes(b)))) for b in pdf[VALUE]]
-                yield pd.DataFrame({VALUE: out})
+                cols = {VALUE: out}
+                if has_ord:
+                    cols[ORD] = pdf[ORD]
+                yield pd.DataFrame(cols)
 
-        return self._make(self._df.mapInPandas(gen, f"{VALUE} binary"), pickled=True)
+        schema = f"{VALUE} binary" + (f", {ORD} long" if has_ord else "")
+        return self._make(self._df.mapInPandas(gen, schema), pickled=True)
 
     def _to_pickled(self) -> "ObjectFrame":
         if self._pickled:
@@ -441,21 +453,48 @@ class ObjectFrame:
         except Exception:
             return self._python_elementwise(e.eval)
 
+    def _indexed_pickled(self) -> DataFrame:
+        """(value binary, __ord__ long): the element with its position.
+
+        A frame already carrying ``__ord__`` (itself zip-derived) keeps its
+        ORIGINAL positions — physical row order of a join output is
+        arbitrary, so chained zips must align on the persisted index, not
+        on ``zipWithIndex`` over whatever order the shuffle produced."""
+        p = self._to_pickled()
+        if ORD in p._df.columns:
+            return p._df.select(VALUE, ORD)
+        rdd = p._df.rdd.zipWithIndex().map(lambda t: (bytes(t[0][0]), t[1]))
+        schema = T.StructType(
+            [T.StructField(VALUE, T.BinaryType()), T.StructField(ORD, T.LongType())]
+        )
+        return p._df.sparkSession.createDataFrame(rdd, schema=schema)
+
     def zip(self, other: "ObjectFrame") -> "ObjectFrame":
         """Positional zip of two collections → pickled tuples.
 
-        Distributed via ``zipWithIndex`` + shuffle join on the index (the
-        positional contract of bag-arg zipping has no shuffle-free Spark
-        analog unless partitioning matches; documented cost).
+        ``zipWithIndex`` + a JVM-side equi-join on the index.  NO sort
+        anywhere: the join is hinted shuffle-hash (sort-merge would add
+        per-partition sorts), the position rides along as ``__ord__``,
+        and ordering is settled driver-side at ``compute()``/``take()``
+        — a k-element driver sort instead of a distributed global sort
+        in every cross-collection operator's plan.
         """
-        left = self._to_pickled()._df.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0]))
-        right = other._to_pickled()._df.rdd.zipWithIndex().map(lambda t: (t[1], t[0][0]))
-        joined = left.join(right).sortByKey().map(
-            lambda kv: (_dumps(_zip_merge(kv[1][0], kv[1][1])),)
-        )
-        spark = self._df.sparkSession
-        schema = T.StructType([T.StructField(VALUE, T.BinaryType())])
-        return self._make(spark.createDataFrame(joined, schema=schema), pickled=True)
+        left = self._indexed_pickled().withColumnRenamed(VALUE, "__lv__")
+        right = other._indexed_pickled().withColumnRenamed(VALUE, "__rv__")
+        joined = left.join(right.hint("SHUFFLE_HASH"), ORD)
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = [
+                    _dumps((pickle.loads(bytes(a)), pickle.loads(bytes(b))))
+                    for a, b in zip(pdf["__lv__"], pdf["__rv__"])
+                ]
+                yield pd.DataFrame({VALUE: out, ORD: pdf[ORD]})
+
+        merged = joined.mapInPandas(gen, f"{VALUE} binary, {ORD} long")
+        return self._make(merged, pickled=True)
 
     def flatten(self, compute: bool = False) -> Any:
         """One-level flatten (reference ``core.py:93-96``) → ``explode``."""
@@ -485,6 +524,8 @@ class ObjectFrame:
         target = self.flatten() if flatten else self
         rows = target._df.collect()
         if target._pickled:
+            if ORD in target._df.columns:
+                rows.sort(key=lambda r: r[1])  # zip positions, settled here
             return [pickle.loads(bytes(r[0])) for r in rows]
         if target.is_scalar:
             return [r[0] for r in rows]
@@ -770,6 +811,11 @@ class ObjectFrame:
         return self._make(self._df.sample(fraction=prob, seed=seed))
 
     def take(self, k: int) -> list:
+        if ORD in self._df.columns:
+            # positional frame: first k BY POSITION — TakeOrderedAndProject
+            # (bounded top-k per partition), not limit-of-arbitrary-rows
+            rows = self._df.orderBy(ORD).take(k)
+            return [pickle.loads(bytes(r[0])) for r in rows]
         head = self._make(self._df.limit(k))
         return head.compute()
 
@@ -801,12 +847,6 @@ class ObjectFrame:
 def _merge_counters(a: Counter, b: Counter) -> Counter:
     a.update(b)
     return a
-
-
-def _zip_merge(left: Any, right: Any) -> tuple:
-    lv = pickle.loads(bytes(left)) if isinstance(left, (bytes, bytearray)) else left
-    rv = pickle.loads(bytes(right)) if isinstance(right, (bytes, bytearray)) else right
-    return (lv, rv)
 
 
 # uniform operator broadcasting (documented deviation: the reference's

@@ -282,7 +282,34 @@ def test_take_and_first(nums):
 def test_zip(spark):
     a = ObjectFrame([1, 2], spark)
     b = ObjectFrame(["x", "y"], spark)
-    assert sorted(a.zip(b).compute()) == [(1, "x"), (2, "y")]
+    # positional order is part of the contract, settled at compute()
+    assert a.zip(b).compute() == [(1, "x"), (2, "y")]
+
+
+def test_zip_no_global_sort_stage(spark):
+    a = ObjectFrame(list(range(20)), spark, npartitions=3)
+    b = ObjectFrame([i * 10 for i in range(20)], spark, npartitions=4)
+    zipped = a.zip(b)
+    plan = zipped._df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan, plan  # shuffle-hash join + driver-side ordering
+    assert zipped.compute() == [(i, i * 10) for i in range(20)]
+    # derived maps keep position through the companion ord column
+    assert zipped.map(lambda t: t[0] + t[1]).compute() == [11 * i for i in range(20)]
+    # first k by POSITION
+    assert zipped.take(3) == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_zip_chained_alignment(spark):
+    a = ObjectFrame([1, 2, 3, 4], spark, npartitions=2)
+    b = ObjectFrame([10, 20, 30, 40], spark, npartitions=3)
+    c = ObjectFrame([100, 200, 300, 400], spark, npartitions=2)
+    # ((a,b),c) — second zip must align on persisted positions, not on
+    # the arbitrary physical order of the first join's output
+    got = a.zip(b).zip(c).compute()
+    assert got == [((1, 10), 100), ((2, 20), 200), ((3, 30), 300), ((4, 40), 400)]
+    # three-frame map: dunder-backed zip path end-to-end
+    total = a.map(lambda x, y, z: x + y + z, b, c).compute()
+    assert total == [111, 222, 333, 444]
 
 
 def test_map_partitions(spark):
