@@ -67,48 +67,102 @@ from dask_obj_spark.sources import load_table
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
-    """Min-label propagation to fixpoint over an undirected edge list.
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds even on long-chain graphs,
+    where plain min-label propagation needs O(diameter) rounds.
 
-    Returns (id, cluster_id) for every vertex that appears in ``edges``;
-    cluster_id is the minimum vertex id of the component.  Each round is
-    one join + one algebraic groupBy(min) — both partial-aggregated, both
-    keyed on vertex id, so consecutive rounds reuse the same hash
-    partitioning.  Convergence is detected with a LIMIT 1 probe (any
-    vertex whose label still shrank), not a full count.
+    Returns (id, cluster_id) for every vertex appearing in ``edges``;
+    cluster_id is the component's minimum vertex id.
+
+    Per round (one large-star + one small-star):
+      * large-star: every node rewires its LARGER neighbors to the
+        minimum of its closed neighborhood;
+      * small-star: every node rewires its smaller-or-equal neighbors
+        (edges oriented big→small) to their minimum.
+    Both are one algebraic groupBy(min) + one equi-join keyed on the
+    node — partial-aggregated, skew-tolerant (a hot node's neighbor list
+    is never materialized in one task).  The fixpoint is a forest of
+    stars rooted at each component min.  Convergence is detected by an
+    edge-set signature (count + sum of xxhash64), a map-side-combined
+    aggregate, not a distributed set-difference; per-round
+    localCheckpoint cuts the growing lineage (measured necessity, see
+    PLANS.md).
     """
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = sym.union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    u, v = F.col("u"), F.col("v")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertex set from the RAW edges: a vertex appearing only in a
+    # self-loop is still a (singleton) component
+    verts = (
+        raw.select(u.alias("id"))
+        .union(raw.select(v.alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = raw.filter(u != v).distinct().localCheckpoint(eager=True)
 
-    labels = (
-        sym.select(F.col("s").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint(eager=True)
+    def signature(df: DataFrame):
+        # bit_xor, not sum: order-insensitive over the (distinct) edge set
+        # and cannot overflow under ANSI arithmetic
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.least(u, v), F.greatest(u, v))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
 
+    sig = signature(e)
+    rounds = 0
     for _ in range(max_iter):
-        prop = sym.join(labels, sym["d"] == labels["id"]).select(
-            F.col("s").alias("id"), F.col("lbl")
+        # -- large-star: nbrs is the symmetric view; m = min(Γ(u) ∪ {u})
+        nbrs = e.union(e.select(v.alias("u"), u.alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), u).alias("m"))
         )
-        new = (
-            labels.select("id", "lbl")
-            .union(prop)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        shrank = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
+        large = (
+            nbrs.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
         )
-        labels = new
-        if shrank == 0:
+        # -- small-star: orient big→small, rewire to the per-node min
+        directed = large.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(u != v)
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = signature(e)
+        if new_sig == sig:
             break
-    return labels.select("id", F.col("lbl").alias("cluster_id"))
+        sig = new_sig
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    # fixpoint edges are child→root stars; roots (and isolated inputs) label
+    # themselves.  The groupBy(min) is a no-op once converged but keeps the
+    # one-row-per-vertex contract if max_iter cut the loop short.
+    star = e.select(F.greatest(u, v).alias("child"), F.least(u, v).alias("root"))
+    return (
+        verts.join(star, verts["id"] == star["child"], "left")
+        .select("id", F.coalesce(F.col("root"), F.col("id")).alias("cluster_id"))
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def pagerank(

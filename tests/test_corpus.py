@@ -44,6 +44,49 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == 10
 
 
+def test_connected_components_chain_logarithmic_rounds(spark):
+    # 1000-vertex path: min-label propagation needs ~999 rounds (O(diameter));
+    # large-star/small-star must land in O(log n) — ≤ 2·log2(1000) ≈ 20
+    import math
+
+    n = 1000
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    rounds: list[int] = []
+    got = connected_components(edges, max_iter=30, _rounds_out=rounds).collect()
+    assert len(got) == n
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert rounds[0] <= 2 * math.ceil(math.log2(n)), rounds
+
+
+def test_connected_components_random_vs_union_find(spark):
+    # property check vs a driver-side union-find on a random-ish graph
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    es = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        parent[find(a)] = find(b)
+    seen = {v for e in es for v in e}
+    expect = {}
+    mins: dict[int, int] = {}
+    for x in sorted(seen):
+        mins.setdefault(find(x), x)
+    for x in seen:
+        expect[x] = mins[find(x)]
+    edges = spark.createDataFrame(es, ["src", "dst"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == expect
+
+
 def test_dedup_cluster_assignment_covers_all_docs(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id1", "id2"])
