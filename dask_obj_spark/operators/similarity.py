@@ -131,9 +131,14 @@ def cosine_topk_brute_numpy(
     `F.aggregate` twin stays the bit-exact oracle reference (float
     summation order differs here: numpy pairwise vs left fold, ~1e-13
     relative, which is why this entry is rows-only)."""
+    # explicit fan-out: the parquet scan of a small embeddings table is a
+    # handful of input splits — without this the matmul stage runs on 1-2
+    # cores (and AQE would coalesce it further; compute-bound stages get
+    # an explicit partition count, see PLANS.md)
+    ncores = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).repartition(ncores)
     probe_rows = base.filter(F.col("vid") % probe_mod == 0).collect()
     pids = [r.vid for r in probe_rows]
     pmat = [list(r.v) for r in probe_rows]
@@ -145,23 +150,25 @@ def cosine_topk_brute_numpy(
         P = _np.asarray(pmat, dtype=_np.float64)
         Pn = P / _np.linalg.norm(P, axis=1, keepdims=True)
         pid_arr = _np.asarray(pids)
+        cols = _np.arange(len(pids))
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = _np.stack(pdf["v"].map(_np.asarray).to_list()).astype(_np.float64)
+            V = _np.array(pdf["v"].to_list(), dtype=_np.float64)
             Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
             S = Vn @ Pn.T  # (batch, probes)
             vids = pdf["vid"].to_numpy()
             kk = min(k + 1, S.shape[0])  # +1: self-match may occupy a slot
             top = _np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, probes)
-            out_id1, out_id2, out_cos = [], [], []
-            for j in range(S.shape[1]):
-                for i in top[:, j]:
-                    if vids[i] != pid_arr[j]:
-                        out_id1.append(pid_arr[j])
-                        out_id2.append(vids[i])
-                        out_cos.append(S[i, j])
-            yield _pd.DataFrame({"id1": out_id1, "id2": out_id2, "cos_raw": out_cos})
+            # vectorized emission: gather ids/scores for every (slot, probe)
+            # cell at once, mask out self-matches — no Python-level loops
+            id2 = vids[top]  # (kk, probes)
+            cos = S[top, cols]  # advanced indexing, (kk, probes)
+            id1 = _np.broadcast_to(pid_arr, id2.shape)
+            keep = id2 != id1
+            yield _pd.DataFrame(
+                {"id1": id1[keep], "id2": id2[keep], "cos_raw": cos[keep]}
+            )
 
     partial = base.mapInPandas(run, "id1 bigint, id2 bigint, cos_raw double")
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
