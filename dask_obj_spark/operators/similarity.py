@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_obj_spark.queries import query
@@ -315,9 +315,9 @@ def cosine_topk_ivf(
 # -- mini k-means (iterative; feeds production IVF) ---------------------------
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
-) -> DataFrame:
+) -> tuple[list[list[float]], DataFrame]:
     """Deterministic Lloyd's k-means over vector columns — the iterative-
     algorithm pattern on Spark, and the production centroid source for
     `cosine_topk_ivf` (which uses fixed modular centroids only so the
@@ -328,7 +328,7 @@ def kmeans_assign(
     euclidean), then new centroids via posexplode + groupBy(cell, pos)
     avg — the shuffle carries k*dim partial sums per partition, never
     vectors. Init = first k vectors by id (seeded/deterministic).
-    Returns (vid, cell)."""
+    Returns (centroids, assignment df (vid, v, cell))."""
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -369,7 +369,106 @@ def kmeans_assign(
         by_cell = {r.cell: list(r.centroid) for r in new_rows}
         cents = [by_cell.get(i, cents[i]) for i in range(k)]
         assigned = assign_for(cents)
+    return cents, assigned
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """(vid, cell) assignment from :func:`kmeans_fit`."""
+    _, assigned = kmeans_fit(df, id_col, vec_col, k, iters)
     return assigned.select("vid", "cell")
+
+
+# -- standing IVF index (k-means centroids + bucketed cell table) -------------
+
+
+def _nearest_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids (squared euclidean),
+    computed against literal centroid arrays — model state is compiled
+    into the plan, no join needed for assignment."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for cent in cents
+    ]
+    pairs = F.array(
+        *[F.struct(d.alias("dist"), F.lit(i).alias("cell")) for i, d in enumerate(dists)]
+    )
+    return F.slice(F.array_sort(pairs), 1, nprobe).getField("cell")
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str = "ann_index_cells",
+    k: int = 8,
+    iters: int = 3,
+    buckets: int = 8,
+) -> list[list[float]]:
+    """Build a STANDING IVF index: k-means coarse centroids
+    (:func:`kmeans_fit`), every corpus vector assigned to its cell, and
+    the cell table persisted BUCKETED by ``cell``
+    (operators/scale.py ``write_bucketed``) — the shuffle is paid once at
+    build time, so every later probe batch joins the corpus with no
+    corpus-side Exchange.  Returns the centroid model (driver-held
+    k × dim list, the same bounded-model-state contract as k-means) to
+    pass to :func:`query_ann_index`."""
+    from dask_obj_spark.operators.scale import write_bucketed
+
+    cents, assigned = kmeans_fit(df, id_col, vec_col, k, iters)
+    write_bucketed(assigned.select("vid", "v", "cell"), table, "cell", buckets)
+    return cents
+
+
+def query_ann_index(
+    spark: SparkSession,
+    table: str,
+    centroids: list[list[float]],
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """ANN top-k against a standing :func:`build_ann_index` table.
+
+    Probes are assigned to their ``nprobe`` nearest cells via literal
+    centroid arithmetic (no join), broadcast, and equi-joined on
+    ``cell`` against the bucketed corpus — scan → join with NO Exchange
+    on the corpus side; the only shuffle in the plan is the final
+    per-probe top-k window, which WindowGroupLimit prunes to ≤ k rows
+    per probe before the exchange."""
+    p = probes.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).cast("array<double>").alias("pv")
+    )
+    pcells = p.select(
+        "pid", "pv", F.explode(_nearest_cells(F.col("pv"), centroids, nprobe)).alias("cell")
+    )
+    cells = spark.table(table)
+    scored = (
+        cells.join(F.broadcast(pcells), "cell")
+        .filter(F.col("pid") != F.col("vid"))
+        .select(
+            F.col("pid").alias("id1"),
+            F.col("vid").alias("id2"),
+            cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
 
 
 # ====================== oracle SQL builders (DuckDB) =========================

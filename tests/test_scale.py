@@ -88,3 +88,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # post-scan row filter over all partitions
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_ann_standing_index_no_corpus_exchange_and_recall(spark, oracle_sf_dir):
+    from dask_obj_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk_brute,
+        query_ann_index,
+    )
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    try:
+        cents = build_ann_index(
+            emb, "vec_id", "embedding", table="t_ann_cells", k=8, iters=3, buckets=4
+        )
+        assert len(cents) == 8
+        probes = emb.filter(F.col("vec_id") % 50 == 0)
+        got = query_ann_index(
+            spark, "t_ann_cells", cents, probes, "vec_id", "embedding", k=10, nprobe=2
+        )
+        # the standing-index contract: the probe join reads the bucketed
+        # cell table with NO corpus-side shuffle; the only Exchange in the
+        # whole plan is the final per-probe top-k window (keyed on id1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pre_window = plan[plan.find("Join") :]
+        # BroadcastExchange of the tiny probe side is the point; what must
+        # NOT appear is a shuffle (Exchange hashpartitioning) of the corpus
+        assert "Exchange hashpartitioning" not in pre_window, plan
+        ivf = {(r.id1, r.id2) for r in got.collect()}
+        brute = {
+            (r.id1, r.id2)
+            for r in cosine_topk_brute(emb, "vec_id", "embedding", 50, 10).collect()
+        }
+        assert len(ivf) > 0
+        recall = len(brute & ivf) / len(brute)
+        assert recall > 0.2, f"standing-index recall collapsed: {recall}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_cells")
