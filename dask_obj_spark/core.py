@@ -385,6 +385,14 @@ class ObjectFrame:
         if isinstance(vtype, T.ArrayType) and isinstance(key, int):
             # Python 0-based indexing
             return self._select_value(F.get(F.col(VALUE), key))
+        if isinstance(key, slice):
+            if isinstance(vtype, T.ArrayType):
+                from dask_obj_spark.expr import slice_column
+
+                return self._select_value(slice_column(F.col(VALUE), key))
+            import operator as op
+
+            return self._python_elementwise(op.itemgetter(key))
         return self._select_value(F.element_at(F.col(VALUE), F.lit(key)))
 
     # -- broadcast invocation (A4/A5) ----------------------------------------
@@ -392,13 +400,26 @@ class ObjectFrame:
     def call(self, method: str, *args, **kwargs) -> "ObjectFrame":
         """Per-element method call (reference ``core.py:74-76``): JVM
         dispatch table first, Python replay as the explicit fallback."""
+        import operator as op
+
+        caller = op.methodcaller(method, *args, **kwargs)
         if not self._pickled and self.is_scalar:
             col = dispatch_method(method, self._value_column(), *args, **kwargs)
             if col is not None:
                 return self._select_value(col)
-        import operator as op
+            # unknown method: sample one element to infer the result type,
+            # then run the call as an Arrow-batched pandas UDF — columnar
+            # storage survives; the pickled path is the LAST resort
+            try:
+                inferred = _spark_type_for(caller(self._head_element()))
+            except Exception:
+                inferred = None
+            if inferred is not None:
+                def _replay(s, _c=caller):
+                    return s.map(_c)
 
-        return self._python_elementwise(lambda o: op.methodcaller(method, *args, **kwargs)(o))
+                return self._select_value(F.pandas_udf(inferred)(_replay)(F.col(VALUE)))
+        return self._python_elementwise(lambda o: caller(o))
 
     def __call__(self, *args, **kwargs) -> "ObjectFrame":
         """Collection of callables: invoke each with shared args (A4)."""
@@ -443,15 +464,27 @@ class ObjectFrame:
         return out.compute() if compute else out
 
     def _apply_expr(self, e: Expr) -> "ObjectFrame":
-        """Run a recorded :class:`Expr` columnar when native, replayed when pickled."""
+        """Run a recorded :class:`Expr` columnar when native, replayed when pickled.
+
+        Failure ladder: (1) pure-Column compile; (2) compile with a
+        SAMPLED ``fallback_type`` — one element is evaluated driver-side
+        to infer the result's Spark type, so the undispatchable tail runs
+        as an Arrow-batched pandas UDF while the frame STAYS columnar;
+        (3) only then the pickled replay path."""
         if self._pickled:
             return self._map_objects(e.eval)
+        root = F.col(VALUE) if self.is_scalar else F.struct(*self._df.columns)
         try:
-            if self.is_scalar:
-                return self._select_value(compile_expr(e, F.col(VALUE)))
-            return self._select_value(compile_expr(e, F.struct(*self._df.columns)))
+            return self._select_value(compile_expr(e, root))
         except Exception:
-            return self._python_elementwise(e.eval)
+            pass
+        try:
+            inferred = _spark_type_for(e.eval(self._head_element()))
+            if inferred is not None:
+                return self._select_value(compile_expr(e, root, fallback_type=inferred))
+        except Exception:
+            pass
+        return self._python_elementwise(e.eval)
 
     def _indexed_pickled(self) -> DataFrame:
         """(value binary, __ord__ long): the element with its position.

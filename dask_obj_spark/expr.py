@@ -330,6 +330,8 @@ def compile_expr(expr: Expr, root: Column | str | None = None, fallback_type=Non
             key = frame[1]
             if isinstance(key, list):
                 col = F.struct(*[col.getItem(k) for k in key])
+            elif isinstance(key, slice):
+                col = slice_column(col, key)
             else:
                 col = col.getItem(key)
         elif kind == "op":
@@ -345,6 +347,25 @@ def compile_expr(expr: Expr, root: Column | str | None = None, fallback_type=Non
             raise CompileError(f"unknown frame kind {kind!r}")
         i += 1
     return col
+
+
+def slice_column(col: Column, key: slice) -> Column:
+    """Python ``seq[a:b]`` semantics over an ArrayType column, including
+    negative/None bounds (step must be 1).  All size arithmetic is
+    codegen'd Column math; analysis fails on non-array inputs, which the
+    callers treat as 'take the replay path'."""
+    if key.step not in (None, 1):
+        raise CompileError("slice with a step has no JVM mapping")
+    sz = F.size(col)
+    start = key.start or 0
+    st = F.lit(start) if start >= 0 else F.greatest(sz + start, F.lit(0))
+    if key.stop is None:
+        en = sz
+    elif key.stop >= 0:
+        en = F.least(F.lit(key.stop), sz)
+    else:
+        en = F.greatest(sz + key.stop, F.lit(0))
+    return F.slice(col, st + 1, F.greatest(en - st, F.lit(0)))
 
 
 def _fallback_udf(expr: Expr, done_frames: list, col: Column, fallback_type, what: str) -> Column:

@@ -236,3 +236,82 @@ def test_dispatch_python_parity_edge_cases(spark):
         assert got[v].up == v.isupper(), ("isupper", v)
         assert got[v].cb == v.count("b"), ("count b", v)
         assert got[v].ce == v.count(""), ("count empty", v)
+
+
+def test_getitem_slice_stays_columnar(spark):
+    from dask_obj_spark import ObjectFrame
+
+    of = ObjectFrame([[1, 2, 3, 4], [5, 6], [7]], spark)
+    sliced = of[1:3]
+    assert not sliced.is_pickled  # F.slice, not the pickled replay path
+    assert sliced.compute() == [[2, 3], [6], []]
+    assert of[:-1].compute() == [[1, 2, 3], [5], []]
+    assert of[-2:].compute() == [[3, 4], [5, 6], [7]]
+    assert of[1:].compute() == [[2, 3, 4], [6], []]
+    # string slices take the replay path but keep Python semantics
+    strs = ObjectFrame(["hello", "xy"], spark)
+    assert strs[1:3].compute() == ["el", "y"]
+
+
+def test_expr_slice_compile_matches_python(spark):
+    data = [[1, 2, 3, 4, 5], [9], []]
+    df = spark.createDataFrame([(v,) for v in data], "a: array<long>")
+    for sl in (slice(1, 3), slice(None, -1), slice(-3, None), slice(2, None), slice(None, None)):
+        e = Expr("a")[sl]
+        got = [r.v for r in df.select(compile_expr(e).alias("v")).collect()]
+        assert got == [v[sl] for v in data], sl
+
+
+def test_map_method_dispatch(spark):
+    from dask_obj_spark import ObjectFrame
+
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},), ({"b": 5},)], "value: map<string,long>"
+    )
+    of = ObjectFrame(df)
+    got_get = of.call("get", "a")
+    assert not got_get.is_pickled
+    assert sorted(got_get.compute(), key=lambda x: (x is None, x)) == [1, None]
+    keys = of.call("keys")
+    assert not keys.is_pickled
+    assert sorted(map(sorted, keys.compute())) == [["a", "b"], ["b"]]
+
+
+def test_call_unknown_method_sampled_inference(spark):
+    from dask_obj_spark import ObjectFrame
+
+    of = ObjectFrame(["Ab", "cD"], spark)
+    out = of.call("swapcase")  # not in the dispatch table
+    # sampled-type inference keeps the frame columnar (pandas UDF), not pickled
+    assert not out.is_pickled
+    assert sorted(out.compute()) == ["Cd", "aB"]
+
+
+def test_apply_expr_sampled_fallback_stays_columnar(spark):
+    from dask_obj_spark import ObjectFrame
+
+    of = ObjectFrame(["Ab", "cD"], spark)
+    # map over a recorded expression whose method has no JVM mapping —
+    # sampled inference should keep it columnar
+    ex = Expr("x").swapcase()
+    out = of.map(ex)
+    assert not out.is_pickled
+    assert sorted(out.compute()) == ["Cd", "aB"]
+
+
+def test_slice_property_vs_python(spark):
+    from hypothesis import given, settings, strategies as st
+
+    data = [[1, 2, 3], [], [4], list(range(7)), [8, 9]]
+    df = spark.createDataFrame([(v,) for v in data], "a: array<long>")
+    bound = st.one_of(st.none(), st.integers(min_value=-8, max_value=8))
+
+    @settings(max_examples=25, deadline=None)
+    @given(bound, bound)
+    def check(a, b):
+        sl = slice(a, b)
+        e = Expr("a")[sl]
+        got = [r.v for r in df.select(compile_expr(e).alias("v")).collect()]
+        assert got == [v[sl] for v in data], sl
+
+    check()
