@@ -58,9 +58,10 @@ def duck(oracle_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, oracle_sf_dir, duck):
-    sdf = QUERIES[name](spark, oracle_sf_dir)
+def assert_query_matches_oracle(name: str, spark, sf_dir: str, duck) -> None:
+    """One query vs its oracle at the given scale (shared with the
+    sf0.1 slow sweep in test_oracle_parity_sf01.py)."""
+    sdf = QUERIES[name](spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
@@ -82,6 +83,11 @@ def test_query_matches_oracle(name, spark, oracle_sf_dir, duck):
     left = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
     right = _rows_to_multiset(duck_cols, duck_rows)
     assert left == right, f"{name}: value mismatch (first diff: {_first_diff(left, right)})"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle_sf_dir, duck):
+    assert_query_matches_oracle(name, spark, oracle_sf_dir, duck)
 
 
 def _first_diff(a, b):
