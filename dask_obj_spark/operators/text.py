@@ -527,3 +527,93 @@ def pipeline_clean_corpus_q(spark, sf_dir):
         .join(scrubbed, "doc_id")
         .select("doc_id", "pred_lang", "quality", "clean_hash")
     )
+
+
+# -- cross-document boilerplate removal ---------------------------------------
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """C4/CCNet-style boilerplate scrub: split each document into fixed
+    ``seg_words``-word segments, drop every segment whose exact content
+    occurs in more than ``max_df`` DISTINCT documents (navigation chrome,
+    license footers, templated headers), and rebuild the surviving text
+    in original order.  Returns (doc_id, clean_text); a fully-boilerplate
+    document comes back as ''.
+
+    Shape: posexplode segments → distinct (doc, segment) → algebraic
+    groupBy(count) for document frequency → broadcast anti-join of the
+    hot set → order-safe rebuild (array_sort of (pos, seg) structs, then
+    join — collect_list order is never trusted).  At 100 TB the hot-set
+    join keys on a segment HASH (8-byte shuffle instead of strings) and
+    the hot set itself stays broadcast-sized by construction (it is the
+    head of a Zipf curve); the string form here keeps the DuckDB oracle
+    replayable verbatim."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    nseg = F.floor((F.size(words) - 1) / seg_words) + 1
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    )
+    hot = (
+        exploded.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_df)
+        .select("seg")
+    )
+    kept = exploded.join(F.broadcast(hot), "seg", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.array_join(F.col("ps.seg"), " ").alias("clean_text"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+    )
+
+
+@query(
+    "text_boilerplate_scrub",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(range(0, ((len(ws) - 1) // 10) + 1)) AS pos,
+             ws
+      FROM w
+    ), seg_txt AS (
+      SELECT doc_id, pos,
+             array_to_string(ws[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS seg
+      FROM segs
+    ), hot AS (
+      SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg_txt)
+      GROUP BY seg HAVING count(*) > 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      FROM seg_txt WHERE seg NOT IN (SELECT seg FROM hot)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def text_boilerplate_scrub_q(spark, sf_dir):
+    """Cross-document repeated-segment (boilerplate) removal: 10-word
+    segments occurring in ≥ 2 distinct documents are scrubbed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs, "doc_id", "text", 10, 1)

@@ -70,3 +70,37 @@ def test_winnow_shared_substring_shares_fp(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+
+def test_boilerplate_scrub_removes_cross_doc_segments(spark):
+    from dask_obj_spark.operators.text import remove_boilerplate_segments
+
+    footer = "this footer is repeated boilerplate"  # 5 words = one segment
+    rows = [
+        (1, "unique alpha text here now " + footer),
+        (2, "different beta words again ok " + footer),
+        (3, "standalone gamma content stays put intact"),
+        (4, footer),  # fully boilerplate → empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_segments(df, "doc_id", "text", 5, 1).collect()
+    }
+    assert got[1] == "unique alpha text here now"
+    assert got[2] == "different beta words again ok"
+    assert got[3] == "standalone gamma content stays put intact"
+    assert got[4] == ""
+
+
+def test_boilerplate_scrub_keeps_order_across_segments(spark):
+    from dask_obj_spark.operators.text import remove_boilerplate_segments
+
+    # 3 segments of 2 words; middle segment is shared boilerplate
+    rows = [(1, "aa bb XX YY cc dd"), (2, "zz ww XX YY qq rr")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_segments(df, "doc_id", "text", 2, 1).collect()
+    }
+    assert got == {1: "aa bb cc dd", 2: "zz ww qq rr"}
