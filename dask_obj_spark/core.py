@@ -712,17 +712,18 @@ class ObjectFrame:
         self,
         key: Any,
         binop: Callable,
-        initial: Any = None,
+        initial: Any = _EMPTY,
         combine: Callable | None = None,
         combine_initial: Any = None,
     ) -> "ObjectFrame":
         """Per-key two-phase fold (bag.foldby — the efficient partial+final
         path dask docs push over groupby).  Runs as ``aggregateByKey`` so
-        map-side combining happens before the shuffle."""
+        map-side combining happens before the shuffle.  The sentinel
+        default keeps ``None``/falsy values usable as real initials."""
         comb = combine or binop
         keyfn = key if callable(key) else (lambda o, _k=key: o[_k])
         rdd = self._element_rdd().map(lambda o: (keyfn(o), o))
-        if initial is not None:
+        if not isinstance(initial, _EmptySentinel):
             folded = rdd.aggregateByKey(initial, binop, comb)
         else:
             folded = rdd.reduceByKey(binop)

@@ -8,17 +8,13 @@ Absent in the reference (its only imports are dask/toolz/operator —
 "training-data pipeline" categories the brief requires as first-class.
 
 - **connected components** (`connected_components`): MinHash-LSH gives
-  candidate *pairs*; choosing what to keep needs *clusters*. Iterative
-  min-label propagation over the undirected pair graph: each round,
-  every vertex takes the min label among itself and its neighbours;
-  fixpoint = per-component min doc_id. At sf scales near-dup clusters
-  are tiny (diameter ≲ 4), so this converges in a handful of rounds;
-  at 100 TB the same loop structure hosts the large-star/small-star
-  optimisation (Kiveris et al., "Connected Components in MapReduce and
-  Beyond", SoCC'14) which bounds rounds at O(log n) with edge
-  rewriting — the per-round shape (join edges⋈labels, groupBy-min) is
-  identical, so the operator is drop-in upgradeable. Lineage is cut
-  every round with localCheckpoint (a plan that doubles per iteration
+  candidate *pairs*; choosing what to keep needs *clusters*.
+  Large-star/small-star edge rewriting (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): fixpoint = per-component
+  min doc_id, reached in O(log n) rounds even on long-chain graphs
+  (min-label propagation would need O(diameter)). Each star phase is one
+  algebraic groupBy(min) + one equi-join keyed on the vertex. Lineage is
+  cut every round with localCheckpoint (a plan that doubles per iteration
   would stall the optimizer long before the cluster was the problem).
 
 - **sequence packing** (`pack_bins`): group documents into contiguous
@@ -755,3 +751,44 @@ def corpus_weighted_sample_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
     return weighted_sample(scored, "doc_id", "quality")
+
+
+# -- per-facet document cap (domain balancing) --------------------------------
+
+
+def cap_per_facet(
+    df: DataFrame, id_col: str, facet_col: str, cap: int, seed: str = "cap"
+) -> DataFrame:
+    """Keep at most ``cap`` documents per facet value (the "max N pages
+    per domain" balancing step of web-corpus pipelines).  Selection is a
+    DETERMINISTIC keyed hash order of the id — no RNG state, so the same
+    rows survive across retries, reshuffles, and re-runs — with the id
+    itself as the tie-break.  ``WindowGroupLimit`` prunes each facet to
+    cap rows map-side before the single exchange on the facet key; no
+    facet's full row set is ever sorted globally."""
+    h = porthash(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(facet_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= cap)
+        .drop("__rn__")
+    )
+
+
+@query(
+    "corpus_cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duck_porthash("CAST(doc_id AS VARCHAR)", "cap")}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def corpus_cap_per_source_q(spark, sf_dir):
+    """Domain balancing: at most 10 docs per source, hash-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_facet(docs, "doc_id", "source", 10).select("doc_id", "source")

@@ -59,8 +59,10 @@ def _registration_rank(name: str) -> int:
     if name in _SMOKE_FIRST:
         return 0
     if name.startswith(_PRIORITY_PREFIXES):
-        return 1
-    return 2
+        # oracle-paired pipeline queries carry the hard signal; rows-only
+        # ones follow so they take whatever window slots remain
+        return 1 if name in ORACLE else 2
+    return 3
 
 
 def load_all_queries() -> None:

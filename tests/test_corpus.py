@@ -293,3 +293,23 @@ def test_retention_cohorts_semantics(spark, monkeypatch):
         (e(1), 0): 2, (e(1), 1): 1, (e(1), 2): 1,
         (e(2), 0): 1, (e(2), 1): 1,
     }
+
+
+def test_cap_per_facet_deterministic(spark):
+    from dask_obj_spark.operators.corpus import cap_per_facet
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = {(r.doc_id, r.source) for r in cap_per_facet(df, "doc_id", "source", 4).collect()}
+    # every facet capped at exactly 4 (each has 10 candidates)
+    from collections import Counter
+
+    per = Counter(s for _, s in a)
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic: the same rows survive on re-run and under a different
+    # physical layout
+    b = {
+        (r.doc_id, r.source)
+        for r in cap_per_facet(df.repartition(7), "doc_id", "source", 4).collect()
+    }
+    assert a == b
