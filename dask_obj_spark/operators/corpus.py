@@ -792,3 +792,55 @@ def corpus_cap_per_source_q(spark, sf_dir):
     """Domain balancing: at most 10 docs per source, hash-deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     return cap_per_facet(docs, "doc_id", "source", 10).select("doc_id", "source")
+
+
+def _keep_best_oracle() -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    return (
+        _clusters_ctes()
+        + f"""
+    , q AS (
+      SELECT doc_id, quality FROM ({duck_quality_select()})
+    ), lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ), ranked AS (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM lab l JOIN q ON l.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1
+    """
+    )
+
+
+@query("corpus_dedup_keep_best", oracle=_keep_best_oracle())
+def corpus_dedup_keep_best_q(spark, sf_dir):
+    """Canonical-document selection: near-dup clusters (MinHash-LSH →
+    connected components) × quality scores → keep the HIGHEST-quality
+    doc per cluster (tie-break lowest id), not merely the min-id keeper.
+    The end-to-end "dedup a corpus and keep the best copy" pipeline as
+    one query: every stage is the already-oracle-checked operator, the
+    composition adds one broadcast-sized join and a per-cluster top-1
+    window (WindowGroupLimit prunes map-side).  Ordering compares the
+    ROUNDED quality so both engines rank identically."""
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+    from dask_obj_spark.operators.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    clusters = dedup_cluster_assignment(docs, pairs, "doc_id")
+    q = quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )
