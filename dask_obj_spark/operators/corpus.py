@@ -844,3 +844,79 @@ def corpus_dedup_keep_best_q(spark, sf_dir):
         .filter(F.col("__rn__") == 1)
         .select("doc_id", "cluster_id", "quality")
     )
+
+
+# -- context-window chunking --------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length preparation step every LLM training pipeline runs
+    before packing (chunk_size tokens per example, stride < chunk_size
+    gives chunk_size-stride tokens of overlap).
+
+    Pure column algebra, no Python boundary: tokens via `split`, chunk
+    starts via `F.sequence(0, n-1, stride)`, one `posexplode` (the only
+    row-expanding op), chunk payload via `F.slice` + `array_join`.  The
+    explode fan-out is bounded by ceil(n/stride) per doc; there is no
+    shuffle at all — the whole operator is a narrow map over the scan,
+    so at 100 TB it chunks at full scan bandwidth and composes with the
+    downstream `pack_bins` shuffle unchanged.  Absent in the reference
+    (no string ops of its own: /root/reference/src/dask_obj/core.py:3-10).
+    """
+    toks = F.col("toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(F.col("toks"), F.col("start") + 1, chunk_size).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def _chunk_windows_oracle(chunk_size: int, stride: int) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t), 1), {stride})) AS start
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, start // {stride} AS chunk_idx,
+             list_slice(t, start + 1, least(start + {chunk_size}, len(t))) AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    """
+
+
+@query("corpus_chunk_windows", oracle=_chunk_windows_oracle(32, 24))
+def corpus_chunk_windows_q(spark, sf_dir):
+    """Overlapping 32-token chunks with stride 24 over the documents
+    corpus — shuffle-free narrow plan (split/sequence/posexplode/slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_windows(docs, "doc_id", "text", chunk_size=32, stride=24)

@@ -23,9 +23,11 @@ trick (drop shingles appearing in too many docs; they carry no signal).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dask_obj_spark.operators.similarity import DIM as _SIM_DIM
+from dask_obj_spark.operators.similarity import cosine_sim, duck_cosine
 from dask_obj_spark.functions.hashing import (
     duck_porthash,
     duck_word_shingles,
@@ -545,3 +547,99 @@ def dedup_embedding_cosine_q(spark, sf_dir):
     """Embedding-cosine near-dup: probe set × corpus with broadcast join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, "vec_id", "embedding", probe_mod=50, threshold=0.2)
+
+
+# -- semantic dedup (SemDeDup-style) ------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    cell_mod: int = 61,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023 pattern): cluster the corpus into coarse cells,
+    then within each cell drop every vector whose cosine similarity to a
+    LOWER-id cell member is >= ``tau`` (greedy keep-lowest-id canonical,
+    the same keeper rule as ``exact_dedup_groups``).
+
+    The reference has no vector ops at all (SURVEY.md §2 Tier E;
+    /root/reference/src/dask_obj/core.py:3-10 imports only
+    dask/toolz/operator) — this is north-star surface built Spark-first.
+
+    100 TB shape: identical to the IVF index (operators/similarity.py).
+    The centroid table is tiny and broadcast; assignment is a broadcast
+    nested-loop + per-id argmax with NO corpus shuffle; the only
+    pairwise surface is the within-cell self-join — an equi-join on
+    cell id, bounded by cell size, never all-pairs. In production cells
+    come from `kmeans_fit` and the cell table is a standing bucketed
+    dataset (`build_ann_index`); here centroids are deterministic
+    (vid % cell_mod == 1) so the DuckDB oracle replays the exact index.
+    Deletion rate is tuned by ``tau`` exactly as in the paper.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = base.filter(F.col("vid") % cell_mod == 1).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
+    cells = (
+        base.join(F.broadcast(cents))
+        .select("vid", "v", cosine_sim(F.col("v"), F.col("cv")).alias("cs"), "cid")
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", F.col("cid").alias("cell"))
+    )
+    lower = cells.select(
+        F.col("cell"), F.col("vid").alias("vid2"), F.col("v").alias("v2")
+    )
+    dropped = (
+        cells.join(lower, "cell")
+        .filter(F.col("vid2") < F.col("vid"))
+        .filter(F.round(cosine_sim(F.col("v"), F.col("v2")), 6) >= tau)
+        .select("vid")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, "vid", "left")
+        .select("vid", "cell", F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"))
+    )
+
+
+def _semantic_dedup_oracle(tau: float, cell_mod: int, dim: int) -> str:
+    cos_assign = duck_cosine("b.v", "c.cv", dim)
+    cos_pair = duck_cosine("a.v", "b.v", dim)
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {cell_mod} = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid, {cos_assign} AS cs FROM base b, cents c
+    ), ranked AS (
+      SELECT vid, v, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS (
+      SELECT vid, v, cid AS cell FROM ranked WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT a.vid
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vid < a.vid
+      WHERE round({cos_pair}, 6) >= {tau}
+    )
+    SELECT c.vid, c.cell, d.vid IS NULL AS keep
+    FROM cells c LEFT JOIN dropped d ON c.vid = d.vid
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_dedup_oracle(0.35, 61, _SIM_DIM))
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup semantic dedup: coarse cells + within-cell greedy cosine
+    prune (tau=0.35 against this corpus's cosine distribution), keeper =
+    lowest id. Oracle replays the deterministic cell index exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", tau=0.35)

@@ -313,3 +313,33 @@ def test_cap_per_facet_deterministic(spark):
         for r in cap_per_facet(df.repartition(7), "doc_id", "source", 4).collect()
     }
     assert a == b
+
+
+# -- context-window chunking --------------------------------------------------
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from dask_obj_spark.operators.corpus import chunk_windows
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_windows(df, "doc_id", "text", chunk_size=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    got = [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in rows]
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+        (3, 1, "t9"),
+    ]
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    from dask_obj_spark.operators.corpus import chunk_windows
+
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    rows = chunk_windows(df, "doc_id", "text", chunk_size=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0].n_tokens == 2 and rows[0].chunk_text == "only two"

@@ -200,3 +200,39 @@ def test_kmeans_recovers_separated_clusters(spark):
     # deterministic across runs
     again = {r.vid: r.cell for r in kmeans_assign(df, "vec_id", "embedding", 2, 3).collect()}
     assert got == again
+
+
+# -- semantic dedup (SemDeDup-style) ------------------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_near_identical(spark):
+    from dask_obj_spark.operators.dedup import semantic_dedup
+
+    # vids 1 and 62 are centroids (vid % 61 == 1); 10 and 70 are identical
+    # vectors (cosine 1.0) that land in the same cell -> 70 dropped, 10 kept
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (62, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),
+        (70, [0.9, 0.1, 0.0]),
+        (20, [0.1, 0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vid: (r.cell, r.keep)
+        for r in semantic_dedup(df, "vec_id", "embedding", tau=0.999).collect()
+    }
+    assert out[10] == (1, True)
+    assert out[70] == (1, False)  # duplicate of lower-id 10
+    assert out[20] == (62, True)  # different cell, untouched
+    assert out[1][1] and out[62][1]
+
+
+def test_semantic_dedup_tau_bounds_deletion(spark):
+    from dask_obj_spark.operators.dedup import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (10, [0.8, 0.2]), (70, [0.2, 0.8])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # tau above every pairwise cosine -> nothing dropped
+    keeps = semantic_dedup(df, "vec_id", "embedding", tau=1.01).collect()
+    assert all(r.keep for r in keeps)
