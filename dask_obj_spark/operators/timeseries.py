@@ -1,0 +1,194 @@
+"""Time-series operators over the `events` table (Tier E extension).
+
+The reference has no time-series surface at all (its only imports are
+dask/toolz/operator — /root/reference/src/dask_obj/core.py:3-10); these
+are the operations a metrics/feature pipeline runs next to the
+windowed aggregates in streaming/windows.py:
+
+- **resample + gap-fill**: fixed-width buckets per key with empty
+  buckets materialized as zero rows (the step before any rolling
+  computation or chart; SQL engines call it `time_bucket` + calendar
+  join).  Grid generation is `F.sequence` + one `explode` — fan-out
+  bounded by each key's own time span / bucket width, never a global
+  calendar cross join.  The final join is an equi-join on (key, bucket),
+  same partitioning as the count aggregation — one shuffle total.
+- **rolling statistics**: trailing-N-row window frame per key
+  (avg/min/max/count + previous-event gap via lag).  One shuffle on the
+  key; in-partition sort only (Spark window), no global sort.
+- **EWMA**: exponentially-weighted moving average — inherently
+  sequential per key, so it is the textbook `applyInPandas` case: one
+  Arrow batch per key group, vectorized pandas `ewm` inside, state
+  bounded by group size.  Rows-only registration (recursive weighted
+  recurrences are not expressible in portable set-based SQL).
+
+Epoch-seconds convention: bucket boundaries and timestamps are emitted
+as BIGINT epoch seconds (Spark `unix_timestamp` truncates; DuckDB side
+uses `floor(epoch(...))` — see .claude/skills/verify/SKILL.md).
+
+100 TB notes: every operator here shuffles 8-byte keys + small
+aggregates only; the gap-fill grid is the one row-expanding step and its
+size is (time span / bucket) per key — for a year of hourly buckets
+that is 8760 rows per key, independent of event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+# -- resample + gap-fill ------------------------------------------------------
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Per-key fixed-width resampling with gap filling: one row per
+    (key, bucket) for EVERY bucket between the key's first and last
+    event, zero-filled where no events landed."""
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+    ev = df.select(F.col(key_col).alias("key"), b.alias("b"), F.col(value_col).alias("v"))
+    bounds = ev.groupBy("key").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = bounds.select(
+        "key", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+    )
+    agg = ev.groupBy("key", "b").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 6).alias("sv")
+    )
+    return (
+        grid.join(agg, ["key", "b"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            (F.col("b") * bucket_secs).alias("bucket_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+def _resample_oracle(bucket_secs: int) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT // {bucket_secs} AS b, value AS v
+      FROM events
+    ), bounds AS (
+      SELECT user_id, min(b) AS b0, max(b) AS b1 FROM e GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds
+    ), agg AS (
+      SELECT user_id, b, count(*) AS n, round(sum(v), 6) AS sv
+      FROM e GROUP BY user_id, b
+    )
+    SELECT g.user_id, g.b * {bucket_secs} AS bucket_start,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.b = a.b
+    """
+
+
+@query("ts_resample_gapfill", oracle=_resample_oracle(3600))
+def ts_resample_gapfill_q(spark, sf_dir):
+    """Hourly per-user event counts with empty hours zero-filled."""
+    ev = load_table(spark, sf_dir, "events")
+    return resample_gapfill(ev, "user_id", "ts", "value", bucket_secs=3600)
+
+
+# -- rolling statistics -------------------------------------------------------
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Trailing-n-row rolling avg/min/max/count per key plus the gap (in
+    seconds) since the previous event.  One shuffle on the key; ordering
+    is settled inside each partition by the window sort."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    lw = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    secs = F.unix_timestamp(F.col(ts_col))
+    return df.select(
+        F.col(key_col),
+        F.col(order_tiebreak),
+        F.round(F.avg(value_col).over(w), 6).alias("roll_avg"),
+        F.round(F.min(value_col).over(w), 6).alias("roll_min"),
+        F.round(F.max(value_col).over(w), 6).alias("roll_max"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        (secs - F.lag(secs).over(lw)).alias("gap_secs"),
+    )
+
+
+_ROLLING_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS secs, ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(avg(value) OVER w, 6) AS roll_avg,
+           round(min(value) OVER w, 6) AS roll_min,
+           round(max(value) OVER w, 6) AS roll_max,
+           count(*) OVER w AS roll_n,
+           secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS gap_secs
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("ts_rolling_stats", oracle=_ROLLING_ORACLE)
+def ts_rolling_stats_q(spark, sf_dir):
+    """Trailing-5-event rolling stats per user + inter-event gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_stats(ev, "user_id", "ts", "event_id", "value", n=5)
+
+
+# -- EWMA (sequential per key → applyInPandas) --------------------------------
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially-weighted moving average of ``value_col`` per key,
+    ordered by (ts, tiebreak).  The recurrence s_t = a*x_t + (1-a)*s_{t-1}
+    is sequential, so each key group is processed as one Arrow batch with
+    pandas' vectorized ``ewm`` — no row-at-a-time Python.  Closure is
+    self-contained (imports inside) so it ships to vanilla executors."""
+
+    def _ewma_group(pdf):
+        import pandas as pd  # noqa: F401  (self-contained worker closure)
+
+        pdf = pdf.sort_values([ts_col, order_tiebreak])
+        s = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf.assign(ewma=s.round(6))[[key_col, order_tiebreak, "ewma"]]
+
+    schema = f"{key_col} long, {order_tiebreak} long, ewma double"
+    return df.groupBy(key_col).applyInPandas(_ewma_group, schema=schema)
+
+
+@query("ts_ewma_rowsonly")
+def ts_ewma_rowsonly_q(spark, sf_dir):
+    """Per-user EWMA (alpha=0.3) — sequential recurrence via one
+    applyInPandas batch per user; rows-only (recursive weighted
+    recurrence is not portable set-based SQL; pinned by unit test
+    against a hand-computed series in tests/test_timeseries.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.3)

@@ -75,6 +75,7 @@ def load_all_queries() -> None:
     import dask_obj_spark.operators.similarity  # noqa: F401
     import dask_obj_spark.operators.scale  # noqa: F401
     import dask_obj_spark.operators.text  # noqa: F401
+    import dask_obj_spark.operators.timeseries  # noqa: F401
     import dask_obj_spark.operators.multimodal  # noqa: F401
     import dask_obj_spark.streaming.windows  # noqa: F401
 

@@ -1,0 +1,78 @@
+"""Unit tests for the time-series operators (resample/rolling/EWMA).
+
+The oracle-parity suite covers ts_resample_gapfill / ts_rolling_stats
+end-to-end; these pin the primitives on hand-built fixtures, including
+the EWMA recurrence (rows-only in the registry).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: events in hours 0 and 2 (hour 1 is a gap)
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1.0, 101),
+        (1, dt.datetime(2024, 1, 1, 0, 50), 2.0, 102),
+        (1, dt.datetime(2024, 1, 1, 2, 5), 3.0, 103),
+        # user 2: single event
+        (2, dt.datetime(2024, 1, 1, 5, 0), 10.0, 201),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+
+
+def test_resample_gapfill_zero_fills_missing_buckets(spark, events):
+    from dask_obj_spark.operators.timeseries import resample_gapfill
+
+    out = {
+        (r.user_id, r.bucket_start): (r.n_events, r.sum_value)
+        for r in resample_gapfill(events, "user_id", "ts", "value", 3600).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    # user 1 spans hours 0..2 -> exactly 3 rows, hour 1 zero-filled
+    u1 = {k[1] - k[1] % 3600: v for k, v in out.items() if k[0] == 1}
+    assert len(u1) == 3
+    hours = sorted(k for (u, k) in out if u == 1)
+    assert hours[1] - hours[0] == 3600 and hours[2] - hours[1] == 3600
+    assert out[(1, hours[0])] == (2, 3.0)
+    assert out[(1, hours[1])] == (0, 0.0)
+    assert out[(1, hours[2])] == (1, 3.0)
+    # user 2: single bucket, no gaps
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_rolling_stats_trailing_frame(spark, events):
+    from dask_obj_spark.operators.timeseries import rolling_stats
+
+    rows = {
+        r.event_id: r
+        for r in rolling_stats(events, "user_id", "ts", "event_id", "value", n=2).collect()
+    }
+    assert rows[101].roll_avg == 1.0 and rows[101].roll_n == 1
+    assert rows[102].roll_avg == 1.5 and rows[102].roll_n == 2
+    assert rows[103].roll_avg == 2.5  # trailing 2 of (2.0, 3.0)
+    assert rows[101].gap_secs is None
+    assert rows[102].gap_secs == 40 * 60
+    assert rows[103].gap_secs == 75 * 60
+
+
+def test_ewma_matches_hand_recurrence(spark, events):
+    from dask_obj_spark.operators.timeseries import ewma
+
+    out = {
+        r.event_id: r.ewma
+        for r in ewma(events, "user_id", "ts", "event_id", "value", alpha=0.5).collect()
+    }
+    # s1 = 1.0; s2 = .5*2 + .5*1 = 1.5; s3 = .5*3 + .5*1.5 = 2.25
+    assert out[101] == 1.0
+    assert out[102] == 1.5
+    assert out[103] == 2.25
+    assert out[201] == 10.0
