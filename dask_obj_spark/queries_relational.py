@@ -846,3 +846,322 @@ def retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ------------------------------------------------- round-3 relational depth
+# Correlated subqueries, classic TPC-H shapes, statistical aggregates,
+# rank-family windows, multi-distinct, and array-rebuild aggregations —
+# the remaining standard-SQL surface a reference user would expect.
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """TPC-H q4 shape: orders having at least one qualifying lineitem,
+    counted per priority.  The correlated EXISTS is expressed as a
+    left-semi join — exactly what Catalyst rewrites EXISTS into, so the
+    physical plan is one shuffled semi-join + partial/final hash agg;
+    the probe side carries only the join key at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "scalar_subquery_avg",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+)
+def scalar_subquery_avg(spark, sf_dir):
+    """TPC-H q17 shape: lineitems below half their part's average
+    quantity.  The correlated scalar subquery decorrelates into a
+    per-part aggregate joined back on partkey — same partitioning for
+    the agg and the join, so one shuffle; the per-part agg output is
+    |parts| rows, tiny next to lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor(epoch(o.o_orderdate))::BIGINT AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H q3 shape: top unshipped-revenue orders for one market
+    segment.  The segment filter prunes customer BEFORE the join, the
+    filtered dim broadcasts, and the lineitem-side agg is partial+final
+    on l_orderkey; TakeOrderedAndProject caps the sort at k=10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """TPC-H q6 shape: pure filter + global agg — the canonical
+    pushdown showcase: both predicates reach the parquet scan
+    (PushedFilters), only 3 columns read, no shuffle at all (partial
+    sums combine in one final reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar_pop,
+           round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+           round(var_pop(l_quantity), 6) AS qty_var_pop,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)
+             AS qty_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregate library: correlation, sample/population
+    covariance, population stddev/variance, exact interpolated median —
+    all single-pass algebraic aggs (median is the exception: Spark's
+    percentile is a typed-imperative agg, still partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+        F.round(F.covar_pop(q, p), 4).alias("qty_price_covar_pop"),
+        F.round(F.stddev_pop(q), 6).alias("qty_stddev_pop"),
+        F.round(F.var_pop(q), 6).alias("qty_var_pop"),
+        F.round(F.percentile(q, F.lit(0.5)), 6).alias("qty_median"),
+    )
+
+
+@query(
+    "window_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranks(spark, sf_dir):
+    """Rank-family window battery: ntile / percent_rank / cume_dist /
+    nth_value with an explicit full frame.  One shuffle on the partition
+    key; in-partition sort only — deterministic via the orderkey
+    tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+@query(
+    "multi_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def multi_distinct_agg(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one GROUP BY — Catalyst plans the
+    Expand operator (one duplicate of each row per distinct clause) so a
+    single shuffle serves all three distinct sets; at 100 TB the Expand
+    fan-out (×3 here) is the cost to watch vs three separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+             AS big_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause) via when()-guarded
+    aggregates — one scan, one shuffle, n conditions; the idiomatic
+    replacement for n filtered self-joins."""
+    o = _t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(st == "F", 1)).alias("n_finished"),
+        F.count(F.when(st == "O", 1)).alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), 2
+        ).alias("big_revenue"),
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS df,
+           array_agg(doc_id ORDER BY doc_id) AS postings
+    FROM toks
+    GROUP BY term
+    HAVING count(*) >= 20
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build: term → sorted posting list of doc ids (the
+    IR / contamination-lookup primitive).  explode → distinct(term, doc)
+    → groupBy(term) with collect_set + array_sort (collect order is
+    never trusted — same rule as corpus_pack_payload).  Postings for
+    stop-terms are the skew risk at 100 TB: the df >= 20 gate models the
+    frequency cap, and production would also cap posting length."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+
+
+@query(
+    "centroid_per_label",
+    oracle="""
+    WITH pos AS (
+      SELECT label, unnest(range(1, len(embedding::DOUBLE[]) + 1)) AS i,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, i, round(avg(v[i]), 6) AS m FROM pos GROUP BY label, i
+    )
+    SELECT label, array_agg(m ORDER BY i) AS centroid
+    FROM per_dim GROUP BY label
+    """,
+)
+def centroid_per_label(spark, sf_dir):
+    """Mean embedding per label (class centroid): posexplode → partial
+    avg per (label, dim) → rebuild the array with order imposed by
+    array_sort over (dim, value) structs.  The shuffle carries k×dim
+    partial sums, never vectors — the same contract as kmeans_fit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
