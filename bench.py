@@ -45,7 +45,10 @@ WORKLOAD = {
 }
 
 WARMUP_RUNS = 1
-TIMED_RUNS = 3
+# 5 timed runs (median): this host shows multi-second noise spikes under
+# concurrent load; a wider median window keeps one spike from defining
+# the recorded number
+TIMED_RUNS = 5
 
 
 def materialize(df) -> None:

@@ -1223,3 +1223,30 @@ def _attach_sqlrec_oracle() -> None:
 
 
 _attach_sqlrec_oracle()
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt): four metric columns become (metric,
+    val) rows — the inverse of pivot_status.  Spark's `unpivot` plans a
+    single-scan Expand (×4 fan-out), NOT four unioned scans — at 100 TB
+    that is one pass over the table instead of four."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
