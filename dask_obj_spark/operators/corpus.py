@@ -92,7 +92,13 @@ def connected_components(
     PLANS.md).
     """
     u, v = F.col("u"), F.col("v")
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # checkpoint the RAW edge list FIRST: both the vertex set and the
+    # working edge set derive from it, and without the cut the upstream
+    # plan (e.g. the full MinHash pair generation) would be re-executed
+    # once per consumer (measured: 2× the pair cost before any round ran)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     # vertex set from the RAW edges: a vertex appearing only in a
     # self-loop is still a (singleton) component
     verts = (
@@ -180,9 +186,13 @@ def pagerank(
     symmetrized graph every vertex has out-degree ≥ 1, so there is no
     dangling-mass correction term. Lineage cut per round via
     localCheckpoint, same as connected_components."""
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = sym.union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # cut lineage BEFORE symmetrizing: the union references the edge
+    # plan twice, so an expensive upstream (MinHash pairs) would run 2×
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
+    sym = ed.union(
+        ed.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct().localCheckpoint(eager=True)
     verts = sym.select(F.col("s").alias("id")).distinct().localCheckpoint(eager=True)
     n = verts.count()
