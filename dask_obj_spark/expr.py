@@ -413,3 +413,43 @@ _COLUMN_UNARY: dict[str, Callable[[Any], Column]] = {
     "abs": F.abs,
     "invert": _op.invert,
 }
+
+
+# -- debug utilities (reference C14 surface) ----------------------------------
+# Parity with /root/reference/src/dask_obj/expr.py:235-256 — the helper
+# trio the reference keeps next to Expr for naming/printing things.
+
+
+def repr_str(obj: Any) -> str:
+    """Strings pass through unchanged; everything else gets ``repr``
+    (ref expr.py:235-238)."""
+    if isinstance(obj, str):
+        return obj
+    return repr(obj)
+
+
+def get_name(obj: Any, otherwise: Callable = repr_str) -> str:
+    """Best-effort display name: a string is itself; otherwise the first
+    of ``__qualname__``/``__name__``/``name``; else ``otherwise(obj)``
+    (ref expr.py:250-256)."""
+    if isinstance(obj, str):
+        return obj
+    for attr in ("__qualname__", "__name__", "name"):
+        if hasattr(obj, attr):
+            return getattr(obj, attr)
+    return otherwise(obj)
+
+
+def print_result(func: Callable) -> Callable:
+    """Debug decorator for Expr methods: after the call, print the
+    receiving expression and the result (ref expr.py:241-247; adapted to
+    the flat-frame design — the reference prints the linked node's
+    ``obj__``/``expr__`` pair, we print the rendered expression)."""
+
+    def wrapper(*args: Any, **kwargs: Any) -> Any:
+        result = func(*args, **kwargs)
+        print(f"{args[0]!r}")
+        print(f"{result=}")
+        return result
+
+    return wrapper

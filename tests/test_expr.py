@@ -315,3 +315,40 @@ def test_slice_property_vs_python(spark):
         assert got == [v[sl] for v in data], sl
 
     check()
+
+
+# -- C14 debug helpers --------------------------------------------------------
+
+
+def test_repr_str_and_get_name():
+    from dask_obj_spark.expr import get_name, repr_str
+
+    assert repr_str("plain") == "plain"
+    assert repr_str(42) == "42"
+
+    def named():  # noqa: D401
+        pass
+
+    assert get_name("s") == "s"
+    assert get_name(named).endswith("named")  # __qualname__ wins
+    assert get_name(len) == "len"
+
+    class WithName:
+        name = "n1"
+
+    assert get_name(WithName()) == "n1"
+    assert get_name(7) == "7"  # falls back to repr_str
+    assert get_name(7, otherwise=lambda o: "X") == "X"
+
+
+def test_print_result_decorator(capsys):
+    from dask_obj_spark.expr import Expr, print_result
+
+    @print_result
+    def double_eval(e, v):
+        return e.eval(v)
+
+    e = Expr("x") + 1
+    assert double_eval(e, 41) == 42
+    out = capsys.readouterr().out
+    assert "result=42" in out
