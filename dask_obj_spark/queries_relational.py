@@ -1250,3 +1250,196 @@ def unpivot_metrics(spark, sf_dir):
         "metric",
         "val",
     ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+
+
+# ----------------------------------------------------- TPC-H shape battery 2
+# Adapted to the driver's synthetic schema (lineitem has no
+# shipmode/commitdate; dates are TIMESTAMP) — the SHAPES are the point:
+# multi-dim snowflake joins, disjunctive predicates, having + semi-join,
+# ratio-of-sums. Each plan is annotated with its 100 TB behavior.
+
+
+@query(
+    "tpch_q5_local_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_volume(spark, sf_dir):
+    """TPC-H q5 shape: 6-table snowflake with the
+    supplier-nation = customer-nation co-location predicate.  The three
+    dims (region→nation filtered first, supplier) broadcast; lineitem —
+    the only large table — flows through BroadcastHashJoins without
+    shuffling until the final small groupBy(n_name).  At 100 TB orders
+    exceeds broadcast and AQE switches that one join to shuffled-hash;
+    the dim joins stay broadcast."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), (li["l_suppkey"] == s["s_suppkey"])
+              & (s["s_nationkey"] == c["c_nationkey"]))
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark, sf_dir):
+    """TPC-H q10 shape: lost-revenue ranking of customers with returned
+    items.  The returnflag filter pushes to the lineitem scan;
+    TakeOrderedAndProject caps at 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def tpch_q14_promo(spark, sf_dir):
+    """TPC-H q14 shape: ratio-of-conditional-sums (promo revenue share).
+    One broadcast join (part is a dim), both sums in ONE aggregate pass
+    — no second scan for the denominator."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H q18 shape: large-volume orders via HAVING-filtered
+    aggregate reused as an IN-subquery → left-semi join on the keeper
+    key set.  The pre-aggregate shrinks lineitem to |orders| rows BEFORE
+    the 3-way join, and the semi-join probe carries only the 8-byte
+    orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq")).filter(
+        F.col("sq") > 150
+    ).select("l_orderkey")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"),
+               F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H q19 shape: three disjunctive cross-table predicate branches.
+    Catalyst derives the single-table implications (brand/size on part,
+    quantity range on lineitem) and pushes the OR-of-ranges into both
+    scans; the residual disjunction evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    b = lambda brand, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return j.filter(
+        b("Brand#1", 1, 15, 1, 20) | b("Brand#2", 10, 30, 10, 40) | b("Brand#3", 20, 50, 20, 50)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
