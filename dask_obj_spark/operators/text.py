@@ -12,9 +12,10 @@ path stays inside whole-stage codegen and scales linearly with executors:
 - **quality scoring**: length, punctuation/alpha/stopword ratios, mean
   token length — the standard cheap pre-filters of LLM data pipelines.
 - **language ID**: per-language stopword-profile hit counts → argmax
-  (explode + row_number, deterministic tie-break). An n-gram heuristic,
-  not a model: the point is the distributed shape (broadcast profiles,
-  narrow scoring, no shuffle until the tiny argmax).
+  (regexp_count per profile + array_max struct argmax — zero-shuffle,
+  codegen). An n-gram heuristic, not a model: the point is the
+  distributed shape (literal profiles in-plan, scoring at scan
+  bandwidth).
 - **tf-idf**: classic explode → per-(doc,term) tf → per-term df → join →
   score; top-k terms per doc via window.
 - **winnowing fingerprints**: char k-gram rolling hashes, min per
@@ -613,3 +614,47 @@ def text_boilerplate_scrub_q(spark, sf_dir):
     segments occurring in ≥ 2 distinct documents are scrubbed."""
     docs = load_table(spark, sf_dir, "documents")
     return remove_boilerplate_segments(docs, "doc_id", "text", 10, 1)
+
+
+@query(
+    "profile_corpus_facets",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 6)
+             AS p50_tokens,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 6)
+             AS p90_tokens,
+           sum(n_chars) AS total_chars
+    FROM t
+    GROUP BY source, lang
+    """,
+)
+def profile_corpus_facets_q(spark, sf_dir):
+    """Dataset-card profile: per (source, lang) facet — doc counts,
+    token totals/averages/quantiles, char volume.  The first query any
+    corpus owner runs; one partial+final agg over a 4-column projection
+    (the shuffle carries |facets| rows, the percentile state is the only
+    non-algebraic part)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select("source", "lang", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -125,3 +125,47 @@ def test_ann_standing_index_no_corpus_exchange_and_recall(spark, oracle_sf_dir):
         assert recall > 0.2, f"standing-index recall collapsed: {recall}"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ann_cells")
+
+
+def test_chunk_windows_plan_is_narrow(spark, sf_dir):
+    # chunking must be a zero-shuffle narrow map: no Exchange anywhere
+    from dask_obj_spark.operators.corpus import chunk_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = chunk_windows(docs, "doc_id", "text", 32, 24)
+    assert not plan_has_exchange(df)
+
+
+def test_semantic_dedup_plan_broadcasts_centroids(spark, sf_dir):
+    # the assignment join must broadcast the centroid side (never a
+    # cartesian shuffle of the corpus) and the pair surface must be an
+    # equi-join on the cell id
+    from dask_obj_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = (
+        semantic_dedup(emb, "vec_id", "embedding", tau=0.35)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # corpus × tiny centroid table
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_plan_is_single_scan_expand(spark, sf_dir):
+    # melt must be ONE scan + Expand, not n_metrics unioned scans
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.unpivot(
+        ["l_orderkey"], ["l_quantity", "l_extendedprice", "l_discount"], "m", "v"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_exists_subquery_plans_semi_join(spark, sf_dir):
+    from dask_obj_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["exists_subquery"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
