@@ -950,3 +950,85 @@ def corpus_chunk_windows_q(spark, sf_dir):
     corpus — shuffle-free narrow plan (split/sequence/posexplode/slice)."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_windows(docs, "doc_id", "text", chunk_size=32, stride=24)
+
+
+# -- pipeline evaluation queries ----------------------------------------------
+
+
+def _pair_hist_oracle() -> str:
+    from dask_obj_spark.operators.dedup import _duck_pairs_sql
+
+    return (
+        _duck_pairs_sql(16, 4, 0.0)
+        + """
+    SELECT floor(est_jaccard * 10) / 10 AS bucket,
+           count(*) AS n_pairs
+    FROM pairs
+    GROUP BY floor(est_jaccard * 10) / 10
+    """
+    )
+
+
+@query("eval_pair_quality_hist", oracle=_pair_hist_oracle())
+def eval_pair_quality_hist_q(spark, sf_dir):
+    """Histogram of estimated Jaccard over ALL MinHash candidate pairs
+    (threshold 0) — the tuning chart every dedup deployment reads before
+    choosing its cutoff: bucket width 0.1, count per bucket.  Costs one
+    groupBy over the (already bucket-bounded) candidate set."""
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.0)
+    return pairs.groupBy(
+        (F.floor(F.col("est_jaccard") * 10) / 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "eval_vocab_oov",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, unnest({duck_word_ngrams("text", 2)}) AS ngram FROM documents
+    ), c AS (
+      SELECT ngram, count(*) AS n FROM g GROUP BY ngram HAVING count(*) >= 5
+    ), vocab AS (
+      SELECT ngram FROM c ORDER BY n DESC, ngram LIMIT 100
+    )
+    SELECT g.source,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE v.ngram IS NULL) AS n_oov,
+           round(count(*) FILTER (WHERE v.ngram IS NULL) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM g LEFT JOIN vocab v ON g.ngram = v.ngram
+    GROUP BY g.source
+    """,
+)
+def eval_vocab_oov_q(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the top-100 bigram
+    vocabulary — the coverage report run after every vocab build
+    (composes `corpus_ngram_vocab`'s vocabulary with a broadcast
+    left join; the gram stream reduces to per-source counts, so the
+    shuffle carries |sources| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(word_ngrams("text", 2)).alias("ngram")
+    )
+    vocab = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(100)
+        .select("ngram", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        grams.join(F.broadcast(vocab), "ngram", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
