@@ -1032,3 +1032,101 @@ def eval_vocab_oov_q(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+def _capstone_semantic_oracle() -> str:
+    from dask_obj_spark.operators.dedup import _semantic_dedup_oracle  # noqa: F401
+    from dask_obj_spark.operators.similarity import DIM, duck_cosine
+
+    cos_assign = duck_cosine("b.v", "c.cv", DIM)
+    cos_pair = duck_cosine("a.v", "b.v", DIM)
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % 61 = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid, {cos_assign} AS cs FROM base b, cents c
+    ), ranked AS (
+      SELECT vid, v, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS (
+      SELECT vid, v, cid AS cell FROM ranked WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT a.vid
+      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vid < a.vid
+      WHERE round({cos_pair}, 6) >= 0.35
+    ), kept AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d
+      JOIN cells c ON d.doc_id = c.vid
+      LEFT JOIN dropped dr ON c.vid = dr.vid
+      WHERE dr.vid IS NULL
+    ), toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS t FROM kept
+    ), starts AS (
+      SELECT doc_id, source, t,
+             unnest(range(0, greatest(len(t), 1), 24)) AS start
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, source, start // 24 AS chunk_idx,
+             len(list_slice(t, start + 1, least(start + 32, len(t)))) AS n_tokens
+      FROM starts
+    ), cum AS (
+      SELECT doc_id, source, chunk_idx, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, source, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+    FROM cum
+    """
+
+
+@query("capstone_semantic_chunk_pack", oracle=_capstone_semantic_oracle())
+def capstone_semantic_chunk_pack_q(spark, sf_dir):
+    """Round-3 capstone: semantic-dedup keepers → context-window chunks
+    → token-budget packed bins, as ONE fused lazy plan.
+
+    Composition: `semantic_dedup` (operators/dedup.py) selects keeper
+    docs via the embedding cell index (embeddings are 1:1 with documents
+    by id in the driver fixtures); keepers semi-join the documents scan;
+    `chunk_windows` explodes each survivor into overlapping 32-token
+    chunks (narrow, zero-shuffle); the packing window assigns 256-token
+    bins per source stream (per-stream shuffle only, no global sort —
+    same contract as corpus_pack_bins).  Catalyst fuses the narrow
+    stages; the shuffles are the dedup cell join, the semi-join, and the
+    per-source pack window."""
+    from dask_obj_spark.operators.dedup import semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    keepers = (
+        semantic_dedup(emb, "vec_id", "embedding", tau=0.35)
+        .filter(F.col("keep"))
+        .select(F.col("vid").alias("doc_id"))
+    )
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    chunks = chunk_windows(kept, "doc_id", "text", 32, 24).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 256)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
