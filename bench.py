@@ -42,6 +42,9 @@ WORKLOAD = {
     "b10_clean_pipeline": "pipeline_clean_corpus",
     "b11_dedup_clusters": "corpus_dedup_clusters",
     "b12_contamination": "corpus_contamination",
+    # round-3 operators (baselines recorded in BASELINE.md §3 addendum)
+    "b13_semantic_dedup": "dedup_semantic",
+    "b14_capstone_pack": "capstone_semantic_chunk_pack",
 }
 
 WARMUP_RUNS = 1

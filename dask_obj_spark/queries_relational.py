@@ -1443,3 +1443,22 @@ def tpch_q19_disjunctive(spark, sf_dir):
             "revenue"
         )
     )
+
+
+@query("approx_topk_terms_rowsonly")
+def approx_topk_terms_rowsonly(spark, sf_dir):
+    """Sketch-based heavy hitters: `approx_top_k` (DataSketches
+    frequent-items) over the document token stream — the 100 TB path
+    where an exact groupBy-count of the full vocabulary would dominate
+    the job. One pass, mergeable sketch state, no full-vocab shuffle.
+    Rows-only (sketch internals are engine-specific); exact-parity on
+    well-separated counts is pinned in tests/test_core.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
+    toks.createOrReplaceTempView("approx_toks")
+    return spark.sql(
+        """
+        SELECT s.item AS term, s.count AS approx_n
+        FROM (SELECT explode(approx_top_k(t, 10)) AS s FROM approx_toks)
+        """
+    )

@@ -330,3 +330,18 @@ def test_sinks_roundtrip(spark, nums, tmp_path):
     nums.to_parquet(out)
     back = ObjectFrame(spark.read.parquet(out))
     assert sorted(back.compute()) == [1, 2, 2, 3, 3, 3]
+
+
+def test_approx_top_k_matches_exact_on_separated_counts(spark):
+    # heavy-hitter sketch is exact when counts are far apart and the
+    # stream is tiny relative to sketch capacity
+    from pyspark.sql import functions as F
+
+    data = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+    df = spark.createDataFrame(data, ["t"])
+    df.createOrReplaceTempView("hh_toks")
+    got = spark.sql(
+        "SELECT s.item, s.count FROM "
+        "(SELECT explode(approx_top_k(t, 2)) AS s FROM hh_toks)"
+    ).collect()
+    assert [(r.item, r["count"]) for r in got] == [("a", 50), ("b", 20)]
