@@ -222,23 +222,24 @@ def cosine_topk_lsh(
     exact."""
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("vn", l2_norm(F.col("v")))  # 1 fold per pair, not 3
     keyed = base.select(
-        "vid", "v", F.explode(lsh_half_keys(F.col("v"))).alias("bucket")
+        "vid", "v", "vn", F.explode(lsh_half_keys(F.col("v"))).alias("bucket")
     )
     probes = keyed.filter(F.col("vid") % probe_mod == 0).select(
-        F.col("vid").alias("pid"), F.col("v").alias("pv"), "bucket"
+        F.col("vid").alias("pid"), F.col("v").alias("pv"),
+        F.col("vn").alias("pn"), "bucket"
     )
     cand = (
         keyed.join(F.broadcast(probes), "bucket")
         .filter(F.col("pid") != F.col("vid"))
-        .select("pid", "pv", "vid", "v")
+        .select("pid", "pv", "pn", "vid", "v", "vn")
         .distinct()
     )
     scored = cand.select(
         F.col("pid").alias("id1"),
         F.col("vid").alias("id2"),
-        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     return (
@@ -275,34 +276,39 @@ def cosine_topk_ivf(
     (see operators/scale.py write_bucketed) and centroids come from
     k-means; here they are deterministic (vid % centroid_mod == 1) so
     the DuckDB oracle reproduces the index exactly."""
+    # norms computed once per vector/centroid (identical sqrt-fold
+    # subexpressions → bit-identical values vs the 3-fold form; 1
+    # interpreted fold per pair instead of 3 — same trick as
+    # cosine_topk_brute / semantic_dedup)
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("vn", l2_norm(F.col("v")))
     cents = base.filter(F.col("vid") % centroid_mod == 1).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
     )
-    sim = cosine_sim(F.col("v"), F.col("cv"))
+    sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
     aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
     assign = (
         base.join(F.broadcast(cents))
-        .select("vid", "v", "cid", sim.alias("cs"))
+        .select("vid", "v", "vn", "cid", sim.alias("cs"))
         .withColumn("rn", F.row_number().over(aw))
     )
-    cells = assign.filter(F.col("rn") == 1).select("vid", "v", "cid")
+    cells = assign.filter(F.col("rn") == 1).select("vid", "v", "vn", "cid")
     pcells = (
         assign.filter((F.col("rn") <= nprobe) & (F.col("vid") % probe_mod == 0))
-        .select(F.col("vid").alias("pid"), F.col("v").alias("pv"), "cid")
+        .select(F.col("vid").alias("pid"), F.col("v").alias("pv"),
+                F.col("vn").alias("pn"), "cid")
     )
     cand = (
         cells.join(F.broadcast(pcells), "cid")
         .filter(F.col("pid") != F.col("vid"))
-        .select("pid", "pv", "vid", "v")
+        .select("pid", "pv", "pn", "vid", "v", "vn")
         .distinct()
     )
     scored = cand.select(
         F.col("pid").alias("id1"),
         F.col("vid").alias("id2"),
-        cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     return (
@@ -449,18 +455,23 @@ def query_ann_index(
     per probe before the exchange."""
     p = probes.select(
         F.col(id_col).alias("pid"), F.col(vec_col).cast("array<double>").alias("pv")
-    )
+    ).withColumn("pn", l2_norm(F.col("pv")))
     pcells = p.select(
-        "pid", "pv", F.explode(_nearest_cells(F.col("pv"), centroids, nprobe)).alias("cell")
+        "pid", "pv", "pn",
+        F.explode(_nearest_cells(F.col("pv"), centroids, nprobe)).alias("cell"),
     )
-    cells = spark.table(table)
+    # corpus-side norm computed once per row on the (bucketed) scan,
+    # before the join — 1 fold per candidate pair instead of 3
+    cells = spark.table(table).withColumn("vn", l2_norm(F.col("v")))
     scored = (
         cells.join(F.broadcast(pcells), "cell")
         .filter(F.col("pid") != F.col("vid"))
         .select(
             F.col("pid").alias("id1"),
             F.col("vid").alias("id2"),
-            cosine_sim(F.col("pv"), F.col("v")).alias("cos_raw"),
+            (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias(
+                "cos_raw"
+            ),
         )
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))

@@ -343,3 +343,21 @@ def test_chunk_windows_short_doc_single_chunk(spark):
     rows = chunk_windows(df, "doc_id", "text", chunk_size=32, stride=24).collect()
     assert len(rows) == 1
     assert rows[0].n_tokens == 2 and rows[0].chunk_text == "only two"
+
+
+def test_chunk_windows_stride_equals_size_reconstructs(spark):
+    # with stride == chunk_size the chunks partition the token stream:
+    # concatenating them in chunk_idx order rebuilds every document
+    from dask_obj_spark.operators.corpus import chunk_windows
+
+    texts = [
+        (1, "a b c d e f g"),
+        (2, "one"),
+        (3, " ".join(f"w{i}" for i in range(100))),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = chunk_windows(df, "doc_id", "text", chunk_size=8, stride=8).collect()
+    rebuilt = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt[r.doc_id] = (rebuilt.get(r.doc_id, "") + " " + r.chunk_text).strip()
+    assert rebuilt == {d: t for d, t in texts}
