@@ -658,3 +658,54 @@ def profile_corpus_facets_q(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "text_gopher_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text) AS alpha_ratio,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS symbol_ratio,
+             length(text) * 1.0
+               / len(string_split_regex(trim(text), '\\s+')) AS mean_word_len
+      FROM documents
+    )
+    SELECT doc_id,
+           (n_words BETWEEN 15 AND 10000) AS len_ok,
+           (mean_word_len BETWEEN 2 AND 5.8) AS word_len_ok,
+           (alpha_ratio >= 0.81) AS alpha_ok,
+           (symbol_ratio <= 0.1) AS symbol_ok,
+           ((n_words BETWEEN 15 AND 10000) AND (mean_word_len BETWEEN 2 AND 5.8)
+            AND alpha_ratio >= 0.81 AND symbol_ratio <= 0.1) AS keep
+    FROM m
+    """,
+)
+def text_gopher_filter_q(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 pattern): word
+    count bounds, mean word length bounds, alphabetic ratio, symbol
+    ratio — each rule surfaced as its own boolean (audit column) plus
+    the conjunctive keep flag.  One narrow projection over the scan;
+    the audit booleans make per-rule rejection-rate reporting a single
+    groupBy downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = F.size(ws_tokens(t))
+    alpha_ratio = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t)
+    symbol_ratio = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", "")) / F.length(t)
+    mean_word_len = F.length(t) / n_words
+    len_ok = n_words.between(15, 10000)
+    word_len_ok = mean_word_len.between(2, 5.8)
+    alpha_ok = alpha_ratio >= 0.81
+    symbol_ok = symbol_ratio <= 0.1
+    return docs.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        word_len_ok.alias("word_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (len_ok & word_len_ok & alpha_ok & symbol_ok).alias("keep"),
+    )

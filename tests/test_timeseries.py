@@ -76,3 +76,21 @@ def test_ewma_matches_hand_recurrence(spark, events):
     assert out[102] == 1.5
     assert out[103] == 2.25
     assert out[201] == 10.0
+
+
+def test_resample_gapfill_preserves_totals_and_has_no_holes(spark, events):
+    # property: zero-filling never changes per-key totals, and the
+    # bucket sequence per key is contiguous
+    from dask_obj_spark.operators.timeseries import resample_gapfill
+
+    out = resample_gapfill(events, "user_id", "ts", "value", 3600).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    src = {(1): (3, 6.0), (2): (1, 10.0)}
+    for uid, rows in by_user.items():
+        buckets = sorted(r.bucket_start for r in rows)
+        assert all(b2 - b1 == 3600 for b1, b2 in zip(buckets, buckets[1:]))
+        n = sum(r.n_events for r in rows)
+        s = sum(r.sum_value for r in rows)
+        assert (n, s) == src[uid]
