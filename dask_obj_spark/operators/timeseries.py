@@ -192,3 +192,115 @@ def ts_ewma_rowsonly_q(spark, sf_dir):
     against a hand-computed series in tests/test_timeseries.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.3)
+
+
+# -- SCD2 validity intervals --------------------------------------------------
+
+
+def scd2_intervals(
+    df: DataFrame, key_col: str, ts_col: str, order_tiebreak: str
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: treat
+    each event as a new version of its key and derive
+    [valid_from, valid_to) via `lead` over the per-key timeline; the
+    current version gets valid_to = NULL.  One shuffle on the key, the
+    warehouse-standard history-table build."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    secs = F.unix_timestamp(F.col(ts_col))
+    return df.select(
+        F.col(key_col),
+        F.col(order_tiebreak),
+        secs.alias("valid_from"),
+        F.lead(secs).over(w).alias("valid_to"),
+        (F.lead(secs).over(w).isNull()).alias("is_current"),
+    )
+
+
+_SCD2_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS secs, ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           secs AS valid_from,
+           lead(secs) OVER w AS valid_to,
+           (lead(secs) OVER w IS NULL) AS is_current
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("ts_scd2_intervals", oracle=_SCD2_ORACLE)
+def ts_scd2_intervals_q(spark, sf_dir):
+    """SCD2 history intervals over the per-user event timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "ts", "event_id")
+
+
+# -- sessionization (gaps-and-islands, pure SQL form) -------------------------
+
+
+def sessionize_islands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_secs: int = 1800,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts where the
+    gap since the previous event exceeds ``gap_secs``; session id = the
+    running count of session starts.  The declarative counterpart to
+    the `applyInPandas` sessionizer (`sessionize_pandas`) and the
+    streaming `session_window` — same semantics, two window passes over
+    one per-key partitioning, no Python boundary."""
+    lw = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    secs = F.unix_timestamp(F.col(ts_col))
+    gap = secs - F.lag(secs).over(lw)
+    with_start = df.select(
+        F.col(key_col),
+        F.col(order_tiebreak),
+        secs.alias("secs"),
+        F.when(gap.isNull() | (gap > gap_secs), 1).otherwise(0).alias("is_start"),
+    )
+    return with_start.select(
+        key_col,
+        order_tiebreak,
+        F.sum("is_start")
+        .over(
+            Window.partitionBy(key_col)
+            .orderBy("secs", order_tiebreak)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_no"),
+    )
+
+
+def _sessionize_islands_oracle(gap_secs: int) -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS secs, ts
+      FROM events
+    ), g AS (
+      SELECT user_id, event_id, secs, ts,
+             secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap
+      FROM e
+    ), s AS (
+      SELECT user_id, event_id, secs,
+             CASE WHEN gap IS NULL OR gap > {gap_secs} THEN 1 ELSE 0 END
+               AS is_start
+      FROM g
+    )
+    SELECT user_id, event_id,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_no
+    FROM s
+    """
+
+
+@query("ts_sessionize_islands", oracle=_sessionize_islands_oracle(1800))
+def ts_sessionize_islands_q(spark, sf_dir):
+    """30-minute-gap sessionization as pure window SQL (gaps-and-islands)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_islands(ev, "user_id", "ts", "event_id", 1800)

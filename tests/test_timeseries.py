@@ -94,3 +94,22 @@ def test_resample_gapfill_preserves_totals_and_has_no_holes(spark, events):
         n = sum(r.n_events for r in rows)
         s = sum(r.sum_value for r in rows)
         assert (n, s) == src[uid]
+
+
+def test_sessionize_islands_splits_on_gap(spark):
+    import datetime as dt
+    from dask_obj_spark.operators.timeseries import sessionize_islands
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 1),
+        (1, dt.datetime(2024, 1, 1, 0, 10), 2),   # same session (10 min)
+        (1, dt.datetime(2024, 1, 1, 1, 0), 3),    # 50-min gap -> new session
+        (1, dt.datetime(2024, 1, 1, 1, 20), 4),   # same session
+        (2, dt.datetime(2024, 1, 1, 0, 0), 5),    # other user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {
+        r.event_id: r.session_no
+        for r in sessionize_islands(df, "user_id", "ts", "event_id", 1800).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
