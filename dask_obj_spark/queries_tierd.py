@@ -379,3 +379,44 @@ def pysource_synthetic_docs_q(spark, sf_dir):
         .option("parts", 8)
         .load()
     )
+
+
+@query(
+    "pysource_stream_counts",
+    oracle="""
+    SELECT i % 7 AS user_id,
+           count(*) AS n,
+           round(sum((i % 13) * 0.5), 6) AS sv
+    FROM range(150) t(i)
+    GROUP BY i % 7
+    """,
+)
+def pysource_stream_counts_q(spark, sf_dir):
+    """Custom Python STREAMING DataSource (Spark 4
+    SimpleDataSourceStreamReader): the bounded synthetic event stream is
+    drained with availableNow into a per-user aggregate, and the
+    deterministic generator is replayed as generate-series SQL — an
+    end-to-end oracle over a true Structured Streaming micro-batch run
+    (offsets, checkpoint, replayable readBetweenOffsets)."""
+    import tempfile
+
+    from dask_obj_spark.sources.io import register_stream_source
+
+    register_stream_source(spark)
+    ckpt = tempfile.mkdtemp(prefix="pysource_stream_ckpt_")
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("batches", 3)
+        .option("batch_rows", 50)
+        .load()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+        .writeStream.format("memory")
+        .queryName("pysource_stream_counts_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("pysource_stream_counts_mem")

@@ -122,3 +122,69 @@ def register_synthetic_docs_source(spark) -> None:
             return _Reader(self.options)
 
     spark.dataSource.register(SyntheticDocs)
+
+
+def register_stream_source(spark) -> None:
+    """Register a custom Python STREAMING DataSource (Spark 4
+    `SimpleDataSourceStreamReader`): a deterministic synthetic event
+    stream with replayable offsets — the template for consuming any
+    external queue/feed Spark lacks a connector for.
+
+    Offset = {"batch": k}; each `read` drains every pending batch (so
+    `trigger(availableNow=True)` consumes the whole bounded stream in
+    one microbatch), and `readBetweenOffsets` regenerates any offset
+    range deterministically — exactly-once replay without any state on
+    the source side.  Rows: (event_id, ts epoch-secs, user_id, value).
+
+    Usage: spark.readStream.format("synthetic_events")
+                .option("batches", B).option("batch_rows", N).load()
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _rows_for(batch: int, batch_rows: int):
+        base = batch * batch_rows
+        return [
+            (
+                base + i,
+                1704067200 + (base + i) * 60,
+                (base + i) % 7,
+                ((base + i) % 13) * 0.5,
+            )
+            for i in range(batch_rows)
+        ]
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.batches = int(options.get("batches", 3))
+            self.batch_rows = int(options.get("batch_rows", 100))
+
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def read(self, start):
+            first = start["batch"]
+            if first >= self.batches:  # bounded stream: nothing pending
+                return iter([]), start
+            rows = []
+            for b in range(first, self.batches):
+                rows.extend(_rows_for(b, self.batch_rows))
+            return iter(rows), {"batch": self.batches}
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for b in range(start["batch"], end["batch"]):
+                rows.extend(_rows_for(b, self.batch_rows))
+            return iter(rows)
+
+    class SyntheticEvents(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_events"
+
+        def schema(self):
+            return "event_id bigint, ts_secs bigint, user_id bigint, value double"
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
+
+    spark.dataSource.register(SyntheticEvents)

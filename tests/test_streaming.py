@@ -147,3 +147,39 @@ def test_dedup_within_watermark_matches_batch_distinct(spark, oracle_sf_dir):
     )
     # single-file source -> one micro-batch -> dedup output == distinct keys
     assert {tuple(r) for r in st.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_python_streaming_source_drains_and_matches_batch(spark, tmp_path):
+    """Custom Python streaming source (SimpleDataSourceStreamReader):
+    availableNow drains the bounded stream; the per-user aggregate equals
+    the same computation on the deterministic generator's batch form."""
+    from pyspark.sql import functions as F
+    from dask_obj_spark.sources.io import register_stream_source
+
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("batches", 3)
+        .option("batch_rows", 50)
+        .load()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+        .writeStream.format("memory")
+        .queryName("synth_events_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n, r.sv)
+        for r in spark.sql("SELECT * FROM synth_events_agg").collect()
+    }
+    # batch-side truth from the same deterministic generator
+    rows = [(i, (i % 7), (i % 13) * 0.5) for i in range(150)]
+    expect = {}
+    for _i, u, v in rows:
+        n, sv = expect.get(u, (0, 0.0))
+        expect[u] = (n + 1, round(sv + v, 6))
+    assert got == expect
