@@ -885,6 +885,7 @@ def chunk_windows(
     text_col: str,
     chunk_size: int = 32,
     stride: int = 24,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     context-length preparation step every LLM training pipeline runs
@@ -899,25 +900,34 @@ def chunk_windows(
     so at 100 TB it chunks at full scan bandwidth and composes with the
     downstream `pack_bins` shuffle unchanged.  Absent in the reference
     (no string ops of its own: /root/reference/src/dask_obj/core.py:3-10).
-    """
+
+    ``carry_cols`` pass through unchanged (repeated per chunk) so
+    downstream stream-keyed packing needs no join back to the source
+    table."""
+    carry = list(carry_cols or [])
     toks = F.col("toks")
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
     return (
         df.select(
-            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+            F.col(id_col).alias("doc_id"),
+            *carry,
+            F.split(F.col(text_col), " ").alias("toks"),
         )
         .select(
             "doc_id",
+            *carry,
             "toks",
             F.posexplode(starts).alias("chunk_idx", "start"),
         )
         .select(
             "doc_id",
+            *carry,
             "chunk_idx",
             F.slice(F.col("toks"), F.col("start") + 1, chunk_size).alias("chunk"),
         )
         .select(
             "doc_id",
+            *carry,
             "chunk_idx",
             F.size("chunk").alias("n_tokens"),
             F.array_join("chunk", " ").alias("chunk_text"),
@@ -925,23 +935,37 @@ def chunk_windows(
     )
 
 
-def _chunk_windows_oracle(chunk_size: int, stride: int) -> str:
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+def _chunk_ctes(
+    chunk_size: int, stride: int, src: str = "documents", carry: str = ""
+) -> str:
+    """toks → starts → chunks CTE chain replaying `chunk_windows` over
+    ``src`` (a table or prior CTE), carrying ``carry`` columns (e.g.
+    ", source") through — shared by the chunking oracle and the capstone
+    pipeline oracle so the replay logic exists exactly once.  Emitted
+    WITHOUT a leading WITH so it composes into larger chains."""
+    return f"""toks AS (
+      SELECT doc_id{carry}, str_split(text, ' ') AS t FROM {src}
     ), starts AS (
-      SELECT doc_id, t,
+      SELECT doc_id{carry}, t,
              unnest(range(0, greatest(len(t), 1), {stride})) AS start
       FROM toks
     ), chunks AS (
-      SELECT doc_id, start // {stride} AS chunk_idx,
+      SELECT doc_id{carry}, start // {stride} AS chunk_idx,
              list_slice(t, start + 1, least(start + {chunk_size}, len(t))) AS chunk
       FROM starts
-    )
+    )"""
+
+
+def _chunk_windows_oracle(chunk_size: int, stride: int) -> str:
+    return (
+        "\n    WITH "
+        + _chunk_ctes(chunk_size, stride)
+        + """
     SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
            array_to_string(chunk, ' ') AS chunk_text
     FROM chunks
     """
+    )
 
 
 @query("corpus_chunk_windows", oracle=_chunk_windows_oracle(32, 24))
@@ -1008,7 +1032,14 @@ def eval_vocab_oov_q(spark, sf_dir):
     vocabulary — the coverage report run after every vocab build
     (composes `corpus_ngram_vocab`'s vocabulary with a broadcast
     left join; the gram stream reduces to per-source counts, so the
-    shuffle carries |sources| rows)."""
+    shuffle carries |sources| rows).
+
+    The documents scan + bigram explode runs TWICE (once to build the
+    vocab aggregate, once as the probe side) — deliberate: both passes
+    run at scan bandwidth, while materializing the exploded gram stream
+    to avoid the second pass would write/hold O(total tokens) rows. In
+    production the vocabulary is a standing artifact (built once by
+    `corpus_ngram_vocab`, stored), making this a single-scan query."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "source", F.explode(word_ngrams("text", 2)).alias("ngram")
@@ -1034,56 +1065,42 @@ def eval_vocab_oov_q(spark, sf_dir):
     )
 
 
-def _capstone_semantic_oracle() -> str:
-    from dask_obj_spark.operators.dedup import _semantic_dedup_oracle  # noqa: F401
-    from dask_obj_spark.operators.similarity import DIM, duck_cosine
+_CAPSTONE_TAU, _CAPSTONE_CELL_MOD = 0.35, 61
+_CAPSTONE_CHUNK, _CAPSTONE_STRIDE, _CAPSTONE_BUDGET = 32, 24, 256
 
-    cos_assign = duck_cosine("b.v", "c.cv", DIM)
-    cos_pair = duck_cosine("a.v", "b.v", DIM)
-    return f"""
-    WITH base AS (
-      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
-    ), cents AS (
-      SELECT vid AS cid, v AS cv FROM base WHERE vid % 61 = 1
-    ), assign AS (
-      SELECT b.vid, b.v, c.cid, {cos_assign} AS cs FROM base b, cents c
-    ), ranked AS (
-      SELECT vid, v, cid,
-             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
-      FROM assign
-    ), cells AS (
-      SELECT vid, v, cid AS cell FROM ranked WHERE rn = 1
-    ), dropped AS (
-      SELECT DISTINCT a.vid
-      FROM cells a JOIN cells b ON a.cell = b.cell AND b.vid < a.vid
-      WHERE round({cos_pair}, 6) >= 0.35
-    ), kept AS (
+
+def _capstone_semantic_oracle() -> str:
+    """Composed from the SAME oracle builders the component queries use
+    (`_semantic_cells_ctes` from operators/dedup.py, `_chunk_ctes`
+    above) — changing an operator's replay logic changes the capstone
+    replay with it."""
+    from dask_obj_spark.operators.dedup import _semantic_cells_ctes
+    from dask_obj_spark.operators.similarity import DIM
+
+    return (
+        _semantic_cells_ctes(_CAPSTONE_TAU, _CAPSTONE_CELL_MOD, DIM)
+        + ", kept AS ("
+        + """
       SELECT d.doc_id, d.source, d.text
       FROM documents d
       JOIN cells c ON d.doc_id = c.vid
       LEFT JOIN dropped dr ON c.vid = dr.vid
       WHERE dr.vid IS NULL
-    ), toks AS (
-      SELECT doc_id, source, str_split(text, ' ') AS t FROM kept
-    ), starts AS (
-      SELECT doc_id, source, t,
-             unnest(range(0, greatest(len(t), 1), 24)) AS start
-      FROM toks
-    ), chunks AS (
-      SELECT doc_id, source, start // 24 AS chunk_idx,
-             len(list_slice(t, start + 1, least(start + 32, len(t)))) AS n_tokens
-      FROM starts
-    ), cum AS (
-      SELECT doc_id, source, chunk_idx, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum_tokens
+    ), """
+        + _chunk_ctes(_CAPSTONE_CHUNK, _CAPSTONE_STRIDE, src="kept", carry=", source")
+        + f""", cum AS (
+      SELECT doc_id, source, chunk_idx, len(chunk) AS n_tokens,
+             sum(len(chunk)) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
       FROM chunks
     )
     SELECT doc_id, chunk_idx, source, n_tokens,
-           CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
+           CAST(floor((cum_tokens - n_tokens) / {_CAPSTONE_BUDGET}) AS BIGINT)
+             AS bin_id
     FROM cum
     """
+    )
 
 
 @query("capstone_semantic_chunk_pack", oracle=_capstone_semantic_oracle())
@@ -1095,23 +1112,25 @@ def capstone_semantic_chunk_pack_q(spark, sf_dir):
     docs via the embedding cell index (embeddings are 1:1 with documents
     by id in the driver fixtures); keepers semi-join the documents scan;
     `chunk_windows` explodes each survivor into overlapping 32-token
-    chunks (narrow, zero-shuffle); the packing window assigns 256-token
-    bins per source stream (per-stream shuffle only, no global sort —
-    same contract as corpus_pack_bins).  Catalyst fuses the narrow
-    stages; the shuffles are the dedup cell join, the semi-join, and the
-    per-source pack window."""
+    chunks (narrow, zero-shuffle; `source` rides through via
+    carry_cols — no join back to the source table); the packing window
+    assigns 256-token bins per source stream (per-stream shuffle only,
+    no global sort — same contract as corpus_pack_bins).  Catalyst
+    fuses the narrow stages; the shuffles are the dedup cell join, the
+    semi-join, and the per-source pack window."""
     from dask_obj_spark.operators.dedup import semantic_dedup
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     keepers = (
-        semantic_dedup(emb, "vec_id", "embedding", tau=0.35)
+        semantic_dedup(emb, "vec_id", "embedding", tau=_CAPSTONE_TAU)
         .filter(F.col("keep"))
         .select(F.col("vid").alias("doc_id"))
     )
     kept = docs.join(keepers, "doc_id", "left_semi")
-    chunks = chunk_windows(kept, "doc_id", "text", 32, 24).join(
-        docs.select("doc_id", "source"), "doc_id"
+    chunks = chunk_windows(
+        kept, "doc_id", "text", _CAPSTONE_CHUNK, _CAPSTONE_STRIDE,
+        carry_cols=["source"],
     )
     w = (
         Window.partitionBy("source")
@@ -1125,7 +1144,7 @@ def capstone_semantic_chunk_pack_q(spark, sf_dir):
             "chunk_idx",
             "source",
             "n_tokens",
-            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 256)
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _CAPSTONE_BUDGET)
             .cast("bigint")
             .alias("bin_id"),
         )

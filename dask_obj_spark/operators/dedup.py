@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_obj_spark.operators.similarity import DIM as _SIM_DIM
-from dask_obj_spark.operators.similarity import cosine_sim, duck_cosine
+from dask_obj_spark.operators.similarity import duck_cosine
 from dask_obj_spark.functions.hashing import (
     duck_porthash,
     duck_word_shingles,
@@ -369,17 +369,21 @@ def dedup_minhash_bands_q(spark, sf_dir):
     return lsh_bands(sig, 4, 4)
 
 
-def _duck_pairs_sql(num_hashes: int, bands: int, threshold: float) -> str:
+def _duck_pairs_sql(
+    num_hashes: int, bands: int, threshold: float, shingle_n: int = 4
+) -> str:
     """sig CTE + bands + cand + the est_jaccard select — the complete
     minhash_candidate_pairs() computation as DuckDB SQL (shared with the
-    connected-components oracle in operators/corpus.py)."""
+    connected-components oracle in operators/corpus.py).  ``shingle_n``
+    is an explicit parameter: it was previously conflated with ``bands``
+    (correct only while both happened to equal 4)."""
     est = (
         "round(("
         + " + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
         + f") / {num_hashes}.0, 6)"
     )
     return (
-        _duck_sig_cte(num_hashes, bands)
+        _duck_sig_cte(num_hashes, shingle_n)
         + ", bands AS ("
         + _duck_bands_select(num_hashes, bands)
         + f"""
@@ -631,7 +635,11 @@ def semantic_dedup(
     )
 
 
-def _semantic_dedup_oracle(tau: float, cell_mod: int, dim: int) -> str:
+def _semantic_cells_ctes(tau: float, cell_mod: int, dim: int) -> str:
+    """The WITH-chain (base → cents → assign → ranked → cells → dropped)
+    replaying `semantic_dedup`'s deterministic cell index — shared by
+    the dedup oracle and the capstone pipeline oracle in
+    operators/corpus.py so the replay logic exists exactly once."""
     cos_assign = duck_cosine("b.v", "c.cv", dim)
     cos_pair = duck_cosine("a.v", "b.v", dim)
     return f"""
@@ -651,10 +659,17 @@ def _semantic_dedup_oracle(tau: float, cell_mod: int, dim: int) -> str:
       SELECT DISTINCT a.vid
       FROM cells a JOIN cells b ON a.cell = b.cell AND b.vid < a.vid
       WHERE round({cos_pair}, 6) >= {tau}
-    )
+    )"""
+
+
+def _semantic_dedup_oracle(tau: float, cell_mod: int, dim: int) -> str:
+    return (
+        _semantic_cells_ctes(tau, cell_mod, dim)
+        + """
     SELECT c.vid, c.cell, d.vid IS NULL AS keep
     FROM cells c LEFT JOIN dropped d ON c.vid = d.vid
     """
+    )
 
 
 @query("dedup_semantic", oracle=_semantic_dedup_oracle(0.35, 61, _SIM_DIM))

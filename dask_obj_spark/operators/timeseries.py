@@ -180,7 +180,13 @@ def ewma(
         s = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf.assign(ewma=s.round(6))[[key_col, order_tiebreak, "ewma"]]
 
-    schema = f"{key_col} long, {order_tiebreak} long, ewma double"
+    # output schema types come from the INPUT schema (a string key or
+    # int tiebreak must round-trip unchanged, not be cast to long)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        f"{key_col} {in_types[key_col]}, "
+        f"{order_tiebreak} {in_types[order_tiebreak]}, ewma double"
+    )
     return df.groupBy(key_col).applyInPandas(_ewma_group, schema=schema)
 
 
@@ -256,21 +262,20 @@ def sessionize_islands(
     lw = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
     secs = F.unix_timestamp(F.col(ts_col))
     gap = secs - F.lag(secs).over(lw)
+    # the running sum must use the SAME (ts, tiebreak) order as the gap
+    # computation: ordering by truncated epoch seconds could disagree
+    # with sub-second ts order and mis-assign session numbers
     with_start = df.select(
         F.col(key_col),
+        F.col(ts_col),
         F.col(order_tiebreak),
-        secs.alias("secs"),
         F.when(gap.isNull() | (gap > gap_secs), 1).otherwise(0).alias("is_start"),
     )
     return with_start.select(
         key_col,
         order_tiebreak,
         F.sum("is_start")
-        .over(
-            Window.partitionBy(key_col)
-            .orderBy("secs", order_tiebreak)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_no"),
     )
 
@@ -286,13 +291,13 @@ def _sessionize_islands_oracle(gap_secs: int) -> str:
                AS gap
       FROM e
     ), s AS (
-      SELECT user_id, event_id, secs,
+      SELECT user_id, event_id, ts,
              CASE WHEN gap IS NULL OR gap > {gap_secs} THEN 1 ELSE 0 END
                AS is_start
       FROM g
     )
     SELECT user_id, event_id,
-           sum(is_start) OVER (PARTITION BY user_id ORDER BY secs, event_id
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS session_no
     FROM s

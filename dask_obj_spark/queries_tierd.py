@@ -418,5 +418,7 @@ def pysource_stream_counts_q(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("pysource_stream_counts: availableNow drain exceeded 120s")
     return spark.table("pysource_stream_counts_mem")

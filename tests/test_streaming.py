@@ -171,7 +171,7 @@ def test_python_streaming_source_drains_and_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
     got = {
         r.user_id: (r.n, r.sv)
         for r in spark.sql("SELECT * FROM synth_events_agg").collect()
