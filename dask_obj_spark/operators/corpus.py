@@ -550,7 +550,8 @@ def corpus_dedup_clusters_q(spark, sf_dir):
                                  AND CURRENT ROW) AS cum_tokens
       FROM t
     )
-    SELECT doc_id, source, n_tokens, cum_tokens,
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
            CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
     FROM c
     """,
@@ -584,7 +585,8 @@ def corpus_pack_bins_q(spark, sf_dir):
              CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
       FROM kc
     )
-    SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            string_agg(text, chr(10) ORDER BY doc_id) AS payload
     FROM kb GROUP BY source, bin_id
     """,
@@ -626,7 +628,8 @@ def pipeline_pack_export_q(spark, sf_dir):
              CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id
       FROM c
     )
-    SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            string_agg(text, chr(10) ORDER BY doc_id) AS payload
     FROM b GROUP BY source, bin_id
     """,
@@ -751,7 +754,8 @@ def corpus_contamination_q(spark, sf_dir):
     )
     SELECT vec_id,
            round(max(amax) / 127.0, 6) AS scale,
-           min(qv) AS q_min, max(qv) AS q_max, sum(qv) AS q_sum
+           min(qv) AS q_min, max(qv) AS q_max,
+           CAST(sum(qv) AS BIGINT) AS q_sum
     FROM q GROUP BY vec_id
     """,
 )

@@ -432,7 +432,7 @@ def scrub_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     SELECT doc_id,
            round(max(c) / sum(c), 6) AS top_bigram_ratio,
-           sum(c) AS n_bigrams
+           CAST(sum(c) AS BIGINT) AS n_bigrams
     FROM counts GROUP BY doc_id
     """,
 )
@@ -627,13 +627,13 @@ def text_boilerplate_scrub_q(spark, sf_dir):
     )
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens,
            round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 6)
              AS p50_tokens,
            round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 6)
              AS p90_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM t
     GROUP BY source, lang
     """,

@@ -297,9 +297,9 @@ def _sessionize_islands_oracle(gap_secs: int) -> str:
       FROM g
     )
     SELECT user_id, event_id,
-           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS session_no
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS session_no
     FROM s
     """
 

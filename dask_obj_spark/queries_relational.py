@@ -1103,7 +1103,7 @@ def agg_filter_clause(spark, sf_dir):
       FROM documents
     )
     SELECT term, count(*) AS df,
-           array_agg(doc_id ORDER BY doc_id) AS postings
+           array_to_string(array_agg(doc_id ORDER BY doc_id), ',') AS postings
     FROM toks
     GROUP BY term
     HAVING count(*) >= 20
@@ -1123,7 +1123,11 @@ def inverted_index_postings(spark, sf_dir):
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            # serialized as CSV so engines compare the VALUE, not each
+            # client's array representation (numpy vs list repr)
+            F.array_join(F.array_sort(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
         )
         .filter(F.col("df") >= 20)
     )
@@ -1139,7 +1143,7 @@ def inverted_index_postings(spark, sf_dir):
     ), per_dim AS (
       SELECT label, i, round(avg(v[i]), 6) AS m FROM pos GROUP BY label, i
     )
-    SELECT label, array_agg(m ORDER BY i) AS centroid
+    SELECT label, array_to_string(array_agg(m ORDER BY i), ',') AS centroid
     FROM per_dim GROUP BY label
     """,
 )
@@ -1160,8 +1164,12 @@ def centroid_per_label(spark, sf_dir):
     return (
         per_dim.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ),
+                ",",
             ).alias("centroid")
         )
     )

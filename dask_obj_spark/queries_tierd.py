@@ -386,7 +386,7 @@ def pysource_synthetic_docs_q(spark, sf_dir):
     oracle="""
     SELECT i % 7 AS user_id,
            count(*) AS n,
-           round(sum((i % 13) * 0.5), 6) AS sv
+           round(CAST(sum((i % 13) * 0.5) AS DOUBLE), 6) AS sv
     FROM range(150) t(i)
     GROUP BY i % 7
     """,

@@ -25,22 +25,39 @@ TABLE_NAMES = (
 )
 
 
+def normalize_timestamps(df: DataFrame, nanos_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize timestamp columns to plain TimestampType.
+
+    The driver's parquet has shipped two physical encodings across rounds:
+    TIMESTAMP(NANOS) (readable only via nanosAsLong → bigint) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ by
+    Spark 4's NTZ inference). Both are naive wall-clock values meaning
+    UTC instants; `unix_micros`, `withWatermark`, and window functions
+    require TimestampType, so convert here — once, at the source — instead
+    of sprinkling casts through every operator."""
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            # NTZ → TIMESTAMP: interpreted in session TZ (UTC in this
+            # harness), preserving the naive-as-UTC instant DuckDB sees
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif dtype == "bigint" and col in nanos_cols:
+            # TIMESTAMP(NANOS) read via nanosAsLong → µs-granular epoch
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by
-        # default; runtime conf so it also works on caller-provided
-        # sessions (e.g. the driver's vanilla session)
+        # events.ts was parquet TIMESTAMP(NANOS) in some data drops, which
+        # Spark refuses by default; runtime conf so it also works on
+        # caller-provided sessions (e.g. the driver's vanilla session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong (see session.py) → convert
-        # to TimestampType losslessly (data is µs-granular, verified)
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
