@@ -1153,3 +1153,80 @@ def capstone_semantic_chunk_pack_q(spark, sf_dir):
             .alias("bin_id"),
         )
     )
+
+
+# -- contrastive negative sampling --------------------------------------------
+
+
+def contrastive_negatives(
+    df: DataFrame, id_col: str, k: int = 2, buckets: int = 8
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets `k` pseudo-random partner documents, stable under
+    reshuffles, retries, and re-runs (hash-derived, no RNG state — the
+    same idempotence contract as `hash_split`).
+
+    Scale shape: a GLOBAL rank would be a global sort, so the ring is
+    partitioned instead — docs land in `buckets` hash buckets, are
+    ranked bucket-locally (window sort over ~N/buckets rows per
+    reducer), and negative j for a doc is the doc `j` positions ahead
+    in its bucket's ring (wrap-around via modulo).  One window + one
+    self-join per bucket, both keyed on (bucket, rank) — co-partitioned,
+    no broadcast needed, and `buckets` scales with the cluster."""
+    h = porthash(F.col(id_col).cast("string"), "negring")
+    base = df.select(F.col(id_col).alias("doc_id"), (h % buckets).alias("bucket"), h.alias("h"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    ranked = base.withColumn("rank", F.row_number().over(w)).withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    )
+    offsets = ranked.select(
+        "doc_id",
+        "bucket",
+        "bucket_n",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+        F.col("rank").alias("rank_a"),
+    ).withColumn("neg_rank", (F.col("rank_a") - 1 + F.col("j")) % F.col("bucket_n") + 1)
+    partners = ranked.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("rank").alias("rank_b"),
+        F.col("doc_id").alias("neg_doc_id"),
+    )
+    return (
+        offsets.join(
+            partners,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("neg_rank") == F.col("rank_b")),
+        )
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "j", "neg_doc_id")
+    )
+
+
+@query(
+    "corpus_contrastive_negatives",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {duck_porthash('doc_id::VARCHAR', 'negring')} % 8 AS bucket,
+             {duck_porthash('doc_id::VARCHAR', 'negring')} AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, bucket, h,
+             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rank,
+             count(*) OVER (PARTITION BY bucket) AS bucket_n
+      FROM base
+    ), offsets AS (
+      SELECT doc_id, bucket, bucket_n, j, rank AS rank_a,
+             (rank - 1 + j) % bucket_n + 1 AS neg_rank
+      FROM ranked, unnest([1, 2]) t(j)
+    )
+    SELECT o.doc_id, o.j, r.doc_id AS neg_doc_id
+    FROM offsets o
+    JOIN ranked r ON r.bucket = o.bucket AND r.rank = o.neg_rank
+    WHERE r.doc_id <> o.doc_id
+    """,
+)
+def corpus_contrastive_negatives_q(spark, sf_dir):
+    """Hash-ring negative sampling: 2 deterministic negatives per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, "doc_id", k=2, buckets=8)

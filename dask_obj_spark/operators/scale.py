@@ -111,3 +111,80 @@ def skew_salted_counts_q(spark, sf_dir):
         buckets=16,
     )
     return out.select("event_type", "n", F.round("sum_value", 6).alias("sum_value"))
+
+
+# -- Z-order (Morton) layout keys ---------------------------------------------
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Spread the low 16 bits of a column so they occupy even bit
+    positions (the classic Morton magic-mask ladder — pure codegen
+    bitwise ops, no UDF)."""
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(cx: Column, cy: Column) -> Column:
+    """Interleave two 16-bit bucket ids into one Morton (Z-order) key.
+
+    Sorting/range-partitioning a table by this key co-locates rows that
+    are close in BOTH dimensions, so parquet row-group min/max stats
+    prune scans for predicates on EITHER column — the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER does exactly
+    this).  The key is plain integer algebra: layout is decided at
+    write time, zero runtime cost for readers."""
+    return _spread_bits16(cx).bitwiseOR(F.shiftleft(_spread_bits16(cy), 1))
+
+
+def write_zordered(df: DataFrame, path: str, cx: Column, cy: Column, files: int = 32) -> None:
+    """Write `df` range-partitioned + sorted by the Z-order key of the
+    two bucket expressions — the standing-layout sink (each output file
+    covers a tight bounding box in (cx, cy) space)."""
+    (
+        df.withColumn("_zkey", zorder_key(cx, cy))
+        .repartitionByRange(files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _duck_spread16(x: str) -> str:
+    """The identical bit-spread as a DuckDB SQL expression string."""
+    s = f"({x} & 65535)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"
+    s = f"(({s} | ({s} << 4)) & 252645135)"
+    s = f"(({s} | ({s} << 2)) & 858993459)"
+    s = f"(({s} | ({s} << 1)) & 1431655765)"
+    return s
+
+
+@query(
+    "layout_zorder_keys",
+    oracle=f"""
+    SELECT event_id,
+           user_id % 65536 AS xb,
+           CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 65536 AS yb,
+           {_duck_spread16('(user_id % 65536)')}
+             | ({_duck_spread16('(CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 65536)')} << 1)
+             AS zkey
+    FROM events
+    """,
+)
+def layout_zorder_keys_q(spark, sf_dir):
+    """Morton keys over (user bucket, hour bucket) for every event —
+    the write-time clustering key behind `write_zordered`."""
+    ev = load_table(spark, sf_dir, "events")
+    xb = F.col("user_id") % 65536
+    yb = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 65536
+    return ev.select(
+        "event_id",
+        xb.alias("xb"),
+        yb.alias("yb"),
+        zorder_key(xb, yb).alias("zkey"),
+    )

@@ -709,3 +709,173 @@ def text_gopher_filter_q(spark, sf_dir):
         symbol_ok.alias("symbol_ok"),
         (len_ok & word_len_ok & alpha_ok & symbol_ok).alias("keep"),
     )
+
+
+# -- PMI collocations (tokenizer/vocab prep) ----------------------------------
+
+
+def pmi_bigrams(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5
+) -> DataFrame:
+    """Corpus-level PMI-scored bigram collocations (the classic
+    collocation-mining signal; tokenizer/vocab prep for merges worth a
+    single token).  pmi = ln(p(xy) / (p(x)·p(y))).
+
+    Shape: ONE token explode shuffled on doc_id feeds both the bigram
+    pairing (window lead — no token self-join) and the unigram counts;
+    bigram/unigram count tables then reduce to vocabulary size, so the
+    two lookup joins are broadcasts and the 1-row totals ride along as
+    broadcast literals.  The shuffles carry (term, count) pairs — never
+    raw token streams — which is what survives a 100 TB corpus.
+    Probabilities are composed as double divisions (not integer cross
+    products), so the arithmetic cannot overflow however large the
+    corpus gets."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "w"),
+    )
+    w_next = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = (
+        toks.withColumn("w2", w_next)
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nxy"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_uni"))
+    b_total = big.agg(F.sum("nxy").alias("b_total"))
+    t_total = uni.agg(F.sum("n_uni").alias("t_total"))
+    j = (
+        big.filter(F.col("nxy") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_uni").alias("nx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_uni").alias("ny"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(t_total))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("nxy") / F.col("b_total"))
+            / ((F.col("nx") / F.col("t_total")) * (F.col("ny") / F.col("t_total")))
+        ),
+        6,
+    )
+    return j.select("w1", "w2", "nxy", pmi.alias("pmi"))
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), big AS (
+      SELECT w1, w2, count(*) AS nxy FROM pairs GROUP BY w1, w2
+    ), uni AS (
+      SELECT w, count(*) AS n_uni FROM toks GROUP BY w
+    ), tot AS (
+      SELECT (SELECT CAST(sum(nxy) AS DOUBLE) FROM big) AS b_total,
+             (SELECT CAST(sum(n_uni) AS DOUBLE) FROM uni) AS t_total
+    )
+    SELECT big.w1, big.w2, big.nxy,
+           round(ln((big.nxy / tot.b_total) /
+                    ((ux.n_uni / tot.t_total) * (uy.n_uni / tot.t_total))), 6)
+             AS pmi
+    FROM big
+    JOIN uni ux ON ux.w = big.w1
+    JOIN uni uy ON uy.w = big.w2
+    CROSS JOIN tot
+    WHERE big.nxy >= 5
+    """,
+)
+def text_pmi_bigrams_q(spark, sf_dir):
+    """PMI bigram collocations over the corpus (min count 5)."""
+    return pmi_bigrams(load_table(spark, sf_dir, "documents"), "doc_id", "text", 5)
+
+
+# -- C4-style span-level exact dedup ------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span: int = 8
+) -> DataFrame:
+    """Cross-document span-level exact dedup (the C4/line-dedup move,
+    over fixed token windows since this corpus has no line structure):
+    split each doc into consecutive `span`-token chunks, keep only the
+    FIRST occurrence of each chunk corpus-wide (first = lowest (doc_id,
+    span_pos) — deterministic under any partitioning), and reassemble
+    every doc from its surviving chunks.
+
+    Scale shape: the chunk array is built per-row (narrow, codegen;
+    ~len/span tiny slices), then ONE shuffle keyed on the chunk text
+    ranks occurrences and ONE shuffle on doc_id reassembles.  At 100 TB
+    the rank shuffle keys on xxhash64(chunk) (8-byte keys, not
+    payloads) with the same plan; stop-chunk skew is bounded because a
+    chunk is `span` whole tokens — far more selective than single
+    tokens.  In-doc order is imposed by array_sort over (pos, text)
+    structs, never collect order."""
+    arr = ws_tokens(text_col)
+    n_sp = F.ceil(F.size(arr) / F.lit(span)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.array_join(F.slice(arr, i * span + 1, span), " "),
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(spans).alias("span_pos", "span_text"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("span_text").orderBy("doc_id", "span_pos")
+    )
+    flagged = ex.withColumn("keep", (rn == 1).cast("int"))
+    kept_struct = F.when(F.col("keep") == 1, F.struct("span_pos", "span_text"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(kept_struct).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["span_text"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "text_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos,
+             unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, (pos - 1) // 8 AS span_pos,
+             string_agg(w, ' ' ORDER BY pos) AS span_text
+      FROM toks GROUP BY doc_id, (pos - 1) // 8
+    ), ranked AS (
+      SELECT doc_id, span_pos, span_text,
+             row_number() OVER (PARTITION BY span_text
+                                ORDER BY doc_id, span_pos) AS rn
+      FROM sp
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(span_text, ' ' ORDER BY span_pos)
+                      FILTER (WHERE rn = 1), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_span_dedup_q(spark, sf_dir):
+    """Corpus-wide 8-token span exact dedup with doc reassembly."""
+    return span_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text", 8)

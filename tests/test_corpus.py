@@ -361,3 +361,20 @@ def test_chunk_windows_stride_equals_size_reconstructs(spark):
     for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
         rebuilt[r.doc_id] = (rebuilt.get(r.doc_id, "") + " " + r.chunk_text).strip()
     assert rebuilt == {d: t for d, t in texts}
+
+
+def test_contrastive_negatives_deterministic_no_self(spark, sf_dir):
+    from dask_obj_spark.operators.corpus import contrastive_negatives
+    from dask_obj_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, contrastive_negatives(docs, "doc_id", 2, 8).collect()))
+    b = sorted(map(tuple, contrastive_negatives(docs, "doc_id", 2, 8).collect()))
+    assert a == b  # stable under re-execution
+    assert all(doc != neg for doc, _, neg in a)
+    n_docs = docs.count()
+    # every doc draws k negatives (ring wrap loses none unless bucket_n==1)
+    per_doc = {}
+    for doc, j, _ in a:
+        per_doc.setdefault(doc, set()).add(j)
+    assert len(per_doc) >= n_docs * 0.99

@@ -102,3 +102,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_no_oracle_emits_client_fragile_types(duck):
+    """Guard: the driver's compare converts both result sets through
+    pandas, where DuckDB HUGEINT (integer SUM) silently becomes float64
+    ('1234.0' vs Spark's '1234'), DECIMAL widens oddly, and nested lists
+    stringify as numpy arrays. Every oracle must emit only scalar types
+    both clients render identically (cost the round-2 driver gate five
+    false FAILs)."""
+    fragile = {"HUGEINT", "UHUGEINT"}
+    for name, sql in ORACLE.items():
+        rel = duck.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            assert t not in fragile, f"{name}.{col} is {t}"
+            assert not t.startswith("DECIMAL"), f"{name}.{col} is {t}"
+            assert not t.endswith("[]"), f"{name}.{col} is a list type"

@@ -169,3 +169,56 @@ def test_exists_subquery_plans_semi_join(spark, sf_dir):
     df = QUERIES["exists_subquery"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def _morton_ref(x: int, y: int) -> int:
+    out = 0
+    for b in range(16):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    from dask_obj_spark.operators.scale import zorder_key
+
+    pts = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1023, 65535)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_ref(x, y), (x, y)
+
+
+def test_zordered_layout_tightens_partition_bounding_boxes(spark, sf_dir):
+    # range-partitioning by the Morton key must give per-partition
+    # bounding boxes far tighter (in area) than arrival order — that
+    # tightness IS the data-skipping win (row-group min/max pruning)
+    from dask_obj_spark.operators.scale import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    xb = (F.col("user_id") % 256).alias("xb")
+    yb = (F.col("event_id") % 256).alias("yb")
+    base = ev.select(xb, yb)
+
+    def avg_bbox_area(df):
+        parts = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("xb") - F.min("xb")).alias("dx"),
+                (F.max("yb") - F.min("yb")).alias("dy"),
+            )
+            .collect()
+        )
+        return sum((p.dx + 1) * (p.dy + 1) for p in parts) / len(parts)
+
+    unsorted_area = avg_bbox_area(base.repartition(16))
+    zsorted = (
+        base.withColumn("z", zorder_key(F.col("xb"), F.col("yb")))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+    )
+    assert avg_bbox_area(zsorted) < 0.5 * unsorted_area

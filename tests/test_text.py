@@ -104,3 +104,45 @@ def test_boilerplate_scrub_keeps_order_across_segments(spark):
         for r in remove_boilerplate_segments(df, "doc_id", "text", 2, 1).collect()
     }
     assert got == {1: "aa bb cc dd", 2: "zz ww qq rr"}
+
+
+def test_pmi_bigrams_repeated_pair_scores_high(spark):
+    from dask_obj_spark.operators.text import pmi_bigrams
+
+    # "new york" always co-occurs; "the cat"/"the dog" split "the"'s mass
+    rows = [(i, "new york " * 3 + ("the cat " if i % 2 else "the dog ")) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.w1, r.w2): r.pmi for r in pmi_bigrams(df, "doc_id", "text", 3).collect()}
+    # python reference over the same corpus
+    import math
+    from collections import Counter
+    uni, big = Counter(), Counter()
+    for _, text in rows:
+        toks = text.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    T, B = sum(uni.values()), sum(big.values())
+    for (w1, w2), nxy in big.items():
+        if nxy >= 3:
+            ref = round(math.log((nxy / B) / ((uni[w1] / T) * (uni[w2] / T))), 6)
+            assert abs(got[(w1, w2)] - ref) < 1e-9, (w1, w2)
+    # forward repetition pairs outnumber the wrap-around ones
+    assert got[("new", "york")] > got[("york", "new")]
+
+
+def test_span_dedup_conservation_and_first_wins(spark):
+    from dask_obj_spark.operators.text import span_dedup
+
+    shared = "a b c d e f g h"  # exactly one 8-token span
+    rows = [(1, shared + " x1 y1"), (2, shared + " x2 y2"), (3, "fresh words only here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup(df, "doc_id", "text", 8).collect()}
+    # doc 1 is the first occurrence -> keeps both spans
+    assert out[1].clean_text == shared + " x1 y1"
+    # doc 2 loses the shared span but keeps its tail
+    assert out[2].clean_text == "x2 y2"
+    assert out[2].n_spans == 2 and out[2].n_kept == 1
+    # untouched doc is identity
+    assert out[3].clean_text == "fresh words only here"
+    # conservation: kept spans across corpus == distinct spans
+    assert sum(r.n_kept for r in out.values()) == 4
