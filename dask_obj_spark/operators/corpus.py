@@ -1230,3 +1230,159 @@ def corpus_contrastive_negatives_q(spark, sf_dir):
     """Hash-ring negative sampling: 2 deterministic negatives per doc."""
     docs = load_table(spark, sf_dir, "documents")
     return contrastive_negatives(docs, "doc_id", k=2, buckets=8)
+
+
+# -- BPE merge learning -------------------------------------------------------
+
+
+def _bpe_apply_round(sym: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round over a (doc_id, i, s) symbol table: find the
+    globally most frequent adjacent pair (ties → lexicographic), merge
+    every greedy-left-to-right occurrence, return (new_sym, best_pair).
+
+    Greedy overlap resolution without a sequential scan: positions
+    where the pair matches can only CONFLICT when they are consecutive
+    (which requires w1 == w2); within each consecutive run of matches,
+    greedy BPE merges the 0th, 2nd, 4th... occurrence — so runs are
+    identified with gaps-and-islands (i - rank-of-match) and the merge
+    set is `run offset % 2 == 0`.  Everything is windows + one
+    broadcast of the 1-row best pair; the shuffle key is doc_id
+    throughout, so all rounds reuse one partitioning."""
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    paired = sym.withColumn("w2", F.lead("s").over(w_doc))
+    best = (
+        paired.filter(F.col("w2").isNotNull())
+        .groupBy(F.col("s").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(1)
+    )
+    b = paired.crossJoin(F.broadcast(best.select("w1", F.col("w2").alias("bw2"), "n")))
+    m = (F.col("s") == F.col("w1")) & (F.col("w2") == F.col("bw2"))
+    flagged = b.select(
+        "doc_id", "i", "s", m.cast("int").alias("m"),
+        F.concat("w1", F.lit("_"), "bw2").alias("merged"),
+    ).withColumn("rn_m", F.sum("m").over(w_doc))
+    # runkey constant within a consecutive run of matches
+    runkey = F.when(F.col("m") == 1, F.col("i") - F.col("rn_m"))
+    flagged = flagged.withColumn("runkey", runkey)
+    w_run = Window.partitionBy("doc_id", "runkey").orderBy("i")
+    off = F.when(F.col("m") == 1, F.row_number().over(w_run) - 1)
+    flagged = flagged.withColumn(
+        "merge_at", ((F.col("m") == 1) & (off % 2 == 0)).cast("int")
+    )
+    prev_merged = F.coalesce(
+        F.lag("merge_at").over(w_doc), F.lit(0)
+    )
+    new_sym = (
+        flagged.withColumn("prev_m", prev_merged)
+        .filter(F.col("prev_m") == 0)  # position consumed by a merge to its left
+        .select(
+            "doc_id",
+            "i",
+            F.when(F.col("merge_at") == 1, F.col("merged")).otherwise(F.col("s")).alias("s"),
+        )
+        .withColumn("i", F.row_number().over(w_doc))
+    )
+    return new_sym, best
+
+
+def bpe_learn_merges(
+    df: DataFrame, id_col: str, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Iterative BPE vocabulary learning over word symbols: `rounds`
+    alternations of corpus-wide pair counting and greedy merge
+    application (Sennrich et al. 2016, the tokenizer-training loop).
+    Returns the learned merge table (round, w1, w2, n).
+
+    The per-round plan is windows over ONE doc_id partitioning plus a
+    broadcast of the single best pair; lineage is cut with
+    localCheckpoint per round like the other iterative operators
+    (connected_components, kmeans)."""
+    sym = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, rounds + 1):
+        sym, best = _bpe_apply_round(sym)
+        sym = sym.localCheckpoint(eager=True)
+        merges.append(best.select(F.lit(r).alias("round"), "w1", "w2", "n"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out
+
+
+def ws_tokens_corpus(c):
+    """Whitespace tokens (local copy to avoid a cross-module import in
+    the worker closure)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), r"\s+")
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Generate the EXACT k-round BPE oracle as chained CTE stages —
+    the same windows/gaps-and-islands algorithm, unrolled."""
+    ctes = [
+        """sym0 AS (
+      SELECT doc_id,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i,
+             unnest(string_split_regex(trim(text), '\\s+')) AS s
+      FROM documents
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p, c = f"sym{r-1}", f"sym{r}"
+        ctes.append(f"""paired{r} AS (
+      SELECT doc_id, i, s,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM {p}
+    ), best{r} AS (
+      SELECT s AS w1, w2, count(*) AS n
+      FROM paired{r} WHERE w2 IS NOT NULL
+      GROUP BY s, w2
+      ORDER BY n DESC, w1, w2 LIMIT 1
+    ), flag{r} AS (
+      SELECT p.doc_id, p.i, p.s,
+             CASE WHEN p.s = b.w1 AND p.w2 = b.w2 THEN 1 ELSE 0 END AS m,
+             b.w1 || '_' || b.w2 AS merged
+      FROM paired{r} p CROSS JOIN best{r} b
+    ), runs{r} AS (
+      SELECT *, sum(m) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS rn_m
+      FROM flag{r}
+    ), offs{r} AS (
+      SELECT *, CASE WHEN m = 1 THEN i - rn_m END AS runkey
+      FROM runs{r}
+    ), marked{r} AS (
+      SELECT *, CASE WHEN m = 1 AND
+               (row_number() OVER (PARTITION BY doc_id, runkey ORDER BY i) - 1)
+                 % 2 = 0
+             THEN 1 ELSE 0 END AS merge_at
+      FROM offs{r}
+    ), kept{r} AS (
+      SELECT doc_id, i,
+             CASE WHEN merge_at = 1 THEN merged ELSE s END AS s,
+             coalesce(lag(merge_at) OVER (PARTITION BY doc_id ORDER BY i), 0)
+               AS prev_m
+      FROM marked{r}
+    ), {c} AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, s
+      FROM kept{r} WHERE prev_m = 0
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, w1, w2, CAST(n AS BIGINT) AS n FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@query("corpus_bpe_merges", oracle=_bpe_oracle(3))
+def corpus_bpe_merges_q(spark, sf_dir):
+    """3 rounds of BPE merge learning over the documents corpus, each
+    round hash-matched against the unrolled recursive oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "doc_id", "text", rounds=3)

@@ -378,3 +378,27 @@ def test_contrastive_negatives_deterministic_no_self(spark, sf_dir):
     for doc, j, _ in a:
         per_doc.setdefault(doc, set()).add(j)
     assert len(per_doc) >= n_docs * 0.99
+
+
+def test_bpe_greedy_overlap_runs(spark):
+    from dask_obj_spark.operators.corpus import bpe_learn_merges, _bpe_apply_round
+    from pyspark.sql import functions as F
+
+    # "b b b b b": pair (b,b) matches at 4 consecutive positions; greedy
+    # left-to-right merges positions 0 and 2 of the run -> "b_b b_b b"
+    df = spark.createDataFrame([(1, "b b b b b")], ["doc_id", "text"])
+    sym = df.select(
+        F.col("doc_id"), F.posexplode(F.split(F.trim("text"), r"\s+")).alias("i", "s")
+    )
+    new_sym, best = _bpe_apply_round(sym)
+    assert [tuple(r) for r in best.collect()] == [("b", "b", 4)]
+    assert [r.s for r in new_sym.orderBy("i").collect()] == ["b_b", "b_b", "b"]
+
+    # two rounds on a corpus with a clear winner each round
+    df2 = spark.createDataFrame(
+        [(i, "x y x y z") for i in range(3)], ["doc_id", "text"]
+    )
+    merges = bpe_learn_merges(df2, "doc_id", "text", rounds=2).collect()
+    got = {r["round"]: (r.w1, r.w2, r.n) for r in merges}
+    assert got[1] == ("x", "y", 6)          # "x y" wins round 1
+    assert got[2] == ("x_y", "x_y", 3)      # merged symbol pairs next
