@@ -119,3 +119,14 @@ def test_no_oracle_emits_client_fragile_types(duck):
             assert t not in fragile, f"{name}.{col} is {t}"
             assert not t.startswith("DECIMAL"), f"{name}.{col} is {t}"
             assert not t.endswith("[]"), f"{name}.{col} is a list type"
+
+
+def test_driver_window_is_curated_and_fully_oracle_paired():
+    """The harness checks the FIRST 50 registered queries; pin that the
+    curated window is exactly what registers first and every entry has
+    an oracle (hard hash signal, not rows-only)."""
+    from dask_obj_spark.queries import _WINDOW_50
+
+    names = list(QUERIES)
+    assert names[:50] == list(_WINDOW_50)
+    assert all(n in ORACLE for n in names[:50])
