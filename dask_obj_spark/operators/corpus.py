@@ -1386,3 +1386,60 @@ def corpus_bpe_merges_q(spark, sf_dir):
     round hash-matched against the unrolled recursive oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "doc_id", "text", rounds=3)
+
+
+# -- triangle counting --------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected edge
+    list — the clustering-coefficient / community-density primitive (on
+    a kNN or near-dup graph, triangle-dense neighborhoods are tight
+    clusters; triangle-free neighbors are hub noise).
+
+    Degree-ordered orientation (the MapReduce-classic trick): every
+    edge points low-degree → high-degree endpoint (ties by id), wedges
+    are enumerated only at each edge's LOW end, and a wedge closes iff
+    the oriented edge between its two upper endpoints exists.  Each
+    triangle is found exactly once, and per-vertex work is bounded by
+    orientation out-degree ≤ O(sqrt(|E|)) — a hub with a million
+    neighbors enumerates nothing; its low-degree neighbors do the
+    counting.  Three equi-joins, no cross products."""
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    )
+    e1 = orient.select(F.col("u"), F.col("w").alias("y"), F.col("dw").alias("dy"))
+    e2 = orient.select(F.col("u"), F.col("w").alias("z"), F.col("dw").alias("dz"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = orient.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select("u", "y", "z")
+    verts = (
+        tri.select(F.col("u").alias("v"))
+        .union(tri.select(F.col("y").alias("v")))
+        .union(tri.select(F.col("z").alias("v")))
+    )
+    return verts.groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -494,7 +494,7 @@ def _duck_base(probe_mod: int) -> str:
     )"""
 
 
-def _duck_topk_select(k: int) -> str:
+def _duck_topk_ctes() -> str:
     cos = duck_cosine("pv", "v", DIM)
     return f"""
     , scored AS (
@@ -504,10 +504,17 @@ def _duck_topk_select(k: int) -> str:
       SELECT id1, id2, cos_raw,
              row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
       FROM scored
-    )
+    )"""
+
+
+def _duck_topk_select(k: int) -> str:
+    return (
+        _duck_topk_ctes()
+        + f"""
     SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
     FROM ranked WHERE rank <= {k}
     """
+    )
 
 
 def _duck_bits_cte() -> str:
@@ -719,3 +726,50 @@ def sim_norms_q(spark, sf_dir):
         F.col("vec_id").alias("vid"),
         F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("l2"),
     )
+
+
+@query(
+    "sim_knn_triangles",
+    oracle=_duck_base(50)
+    + _duck_topk_ctes()
+    + """
+    , knn AS (
+      SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+      FROM ranked WHERE rank <= 10
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM knn UNION ALL SELECT b AS v FROM knn
+      ) GROUP BY v
+    ), orient AS (
+      SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND k.a < k.b)
+                  THEN k.a ELSE k.b END AS u,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND k.a < k.b)
+                  THEN k.b ELSE k.a END AS w,
+             CASE WHEN (da.d < db.d) OR (da.d = db.d AND k.a < k.b)
+                  THEN db.d ELSE da.d END AS dw
+      FROM knn k JOIN deg da ON da.v = k.a JOIN deg db ON db.v = k.b
+    ), wedges AS (
+      SELECT e1.u, e1.w AS y, e2.w AS z
+      FROM orient e1 JOIN orient e2 ON e2.u = e1.u
+      WHERE (e1.dw < e2.dw) OR (e1.dw = e2.dw AND e1.w < e2.w)
+    ), tri AS (
+      SELECT wd.u, wd.y, wd.z
+      FROM wedges wd JOIN orient c ON c.u = wd.y AND c.w = wd.z
+    )
+    SELECT v, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (
+      SELECT u AS v FROM tri
+      UNION ALL SELECT y AS v FROM tri
+      UNION ALL SELECT z AS v FROM tri
+    ) GROUP BY v
+    """,
+)
+def sim_knn_triangles_q(spark, sf_dir):
+    """kNN-graph triangle census: exact cosine top-10 edges for the
+    probe set, symmetrized, then degree-ordered triangle counting —
+    the cluster-density signal over the similarity graph."""
+    from dask_obj_spark.operators.corpus import triangle_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return triangle_counts(knn.select("id1", "id2"), "id1", "id2")

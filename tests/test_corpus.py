@@ -402,3 +402,24 @@ def test_bpe_greedy_overlap_runs(spark):
     got = {r["round"]: (r.w1, r.w2, r.n) for r in merges}
     assert got[1] == ("x", "y", 6)          # "x y" wins round 1
     assert got[2] == ("x_y", "x_y", 3)      # merged symbol pairs next
+
+
+def test_triangle_counts_known_graphs(spark):
+    from dask_obj_spark.operators.corpus import triangle_counts
+
+    # K4: every vertex sits in C(3,2)=3 triangles; edges given in mixed
+    # orientation + a duplicate + a self-loop to exercise canonicalization
+    k4 = [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (2, 1), (5, 5)]
+    got = {
+        r.v: r.n_tri
+        for r in triangle_counts(
+            spark.createDataFrame(k4, ["a", "b"]), "a", "b"
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # path graph: no triangles
+    path = [(i, i + 1) for i in range(10)]
+    assert (
+        triangle_counts(spark.createDataFrame(path, ["a", "b"]), "a", "b").count() == 0
+    )
