@@ -422,3 +422,78 @@ def pysource_stream_counts_q(spark, sf_dir):
         q.stop()
         raise TimeoutError("pysource_stream_counts: availableNow drain exceeded 120s")
     return spark.table("pysource_stream_counts_mem")
+
+
+# -- format round-trips -------------------------------------------------------
+#
+# Each query EXPORTS a projection of the driver's parquet to another
+# format, reads it back with an explicit schema, and aggregates; the
+# oracle computes the same aggregate straight from the parquet.  A hash
+# match therefore proves the source/sink pair is lossless (numbers,
+# strings, nulls) — the driver-visible face of sources/io.py.  Exports
+# go under /tmp (never the repo tree) and are rewritten per run.
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"dask_obj_spark_rt_{fmt}")
+    return d
+
+
+_RT_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """
+
+
+def _rt_agg(df):
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.sum("user_id").alias("sum_users"),
+    )
+
+
+def _rt_source(spark, sf_dir, fmt):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _roundtrip_dir(fmt)
+    writer = ev.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    reader = spark.read.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        back = reader.csv(path)
+    elif fmt == "json":
+        back = reader.json(path)
+    else:
+        back = reader.orc(path)
+    return _rt_agg(back)
+
+
+@query("source_csv_roundtrip", oracle=_RT_ORACLE)
+def source_csv_roundtrip_q(spark, sf_dir):
+    """events → CSV (header, full-precision doubles) → explicit-schema
+    read → aggregate; hash-equal to the parquet-side oracle iff the
+    text round-trip is lossless."""
+    return _rt_source(spark, sf_dir, "csv")
+
+
+@query("source_json_roundtrip", oracle=_RT_ORACLE)
+def source_json_roundtrip_q(spark, sf_dir):
+    """events → JSON lines → explicit-schema read → aggregate."""
+    return _rt_source(spark, sf_dir, "json")
+
+
+@query("source_orc_roundtrip", oracle=_RT_ORACLE)
+def source_orc_roundtrip_q(spark, sf_dir):
+    """events → ORC → read → aggregate (the columnar non-parquet sink)."""
+    return _rt_source(spark, sf_dir, "orc")
