@@ -773,3 +773,111 @@ def sim_knn_triangles_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
     return triangle_counts(knn.select("id1", "id2"), "id1", "id2")
+
+
+# -- power-iteration PCA ------------------------------------------------------
+
+
+def pca_power_top_component(
+    df: DataFrame, id_col: str, vec_col: str, rounds: int = 8
+) -> DataFrame:
+    """Dominant right-singular direction of the embedding matrix by
+    power iteration: v ← normalize(Xᵀ(X·v)), starting from the uniform
+    unit vector.  (Uncentered — the top component of the second moment;
+    mean-centering is one extra broadcast subtraction with the same
+    plan.)
+
+    Fully distributed iteration: X·v is a broadcast join of the
+    exploded (vec_id, dim, x) matrix against the 64-row v estimate and
+    a per-vector sum; Xᵀs is the mirrored join against the 500-row
+    score vector with a per-dim sum.  The shuffle never carries more
+    than (rows + dims) scalars per round — at 100 TB the matrix stays
+    put and only the d-vector circulates, which is exactly how
+    distributed Lanczos/power solvers are laid out.  Sign is fixed by
+    making the largest-|loading| coordinate positive.
+
+    Returns (i, loading) — dim rows, the unit top component."""
+    mat = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dim = mat.agg(F.max("i")).first()[0] + 1
+    spark = df.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("i"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("c"),
+    )
+    for _ in range(rounds):
+        s = (
+            mat.join(F.broadcast(v), "i")
+            .groupBy("vid")
+            .agg(F.sum(F.col("x") * F.col("c")).alias("s"))
+        )
+        w = (
+            mat.join(F.broadcast(s), "vid")
+            .groupBy("i")
+            .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("i", (F.col("w") / F.col("n")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    sign = v.orderBy(F.abs(F.col("c")).desc(), "i").limit(1).select(
+        F.when(F.col("c") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
+    )
+    return v.crossJoin(F.broadcast(sign)).select(
+        "i", F.round(F.col("c") * F.col("sgn"), 6).alias("loading")
+    )
+
+
+def _duck_pca_oracle(rounds: int, dim: int) -> str:
+    ctes = [
+        f"""mat AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             generate_subscripts(embedding::DOUBLE[], 1) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), v0 AS (
+      SELECT i, 1.0 / sqrt({dim}.0) AS c FROM range({dim}) t(i)
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        # AS MATERIALIZED: DuckDB inlines CTEs by default, so chained
+        # rounds would nest exponentially without it
+        ctes.append(f"""s{t} AS MATERIALIZED (
+      SELECT m.vid, sum(m.x * v.c) AS s
+      FROM mat m JOIN v{t-1} v ON v.i = m.i GROUP BY m.vid
+    ), w{t} AS MATERIALIZED (
+      SELECT m.i, sum(s.s * m.x) AS w
+      FROM mat m JOIN s{t} s ON s.vid = m.vid GROUP BY m.i
+    ), n{t} AS MATERIALIZED (
+      SELECT sqrt(sum(w * w)) AS n FROM w{t}
+    ), v{t} AS MATERIALIZED (
+      SELECT i, w / (SELECT n FROM n{t}) AS c FROM w{t}
+    )""")
+    last = f"v{rounds}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    sgn AS (
+      SELECT CASE WHEN c < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM {last} ORDER BY abs(c) DESC, i LIMIT 1
+    )
+    SELECT i, round(c * sgn, 6) AS loading FROM {last} CROSS JOIN sgn
+    """
+    )
+
+
+@query("sim_pca_power", oracle=_duck_pca_oracle(8, DIM))
+def sim_pca_power_q(spark, sf_dir):
+    """Top principal direction of the embedding corpus — 8 rounds of
+    distributed power iteration, hash-matched against the identical
+    unrolled iteration in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_top_component(emb, "vec_id", "embedding", rounds=8)

@@ -1143,7 +1143,9 @@ def inverted_index_postings(spark, sf_dir):
     ), per_dim AS (
       SELECT label, i, round(avg(v[i]), 6) AS m FROM pos GROUP BY label, i
     )
-    SELECT label, array_to_string(array_agg(m ORDER BY i), ',') AS centroid
+    SELECT label,
+           array_to_string(array_agg(printf('%.6f', m) ORDER BY i), ',')
+             AS centroid
     FROM per_dim GROUP BY label
     """,
 )
@@ -1167,7 +1169,9 @@ def centroid_per_label(spark, sf_dir):
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"],
+                    # %.6f on BOTH engines: Spark's default double→string
+                    # uses scientific notation for |x| < 1e-3
+                    lambda s: F.format_string("%.6f", s["m"]),
                 ),
                 ",",
             ).alias("centroid")
