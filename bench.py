@@ -45,6 +45,12 @@ WORKLOAD = {
     # round-3 operators (baselines recorded in BASELINE.md §3 addendum)
     "b13_semantic_dedup": "dedup_semantic",
     "b14_capstone_pack": "capstone_semantic_chunk_pack",
+    "b15_bpe_merges": "corpus_bpe_merges",
+    "b16_span_dedup": "text_span_dedup",
+    "b17_pmi_bigrams": "text_pmi_bigrams",
+    "b18_zorder_keys": "layout_zorder_keys",
+    "b19_knn_triangles": "sim_knn_triangles",
+    "b20_pca_power": "sim_pca_power",
 }
 
 WARMUP_RUNS = 1
