@@ -1474,3 +1474,47 @@ def approx_topk_terms_rowsonly(spark, sf_dir):
         FROM (SELECT explode(approx_top_k(t, 10)) AS s FROM approx_toks)
         """
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: the corpus is split into a
+    'standing' partition and a 'late-arriving' delta, each aggregated
+    independently, and the PARTIALS are merged — count/sum/min/max are
+    all algebraic, so merge(partial(A), partial(B)) ≡ full(A ∪ B),
+    which the full-recompute oracle certifies.  This is the compaction
+    / materialized-view-maintenance primitive: at 100 TB the standing
+    aggregate is a stored table and each micro-batch folds in as one
+    tiny groupBy — the full scan never reruns (same contract as
+    streaming update mode and foreachBatch upserts)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 6).alias("sum_value"),
+            F.round(F.min("mn"), 6).alias("min_value"),
+            F.round(F.max("mx"), 6).alias("max_value"),
+        )
+    )
