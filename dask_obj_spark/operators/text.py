@@ -740,8 +740,19 @@ def pmi_bigrams(
         .filter(F.col("w2").isNotNull())
         .select(F.col("w").alias("w1"), "w2")
     )
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nxy"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_uni"))
+    # count tables reduce to vocabulary size — checkpoint them so the
+    # token explode runs ONCE per table (plan audit: 5 scans → 2; the
+    # totals and both lookup joins reuse the materialized counts)
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+        .localCheckpoint(eager=True)
+    )
     b_total = big.agg(F.sum("nxy").alias("b_total"))
     t_total = uni.agg(F.sum("n_uni").alias("t_total"))
     j = (
