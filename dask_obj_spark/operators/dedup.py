@@ -679,3 +679,53 @@ def dedup_semantic_q(spark, sf_dir):
     lowest id. Oracle replays the deterministic cell index exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "vec_id", "embedding", tau=0.35)
+
+
+# -- edit-distance fuzzy join (entity resolution) -----------------------------
+
+
+def fuzzy_name_pairs(
+    df: DataFrame, name_col: str, max_dist: int = 3
+) -> DataFrame:
+    """Token-blocked edit-distance self-join — the entity-resolution
+    primitive (catalog/name dedup: 'cold anvil' ≈ 'old anvil').
+
+    Blocking: candidates must share at least one whitespace token
+    (explode tokens → equi-join on the token → distinct pairs), which
+    turns the quadratic all-pairs into bucket-bounded equi-join work —
+    the same inverted-index shape as `ngram_jaccard_pairs`, so at
+    100 TB a stop-token frequency cap bounds the hottest buckets.  The
+    verifier is a single codegen `levenshtein` per candidate.  The
+    blocking is part of the operator's contract (a pair sharing no
+    token is never compared), and the oracle replays block + verify
+    identically."""
+    names = df.select(F.col(name_col).alias("n")).distinct()
+    toks = names.select("n", F.explode(F.split("n", " ")).alias("w"))
+    cand = (
+        toks.alias("a")
+        .join(toks.alias("b"), "w")
+        .filter(F.col("a.n") < F.col("b.n"))
+        .select(F.col("a.n").alias("n1"), F.col("b.n").alias("n2"))
+        .distinct()
+    )
+    return cand.select(
+        "n1", "n2", F.levenshtein("n1", "n2").alias("dist")
+    ).filter(F.col("dist") <= max_dist)
+
+
+@query(
+    "dedup_fuzzy_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    toks AS (SELECT n, unnest(string_split(n, ' ')) AS w FROM names),
+    cand AS (
+      SELECT DISTINCT a.n AS n1, b.n AS n2
+      FROM toks a JOIN toks b ON a.w = b.w AND a.n < b.n
+    )
+    SELECT n1, n2, levenshtein(n1, n2) AS dist FROM cand
+    WHERE levenshtein(n1, n2) <= 3
+    """,
+)
+def dedup_fuzzy_names_q(spark, sf_dir):
+    """Token-blocked levenshtein<=3 pairs over distinct part names."""
+    return fuzzy_name_pairs(load_table(spark, sf_dir, "part"), "p_name", 3)
