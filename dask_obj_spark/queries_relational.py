@@ -1518,3 +1518,66 @@ def incremental_agg_merge(spark, sf_dir):
             F.round(F.max("mx"), 6).alias("max_value"),
         )
     )
+
+
+@query(
+    "profile_value_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS lo,
+           count(*) AS n,
+           round(avg(o_totalprice), 6) AS mean_in_bucket
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def profile_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of order values: bucket = floor(v / w) with
+    a constant anchor, so the plan is one scan + one tiny-key aggregate
+    — no global sort, no two-pass min/max (the equi-DEPTH variant needs
+    ntile = a global sort; fixed-width is the scan-bandwidth profiling
+    shape, and AQE coalesces the near-empty tail buckets)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_in_bucket"),
+        )
+        .select(
+            "bucket", (F.col("bucket") * 50000).alias("lo"), "n", "mean_in_bucket"
+        )
+    )
+
+
+@query(
+    "profile_table_checksum",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           bit_xor({{h}}) AS row_xor
+    FROM lineitem
+    """.format(
+        h="('0x' || substr(md5(l_orderkey::VARCHAR || '|' || "
+        "l_linenumber::VARCHAR || '|' || l_quantity::VARCHAR), 1, 15))::BIGINT"
+    ),
+)
+def profile_table_checksum(spark, sf_dir):
+    """Order-insensitive table fingerprint: per-row portable hash of the
+    canonicalized key columns, combined with bit_xor + a row count.
+    The cross-engine/cross-cluster integrity primitive — two replicas
+    (or a migration source and target) compare ONE row of state instead
+    of shipping data; any dropped/duplicated/mutated row flips it.
+    Map-side combinable, shuffle carries one partial per task. The
+    oracle computing the identical checksum from the same parquet IS
+    the demonstration."""
+    li = _t(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.bit_xor(h).alias("row_xor")
+    )
