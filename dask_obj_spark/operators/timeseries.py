@@ -309,3 +309,110 @@ def ts_sessionize_islands_q(spark, sf_dir):
     """30-minute-gap sessionization as pure window SQL (gaps-and-islands)."""
     ev = load_table(spark, sf_dir, "events")
     return sessionize_islands(ev, "user_id", "ts", "event_id", 1800)
+
+
+# -- linear-interpolation gap fill --------------------------------------------
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Gap-filled resampling with LINEAR interpolation: empty buckets
+    take prev + (next - prev) · gap_fraction between the neighboring
+    observed buckets (the feature-pipeline upgrade of the zero-fill
+    variant; sensor/metrics semantics).
+
+    Same one-shuffle grid shape as `resample_gapfill`; the neighbor
+    lookup is two unbounded window fills (last non-null before / first
+    non-null after) over the SAME (key, bucket) partitioning — Catalyst
+    runs all four window functions in one sort.  Observed buckets pass
+    through exactly (fraction algebra is skipped, not re-derived).
+
+    Values are carried as integer MICRO-UNITS: interpolating rounded
+    doubles lands on .5 boundaries at the output precision, where
+    Spark rounds half-up and DuckDB half-even — integer floor
+    arithmetic is bit-exact on both engines (and on any future one)."""
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
+    ev = (
+        df.select(F.col(key_col).alias("key"), b.alias("b"), F.col(value_col).alias("v"))
+        .groupBy("key", "b")
+        .agg(F.round(F.avg("v") * 1_000_000).cast("long").alias("obs_u"))
+    )
+    bounds = ev.groupBy("key").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = bounds.select(
+        "key", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("b")
+    )
+    g = grid.join(ev, ["key", "b"], "left")
+    w_back = (
+        Window.partitionBy("key").orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("key").orderBy("b").rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("obs_u", ignorenulls=True).over(w_back)
+    next_v = F.first("obs_u", ignorenulls=True).over(w_fwd)
+    prev_b = F.last(F.when(F.col("obs_u").isNotNull(), F.col("b")), True).over(w_back)
+    next_b = F.first(F.when(F.col("obs_u").isNotNull(), F.col("b")), True).over(w_fwd)
+    # exact: int products < 2^53, floor of an exact double ratio
+    interp = (
+        prev_v
+        + F.floor(((next_v - prev_v) * (F.col("b") - prev_b)) / (next_b - prev_b))
+    ).cast("long")
+    return g.select(
+        "key",
+        "b",
+        F.coalesce(F.col("obs_u"), interp).alias("v_micro"),
+        F.col("obs_u").isNotNull().cast("int").alias("observed"),
+    )
+
+
+def _interpolate_oracle(bucket_secs: int) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id AS key,
+             CAST(floor(floor(epoch(ts)) / {bucket_secs}) AS BIGINT) AS b,
+             CAST(round(avg(value) * 1000000) AS BIGINT) AS obs_u
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT key, min(b) AS b0, max(b) AS b1 FROM ev GROUP BY key
+    ), grid AS (
+      SELECT key, unnest(range(b0, b1 + 1)) AS b FROM bounds
+    ), g AS (
+      SELECT grid.key, grid.b, ev.obs_u
+      FROM grid LEFT JOIN ev ON ev.key = grid.key AND ev.b = grid.b
+    ), filled AS (
+      SELECT key, b, obs_u,
+             last_value(obs_u IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             first_value(obs_u IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN obs_u IS NOT NULL THEN b END IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+             first_value(CASE WHEN obs_u IS NOT NULL THEN b END IGNORE NULLS) OVER (
+               PARTITION BY key ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+      FROM g
+    )
+    SELECT key, b,
+           coalesce(obs_u,
+                    prev_v + CAST(floor((next_v - prev_v) * (b - prev_b)
+                                        / (next_b - prev_b)) AS BIGINT))
+             AS v_micro,
+           CAST(obs_u IS NOT NULL AS INT) AS observed
+    FROM filled
+    """
+
+
+@query("ts_resample_interpolate", oracle=_interpolate_oracle(3600))
+def ts_resample_interpolate_q(spark, sf_dir):
+    """Hourly per-user resampling with linear interpolation across
+    empty buckets (observed buckets pass through exactly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value", 3600)
