@@ -890,3 +890,46 @@ def span_dedup(
 def text_span_dedup_q(spark, sf_dir):
     """Corpus-wide 8-token span exact dedup with doc reassembly."""
     return span_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text", 8)
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS f FROM toks GROUP BY w
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(r)), 6) AS zipf_intercept,
+           round(regr_r2(ln(f), ln(r)), 6) AS zipf_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit_q(spark, sf_dir):
+    """Zipf-law fit of the corpus frequency spectrum: ln(freq) regressed
+    on ln(rank) with the regr_* aggregate family (slope ≈ -1 for
+    natural language; deviation is a corpus-health signal — synthetic
+    or template text bends the tail).  The rank window is global but
+    VOCABULARY-sized (the token stream is already reduced to (term,
+    count) pairs), so the sort is a broadcast-scale operation however
+    big the corpus; the regression itself is one algebraic aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(ws_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "w"))
+    )
+    lnf, lnr = F.log("f"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lnf, lnr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnf, lnr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lnf, lnr), 6).alias("zipf_r2"),
+    )
