@@ -188,3 +188,61 @@ def layout_zorder_keys_q(spark, sf_dir):
         yb.alias("yb"),
         zorder_key(xb, yb).alias("zkey"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_from: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the (large, skewed) left side gets a salt
+    derived from a high-cardinality column, the (smaller) right side is
+    replicated `buckets`× via explode, and the join key becomes
+    (key, salt) — a hot key's rows spread over `buckets` reducers
+    instead of one straggler task.
+
+    Result is row-identical to the plain join (oracle-checked).  AQE's
+    skew-join split does this adaptively from runtime stats; the
+    explicit form is the static guarantee for when stats lie (e.g. a
+    downstream operator consumes the join before AQE can observe it)
+    and the pattern production pipelines pin for known-hot keys.  Cost:
+    right side × buckets — so `buckets` trades straggler elimination
+    against replication, and production salts ONLY the known-hot keys
+    (a two-way union of salted hot + plain cold)."""
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(buckets))
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_l.join(salted_r, [key, "_salt"]).drop("_salt")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+           round(l.l_extendedprice * (1 - l.l_discount), 6) AS net
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def skew_salted_join_q(spark, sf_dir):
+    """Salted lineitem⋈orders — row-identical to the plain equi-join,
+    with hot orderkeys spread across 8 reducers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        o,
+        "o_orderkey",
+        salt_from="l_linenumber",
+        buckets=8,
+    )
+    return j.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        "o_orderpriority",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net"),
+    )
