@@ -1380,6 +1380,25 @@ def _bpe_oracle(rounds: int) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
 
 
+def _bpe_compression_oracle(rounds: int) -> str:
+    """Same unrolled BPE rounds, but the final SELECT reports per-doc
+    compression: token count before vs symbol count after."""
+    full = _bpe_oracle(rounds)
+    # keep the CTE chain, swap the final UNION of best-pairs for the
+    # per-doc before/after counts
+    ctes_part = full.split("\n    SELECT 1 AS round")[0]
+    return (
+        ctes_part
+        + f""",
+    agg0 AS (SELECT doc_id, count(*) AS n_tokens FROM sym0 GROUP BY doc_id),
+    aggk AS (SELECT doc_id, count(*) AS n_syms FROM sym{rounds} GROUP BY doc_id)
+    SELECT agg0.doc_id, agg0.n_tokens, aggk.n_syms,
+           agg0.n_tokens - aggk.n_syms AS n_merged
+    FROM agg0 JOIN aggk ON agg0.doc_id = aggk.doc_id
+    """
+    )
+
+
 @query("corpus_bpe_merges", oracle=_bpe_oracle(3))
 def corpus_bpe_merges_q(spark, sf_dir):
     """3 rounds of BPE merge learning over the documents corpus, each
@@ -1443,3 +1462,38 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
         .union(tri.select(F.col("z").alias("v")))
     )
     return verts.groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def bpe_apply_stats(
+    df: DataFrame, id_col: str, text_col: str, rounds: int = 3
+) -> DataFrame:
+    """Run the BPE loop and report per-doc compression — token count
+    before vs symbol count after the learned merges are applied (the
+    go/no-go metric for a tokenizer change: how many tokens a given
+    merge table actually saves on the corpus)."""
+    sym0 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+    ).localCheckpoint(eager=True)
+    before = sym0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    sym = sym0
+    for _ in range(rounds):
+        sym, _best = _bpe_apply_round(sym)
+        sym = sym.localCheckpoint(eager=True)
+    after = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_syms"))
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_syms",
+            (F.col("n_tokens") - F.col("n_syms")).alias("n_merged"),
+        )
+    )
+
+
+@query("corpus_bpe_compression", oracle=_bpe_compression_oracle(3))
+def corpus_bpe_compression_q(spark, sf_dir):
+    """Per-doc compression from applying 3 learned BPE merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_apply_stats(docs, "doc_id", "text", rounds=3)
