@@ -729,3 +729,112 @@ def fuzzy_name_pairs(
 def dedup_fuzzy_names_q(spark, sf_dir):
     """Token-blocked levenshtein<=3 pairs over distinct part names."""
     return fuzzy_name_pairs(load_table(spark, sf_dir, "part"), "p_name", 3)
+
+
+# -- prefix-filtered set-similarity join (PPJoin-style) -----------------------
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.7
+) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the PPJoin family,
+    Xiao et al. 2008): a pair can reach Jaccard ≥ τ only if the two
+    token sets share a token among each side's (|s| - ⌈τ·|s|⌉ + 1)
+    RAREST tokens.  Blocking on that prefix instead of all tokens is
+    the 100 TB answer to stop-token buckets: 'the' is never a prefix
+    token for any reasonable τ, so the hottest inverted-index lists
+    simply drop out of candidate generation (where plain token blocking
+    — `fuzzy_name_pairs` — or shingle inverting needs an explicit
+    frequency cap).
+
+    Plan: global token document-frequencies (vocab-sized, broadcast) →
+    per-doc rarity ranking (one doc_id window) → prefix-token
+    equi-join for candidates → exact Jaccard verification via one
+    shared-token groupBy.  Verification is candidate-bounded; the
+    prefix guarantees no true pair is lost (sound, not heuristic)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    ranked = (
+        toks.join(F.broadcast(dfreq), "w")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("dfw", "w")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    ).select("id", "w")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "w")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id1"), "w"), "id1")
+        .join(toks.select(F.col("id").alias("id2"), F.col("w").alias("w2")), "id2")
+        .filter(F.col("w") == F.col("w2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+        .filter(F.round(jac, 6) >= tau)
+    )
+
+
+@query(
+    "dedup_prefix_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+      FROM documents
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM toks GROUP BY id
+    ), dfreq AS (
+      SELECT w, count(*) AS dfw FROM toks GROUP BY w
+    ), ranked AS (
+      SELECT t.id, t.w, s.sz,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.dfw, t.w) AS rk
+      FROM toks t JOIN dfreq d ON d.w = t.w JOIN sizes s ON s.id = t.id
+    ), prefix AS (
+      SELECT id, w FROM ranked WHERE rk <= sz - ceil(0.7 * sz) + 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM prefix a JOIN prefix b ON a.w = b.w AND a.id < b.id
+    ), inter AS (
+      SELECT c.id1, c.id2, count(*) AS i
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id1
+      JOIN toks tb ON tb.id = c.id2 AND tb.w = ta.w
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           round(i.i / (s1.sz + s2.sz - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.id = i.id1
+    JOIN sizes s2 ON s2.id = i.id2
+    WHERE round(i.i / (s1.sz + s2.sz - i.i), 6) >= 0.7
+    """,
+)
+def dedup_prefix_jaccard_q(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard >= 0.7 pairs over document
+    token sets (sound candidate pruning, no frequency-cap heuristic)."""
+    return prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 0.7
+    )

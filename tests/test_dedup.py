@@ -236,3 +236,31 @@ def test_semantic_dedup_tau_bounds_deletion(spark):
     # tau above every pairwise cosine -> nothing dropped
     keeps = semantic_dedup(df, "vec_id", "embedding", tau=1.01).collect()
     assert all(r.keep for r in keeps)
+
+
+def test_prefix_jaccard_equals_brute_force(spark):
+    from dask_obj_spark.operators.dedup import prefix_jaccard_pairs
+    from itertools import combinations
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "alpha beta gamma delta"),          # exact dup of 1
+        (4, "zeta eta theta iota"),
+        (5, "zeta eta theta iota kappa"),
+        (6, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in prefix_jaccard_pairs(df, "doc_id", "text", 0.7).collect()
+    }
+    # brute force over ALL pairs — the prefix filter must lose nothing
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.7:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0
