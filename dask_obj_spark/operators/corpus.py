@@ -1497,3 +1497,43 @@ def corpus_bpe_compression_q(spark, sf_dir):
     """Per-doc compression from applying 3 learned BPE merges."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_apply_stats(docs, "doc_id", "text", rounds=3)
+
+
+def sample_k_per_group(
+    df: DataFrame, key_col: str, id_col: str, k: int, salt: str = "groupk"
+) -> DataFrame:
+    """Deterministic k-per-group sampling: rank rows inside each group
+    by a hash of their id and keep the first k — a uniform-looking,
+    RNG-free subset that is stable under retries, reshuffles, and
+    incremental reruns (new rows only displace an old pick if their
+    hash ranks earlier — bounded churn, unlike reservoir resampling).
+    One window over the group partitioning; no global sort."""
+    h = porthash(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+@query(
+    "corpus_sample_k_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duck_porthash('doc_id::VARCHAR', 'groupk')}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 20
+    """,
+)
+def corpus_sample_k_per_source_q(spark, sf_dir):
+    """Exactly-20-docs-per-source deterministic balanced sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "source", "doc_id", 20).select(
+        "doc_id", "source"
+    )

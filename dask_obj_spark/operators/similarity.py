@@ -881,3 +881,37 @@ def sim_pca_power_q(spark, sf_dir):
     unrolled iteration in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_top_component(emb, "vec_id", "embedding", rounds=8)
+
+
+@query(
+    "sim_standardize_dims",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, generate_subscripts(embedding::DOUBLE[], 1) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT i, avg(x) AS mu, stddev_pop(x) AS sd FROM m GROUP BY i
+    )
+    SELECT m.vec_id, m.i, round((m.x - s.mu) / s.sd, 6) AS z
+    FROM m JOIN stats s ON s.i = m.i
+    """,
+)
+def sim_standardize_dims_q(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus
+    (feature preprocessing for distance-based ML): one explode, one
+    64-row stats aggregate broadcast back onto the stream.  The
+    shuffle carries per-dim partial moments, never vectors — the
+    corpus-side join is broadcast, so the operator runs at scan
+    bandwidth at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    stats = m.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd")
+    )
+    return m.join(F.broadcast(stats), "i").select(
+        "vec_id", "i", F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z")
+    )
