@@ -1537,3 +1537,73 @@ def corpus_sample_k_per_source_q(spark, sf_dir):
     return sample_k_per_group(docs, "source", "doc_id", 20).select(
         "doc_id", "source"
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int = 8,
+    max_shingle_freq: int | None = 50,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every (source_a, source_b)
+    pair, how many distinct word n-gram shingles they share — the
+    provenance question ('which sources copy from which?') behind
+    train/eval decontamination.
+
+    Shape: distinct (source, shingle) inventory → self-join on the
+    shingle (inverted index — the SAME index ngram_jaccard and
+    contamination_hits build) → count per source pair.  The optional
+    frequency cap drops shingles present in more than `max_shingle_freq`
+    sources' documents — the stop-shingle skew guard, since a
+    boilerplate shingle shared by everything contributes O(sources²)
+    pairs and no signal."""
+    inv = (
+        df.select(
+            F.col(key_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("nf"))
+            .filter(F.col("nf") > max_shingle_freq)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+    a = inv.select(F.col("src").alias("src_a"), "sh")
+    b = inv.select(F.col("src").alias("src_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH inv AS (
+      SELECT DISTINCT source AS src,
+             unnest({duck_word_shingles('text', 8)}) AS sh
+      FROM documents
+    ), kept AS (
+      SELECT src, sh FROM inv
+      WHERE sh NOT IN (
+        SELECT sh FROM inv GROUP BY sh HAVING count(*) > 50
+      )
+    )
+    SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_shingles
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.src < b.src
+    GROUP BY a.src, b.src
+    """,
+)
+def corpus_source_overlap_q(spark, sf_dir):
+    """8-gram shingle overlap matrix between sources (stop-shingle cap
+    at 50 sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "source", "text", 8, 50)

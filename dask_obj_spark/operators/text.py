@@ -933,3 +933,36 @@ def text_zipf_fit_q(spark, sf_dir):
         F.round(F.regr_intercept(lnf, lnr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lnf, lnr), 6).alias("zipf_r2"),
     )
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=f"""
+    WITH grams AS (
+      SELECT source, unnest(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1), i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS g
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS total_ngrams,
+           count(DISTINCT g) AS distinct_ngrams,
+           round(count(DISTINCT g) / count(*), 6) AS diversity
+    FROM grams GROUP BY source
+    """,
+)
+def text_ngram_diversity_q(spark, sf_dir):
+    """Per-source 3-gram diversity (distinct/total) — the standard
+    degeneracy metric for generated or templated data (low diversity =
+    repetitive corpus; the aggregate twin of the per-doc repetition
+    ratio).  The explode reduces immediately into the per-source
+    aggregate; exact distinct shuffles (source, gram) pairs — at
+    100 TB swap count(DISTINCT) for approx_count_distinct with the
+    same plan."""
+    from dask_obj_spark.functions.hashing import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("source", F.explode(word_ngrams("text", 3)).alias("g"))
+    return grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("g").alias("distinct_ngrams"),
+        F.round(F.countDistinct("g") / F.count(F.lit(1)), 6).alias("diversity"),
+    )
