@@ -416,3 +416,49 @@ def ts_resample_interpolate_q(spark, sf_dir):
     empty buckets (observed buckets pass through exactly)."""
     ev = load_table(spark, sf_dir, "events")
     return resample_interpolate(ev, "user_id", "ts", "value", 3600)
+
+
+@query(
+    "ts_anomaly_flags",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER win AS mu,
+             stddev_pop(value) OVER win AS sd,
+             count(*) OVER win AS nw
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(mu, 6) AS roll_mu,
+           round(sd, 6) AS roll_sd,
+           CAST(nw >= 5 AND abs(value - mu) > 2 * sd AS INT) AS is_anomaly
+    FROM w
+    """,
+)
+def ts_anomaly_flags_q(spark, sf_dir):
+    """Rolling z-score anomaly detection: trailing-20-event mean/std
+    per user, flag |x - mu| > 2sd once the window has >= 5 points (the
+    warm-up guard).  One shuffle on the key, three window functions in
+    one in-partition sort — the streaming-adjacent monitoring shape
+    (the stateful twin is applyInPandasWithState with running
+    moments)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    mu = F.avg("value").over(win)
+    sd = F.stddev_pop("value").over(win)
+    nw = F.count(F.lit(1)).over(win)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(mu, 6).alias("roll_mu"),
+        F.round(sd, 6).alias("roll_sd"),
+        ((nw >= 5) & (F.abs(F.col("value") - mu) > 2 * sd)).cast("int").alias(
+            "is_anomaly"
+        ),
+    )

@@ -1581,3 +1581,55 @@ def profile_table_checksum(spark, sf_dir):
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"), F.bit_xor(h).alias("row_xor")
     )
+
+
+@query(
+    "profile_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= b.q1 THEN 0
+                WHEN o_totalprice <= b.q2 THEN 1
+                WHEN o_totalprice <= b.q3 THEN 2
+                ELSE 3 END AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def profile_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram without a global sort: exact quartile
+    boundaries from ONE aggregate (Spark percentile ≡ DuckDB
+    quantile_cont, linear interpolation both), broadcast back as a
+    1-row table, then a CASE bucket + count.  This two-phase shape is
+    how equi-depth works at 100 TB — ntile() would be a global sort;
+    at that scale the boundary pass swaps to percentile_approx with
+    the identical downstream plan."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p <= F.col("q1"), 0)
+        .when(p <= F.col("q2"), 1)
+        .when(p <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(p), 6).alias("lo"),
+            F.round(F.max(p), 6).alias("hi"),
+        )
+    )
