@@ -915,3 +915,121 @@ def sim_standardize_dims_q(spark, sf_dir):
     return m.join(F.broadcast(stats), "i").select(
         "vec_id", "i", F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z")
     )
+
+
+# -- label propagation (semi-supervised) --------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected edge list:
+    seed vertices hold their label (clamped); every other vertex takes
+    the MAJORITY label of its labeled neighbors each round (ties →
+    smallest label) — the weak-supervision primitive for spreading a
+    small hand-labeled set over a similarity graph.
+
+    ``edges``: (u, v) one row per undirected edge; ``seeds``: (id, lab,
+    seed) with lab NULL for unlabeled vertices.  Per round: one
+    neighbor-label count aggregate + one per-vertex argmax window +
+    one left join — all keyed on the vertex, reusing one partitioning;
+    localCheckpoint per round (the iterative-operator contract shared
+    with connected_components/kmeans/BPE)."""
+    sym = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    lab = seeds.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nb = (
+            sym.join(lab.select(F.col("id").alias("u"), "lab"), "u")
+            .filter(F.col("lab").isNotNull())
+            .groupBy(F.col("v").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lab"))
+        best = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lab").alias("new_lab"))
+        )
+        lab = (
+            lab.join(best, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("seed") == 1, F.col("lab"))
+                .otherwise(F.coalesce(F.col("new_lab"), F.col("lab")))
+                .alias("lab"),
+                "seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(
+        "id", F.coalesce(F.col("lab"), F.lit(-1)).cast("long").alias("lab")
+    )
+
+
+def _duck_lpa_oracle(rounds: int, probe_mod: int, k: int) -> str:
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        _duck_topk_ctes().strip().lstrip(',').strip(),
+        f"""knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+      FROM ranked WHERE rank <= {k}
+    ), ed AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM knn UNION ALL SELECT b, a FROM knn
+    ), lab0 AS MATERIALIZED (
+      SELECT vec_id AS id,
+             CASE WHEN vec_id % 5 = 0 THEN label END AS lab,
+             CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS seed
+      FROM embeddings
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""nb{r} AS MATERIALIZED (
+      SELECT e.v AS id, l.lab, count(*) AS c
+      FROM ed e JOIN lab{r-1} l ON l.id = e.u
+      WHERE l.lab IS NOT NULL GROUP BY e.v, l.lab
+    ), bst{r} AS MATERIALIZED (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM nb{r}
+      ) WHERE rn = 1
+    ), lab{r} AS MATERIALIZED (
+      SELECT l.id,
+             CASE WHEN l.seed = 1 THEN l.lab
+                  ELSE coalesce(b.lab, l.lab) END AS lab,
+             l.seed
+      FROM lab{r-1} l LEFT JOIN bst{r} b ON b.id = l.id
+    )""")
+    # lab is NULL for never-reached vertices; coalesce to -1 and cast so
+    # neither client renders the column as nullable-int-promoted float
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id, CAST(coalesce(lab, -1) AS BIGINT) AS lab"
+        + f" FROM lab{rounds}"
+    )
+
+
+@query("sim_label_propagation", oracle=_duck_lpa_oracle(3, 5, 10))
+def sim_label_propagation_q(spark, sf_dir):
+    """3 rounds of label propagation over the 1-in-5-probe kNN graph,
+    seeds = every 5th vector clamped to its true label — each round
+    hash-matched against the unrolled materialized-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = (
+        knn.select(
+            F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+        )
+        .distinct()
+    )
+    seeds = emb.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("lab"),
+        (F.col("vec_id") % 5 == 0).cast("int").alias("seed"),
+    )
+    return label_propagation(edges, seeds, rounds=3)
