@@ -1633,3 +1633,104 @@ def profile_equidepth_histogram(spark, sf_dir):
             F.round(F.max(p), 6).alias("hi"),
         )
     )
+
+
+@query(
+    "basket_item_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS total FROM items
+    ), part_n AS (
+      SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.p1, p.p2, p.support,
+           round(p.support / n1.n, 6) AS conf_1_to_2,
+           round((p.support * t.total * 1.0) / (n1.n * n2.n), 6) AS lift
+    FROM pairs p
+    JOIN part_n n1 ON n1.l_partkey = p.p1
+    JOIN part_n n2 ON n2.l_partkey = p.p2
+    CROSS JOIN n_orders t
+    WHERE p.support >= 3
+    """,
+)
+def basket_item_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs ordered together, with
+    support, confidence, and lift (the association-rules primitive).
+    The pair self-join is keyed on the order — candidate fan-out is
+    bounded by per-basket size squared, never corpus size, and the
+    support filter prunes before the stats joins (which are
+    dimension-sized broadcasts).  The same shape mines token
+    co-occurrence or co-click graphs at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    total = items.select("l_orderkey").distinct().count()
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    n1 = part_n.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
+    n2 = part_n.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(F.broadcast(n1), "p1")
+        .join(F.broadcast(n2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(F.col("support") / F.col("n1"), 6).alias("conf_1_to_2"),
+            F.round(
+                (F.col("support") * F.lit(float(total))) / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "ts_latest_per_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id,
+           floor(epoch(ts))::BIGINT AS ts_secs,
+           round(value, 6) AS value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_latest_per_key(spark, sf_dir):
+    """CDC/upsert compaction: keep the latest row per key (ts desc,
+    id desc tiebreak) — the MERGE-collapse primitive every changelog
+    consumer runs.  One window over the key partitioning; at 100 TB
+    this is the compaction pass over a bucketed changelog table, and
+    the same plan serves 'current state' materialized views."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_secs"),
+            F.round("value", 6).alias("value"),
+        )
+    )
