@@ -462,3 +462,113 @@ def ts_anomaly_flags_q(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "ts_trend_per_user",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(regr_slope(value, floor(epoch(ts))), 6) + 0 AS slope,
+           round(regr_intercept(value, floor(epoch(ts))), 6) + 0 AS intercept
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 10
+    """,
+)
+def ts_trend_per_user_q(spark, sf_dir):
+    """Per-user value trend: least-squares slope of value over event
+    time (grouped regr_slope — one algebraic aggregate, the per-entity
+    drift detector). Groups below 10 points are dropped (slope of a
+    near-empty group is noise). Shuffle carries five moment partials
+    per user, independent of event count."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts").cast("double")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # + 0.0 normalizes IEEE negative zero (round(-1e-9, 6) is
+            # -0.0 in DuckDB, 0.0 in Spark — different hash strings)
+            (F.round(F.regr_slope(F.col("value"), secs), 6) + F.lit(0.0)).alias(
+                "slope"
+            ),
+            (F.round(F.regr_intercept(F.col("value"), secs), 6) + F.lit(0.0)).alias(
+                "intercept"
+            ),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "window_sliding_distinct_users",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS bucket
+      FROM events
+    ), exploded AS (
+      SELECT user_id, unnest([
+        bucket, bucket - 300, bucket - 600, bucket - 900,
+        bucket - 1200, bucket - 1500, bucket - 1800, bucket - 2100,
+        bucket - 2400, bucket - 2700, bucket - 3000, bucket - 3300
+      ]) AS w_start
+      FROM b
+    )
+    SELECT w_start, count(DISTINCT user_id) AS n_users
+    FROM exploded GROUP BY w_start
+    """,
+)
+def window_sliding_distinct_users_q(spark, sf_dir):
+    """Rolling 1-hour distinct-user count every 5 minutes (the
+    engagement metric windows can't express directly — count distinct
+    has no frame semantics). Each event contributes to its 12 covering
+    windows via a literal-array explode, then one distinct aggregate
+    per window start; at 100 TB the exact distinct swaps for
+    approx_count_distinct with the identical plan (and in streaming
+    the same shape runs as tumbling partials merged at read)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    starts = F.array(*[base - i * 300 for i in range(12)])
+    return (
+        ev.select(F.explode(starts).alias("w_start"), "user_id")
+        .groupBy("w_start")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "ts_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, sum(n) AS total FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           round(-sum((c.n / t.total) * ln(c.n / t.total)), 6) AS entropy,
+           count(*) AS n_types
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def ts_user_entropy_q(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution (the
+    behavioral-diversity signal; near 0 = single-action bots, high =
+    diverse engagement). Two-level aggregate: per-(user, type) counts,
+    per-user totals joined back on the SAME user partitioning, one
+    entropy fold — the shuffle carries (user, type) counts only."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
