@@ -1033,3 +1033,80 @@ def sim_label_propagation_q(spark, sf_dir):
         (F.col("vec_id") % 5 == 0).cast("int").alias("seed"),
     )
     return label_propagation(edges, seeds, rounds=3)
+
+
+# -- k-core decomposition -----------------------------------------------------
+
+
+def k_core(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: drop every
+    vertex with degree < k, recompute degrees on the induced subgraph,
+    repeat — the fixpoint is the maximal subgraph where everyone has
+    ≥ k neighbors (the density filter used to separate genuine
+    similarity communities from sparse hub noise before clustering).
+
+    Runs a FIXED number of peel rounds (extra rounds past convergence
+    are no-ops, so a fixed unroll stays deterministic AND lets the SQL
+    oracle replay it exactly); per round one degree aggregate + one
+    semi-join on the vertex — the shuffle carries (vertex, degree)
+    pairs.  Returns surviving (id, degree)."""
+    e = (
+        edges.select(F.col("u"), F.col("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        e = (
+            e.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def _duck_kcore_oracle(k: int, rounds: int, probe_mod: int, topk: int) -> str:
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        _duck_topk_ctes().strip().lstrip(",").strip(),
+        f"""e0 AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM ranked WHERE rank <= {topk} AND id1 <> id2
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""sym{r} AS MATERIALIZED (
+      SELECT u, v FROM e{r-1} UNION ALL SELECT v, u FROM e{r-1}
+    ), keep{r} AS MATERIALIZED (
+      SELECT u FROM sym{r} GROUP BY u HAVING count(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r-1} e
+      JOIN keep{r} ka ON ka.u = e.u
+      JOIN keep{r} kb ON kb.u = e.v
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    symf AS (SELECT u, v FROM e{rounds} UNION ALL SELECT v, u FROM e{rounds})
+    SELECT u AS id, count(*) AS degree FROM symf GROUP BY u
+    """
+    )
+
+
+@query("sim_knn_kcore", oracle=_duck_kcore_oracle(3, 8, 5, 10))
+def sim_knn_kcore_q(spark, sf_dir):
+    """3-core of the 1-in-5-probe kNN graph after 8 peel rounds —
+    the dense-community filter, hash-matched against the unrolled
+    peeling oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    return k_core(edges, k=3, rounds=8)

@@ -264,3 +264,16 @@ def test_prefix_jaccard_equals_brute_force(spark):
             want[(a, b)] = round(j, 6)
     assert got == want
     assert (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_k_core_known_graph(spark):
+    from dask_obj_spark.operators.similarity import k_core
+
+    # K4 (all degree 3) + a pendant chain 4-5-6: 3-core keeps only K4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.id: r.degree for r in k_core(df, k=3, rounds=5).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 2-core keeps K4 too (chain still peels: vertex 6 has degree 1)
+    got2 = {r.id: r.degree for r in k_core(df, k=2, rounds=5).collect()}
+    assert set(got2) == {1, 2, 3, 4}
