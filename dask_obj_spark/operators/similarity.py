@@ -1038,34 +1038,54 @@ def sim_label_propagation_q(spark, sf_dir):
 # -- k-core decomposition -----------------------------------------------------
 
 
-def k_core(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def k_core(edges: DataFrame, k: int, rounds: int | None = None) -> DataFrame:
     """k-core of an undirected graph by iterative peeling: drop every
     vertex with degree < k, recompute degrees on the induced subgraph,
     repeat — the fixpoint is the maximal subgraph where everyone has
     ≥ k neighbors (the density filter used to separate genuine
     similarity communities from sparse hub noise before clustering).
 
-    Runs a FIXED number of peel rounds (extra rounds past convergence
-    are no-ops, so a fixed unroll stays deterministic AND lets the SQL
-    oracle replay it exactly); per round one degree aggregate + one
-    semi-join on the vertex — the shuffle carries (vertex, degree)
-    pairs.  Returns surviving (id, degree)."""
+    With ``rounds=None`` (the library default) peeling iterates TO
+    CONVERGENCE: each round's edge set is localCheckpointed anyway, so
+    the stopping check is one cheap ``count()`` on materialized data,
+    and the loop exits the first round the edge count stabilizes —
+    returning the true maximal-subgraph fixpoint regardless of graph
+    shape (a pendant chain of length L needs L rounds).  Passing an
+    explicit ``rounds`` runs that FIXED unroll instead (extra rounds
+    past convergence are no-ops), which is what the oracle-paired
+    query uses so the SQL oracle can replay the exact round count.
+
+    Per round one degree aggregate + one semi-join on the vertex — the
+    shuffle carries (vertex, degree) pairs.  Returns (id, degree)."""
     e = (
         edges.select(F.col("u"), F.col("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+
+    def peel(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
-        e = (
+        return (
             e.join(keep, "u")
             .join(keep.select(F.col("u").alias("v")), "v")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+
+    if rounds is None:
+        n = e.count()
+        while n:
+            e = peel(e)
+            n2 = e.count()
+            if n2 == n:
+                break
+            n = n2
+    else:
+        for _ in range(rounds):
+            e = peel(e)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
 

@@ -937,7 +937,7 @@ def text_zipf_fit_q(spark, sf_dir):
 
 @query(
     "text_ngram_diversity",
-    oracle=f"""
+    oracle=r"""
     WITH grams AS (
       SELECT source, unnest(list_transform(range(greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0) + 1), i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+3], ' '))) AS g
       FROM documents

@@ -332,15 +332,17 @@ def resample_interpolate(
     runs all four window functions in one sort.  Observed buckets pass
     through exactly (fraction algebra is skipped, not re-derived).
 
-    Values are carried as integer MICRO-UNITS: interpolating rounded
-    doubles lands on .5 boundaries at the output precision, where
-    Spark rounds half-up and DuckDB half-even — integer floor
-    arithmetic is bit-exact on both engines (and on any future one)."""
+    Values are carried as integer MICRO-UNITS, quantized with FLOOR —
+    not round: round() at the .5 boundary is half-up on Spark and
+    half-even on DuckDB, and X.5 is exactly representable in binary
+    doubles, so an exact tie would diverge.  floor() has no tie
+    semantics, and the later interpolation step is integer floor
+    arithmetic — bit-exact on both engines (and on any future one)."""
     b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs).cast("long")
     ev = (
         df.select(F.col(key_col).alias("key"), b.alias("b"), F.col(value_col).alias("v"))
         .groupBy("key", "b")
-        .agg(F.round(F.avg("v") * 1_000_000).cast("long").alias("obs_u"))
+        .agg(F.floor(F.avg("v") * 1_000_000).cast("long").alias("obs_u"))
     )
     bounds = ev.groupBy("key").agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
     grid = bounds.select(
@@ -375,7 +377,7 @@ def _interpolate_oracle(bucket_secs: int) -> str:
     WITH ev AS (
       SELECT user_id AS key,
              CAST(floor(floor(epoch(ts)) / {bucket_secs}) AS BIGINT) AS b,
-             CAST(round(avg(value) * 1000000) AS BIGINT) AS obs_u
+             CAST(floor(avg(value) * 1000000) AS BIGINT) AS obs_u
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT key, min(b) AS b0, max(b) AS b1 FROM ev GROUP BY key

@@ -37,14 +37,27 @@ def normalize_timestamps(df: DataFrame, nanos_cols: tuple[str, ...] = ("ts",)) -
     of sprinkling casts through every operator."""
     from pyspark.sql import functions as F
 
+    needs_tz_pin = any(
+        dtype == "timestamp_ntz" or (dtype == "bigint" and col in nanos_cols)
+        for col, dtype in df.dtypes
+    )
+    if needs_tz_pin:
+        # The NTZ→TIMESTAMP cast interprets naive values in the session
+        # timezone; the naive values MEAN UTC instants (matching DuckDB's
+        # naive-as-UTC epoch()), so pin the session TZ here rather than
+        # assuming the caller's session is already UTC.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
-            # NTZ → TIMESTAMP: interpreted in session TZ (UTC in this
-            # harness), preserving the naive-as-UTC instant DuckDB sees
+            # NTZ → TIMESTAMP: interpreted in session TZ (pinned UTC above),
+            # preserving the naive-as-UTC instant DuckDB sees
             df = df.withColumn(col, F.col(col).cast("timestamp"))
         elif dtype == "bigint" and col in nanos_cols:
-            # TIMESTAMP(NANOS) read via nanosAsLong → µs-granular epoch
-            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            # TIMESTAMP(NANOS) read via nanosAsLong → µs-granular epoch.
+            # Integer division: (col / 1000).cast('long') would round-trip
+            # through a double, whose ULP at ~1.7e18 ns is ≈256 ns — enough
+            # to truncate k·1000 ns to k-1 µs and shift bucket boundaries.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -277,3 +277,21 @@ def test_k_core_known_graph(spark):
     # 2-core keeps K4 too (chain still peels: vertex 6 has degree 1)
     got2 = {r.id: r.degree for r in k_core(df, k=2, rounds=5).collect()}
     assert set(got2) == {1, 2, 3, 4}
+
+
+def test_k_core_converges_past_fixed_rounds(spark):
+    """rounds=None iterates to the fixpoint even when a fixed unroll
+    would stop early: a pendant chain of length 6 off K4 needs 6 peel
+    rounds to fully unravel under k=2, so rounds=3 returns a superset
+    while the default converges to exactly K4."""
+    from dask_obj_spark.operators.similarity import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15)]
+    df = spark.createDataFrame(k4 + chain, ["u", "v"])
+    fixed = {r.id for r in k_core(df, k=2, rounds=3).collect()}
+    assert fixed > {1, 2, 3, 4}  # chain tail survived the truncated unroll
+    conv = {r.id: r.degree for r in k_core(df, k=2).collect()}
+    assert conv == {1: 3, 2: 3, 3: 3, 4: 3}
+    # empty-result fixpoint terminates too (no infinite loop on k too big)
+    assert k_core(df, k=4).count() == 0
