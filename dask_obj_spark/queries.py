@@ -33,44 +33,43 @@ def query(name: str, oracle: str | None = None):
 
 # The correctness harness samples the FIRST 50 registered queries, so
 # registration order is part of the contract.  The window is a CURATED
-# list: relational smoke first, then every query that failed the round-2
-# gate (all fixed — the official record needs the green rows), the
-# streaming surface, the round-3 flagship operators, and the core
-# dedup/similarity/corpus/text/multimodal set.  Everything outside the
-# window is still hash-verified by tests/test_oracle_parity.py and the
-# judge's full sweep.
+# ROTATION: every row that already has a green official record in a prior
+# CORRECTNESS_r{N}.json can yield its slot to a query that has never had
+# a driver row.  Round-4 rotation: the round-2-failure rows and most of
+# the streaming surface went green in CORRECTNESS_r03, so ~15 slots move
+# to the wave-3/4 operators (graph/timeseries/profile/incremental/skew)
+# the driver has never officially checked.  Everything outside the window
+# is still hash-verified by tests/test_oracle_parity.py and the judge's
+# full sweep.
 _WINDOW_50 = (
     # relational smoke
     "counts_event_type", "tpch_q1_agg", "join_lineitem_orders",
-    # round-2 gate failures, all fixed this round
-    "corpus_pack_bins", "pipeline_pack_export", "corpus_pack_payload",
-    "corpus_quantize_int8", "text_repetition_ratio",
-    "window_tumbling_events", "window_sliding_events",
-    "stream_join_click_purchase",
-    # rest of the streaming surface
-    "window_session_events", "stream_stateful_counts", "stream_sessionize",
-    "pysource_stream_counts",
-    # round-3 operators (incl. the two HUGEINT-oracle fixes)
-    "text_pmi_bigrams", "text_span_dedup", "corpus_contrastive_negatives",
-    "corpus_bpe_merges", "layout_zorder_keys", "profile_corpus_facets",
-    "ts_sessionize_islands",
+    # round-3/4 flagship operators
+    "text_pmi_bigrams", "text_span_dedup", "corpus_bpe_merges",
+    "layout_zorder_keys", "profile_corpus_facets", "ts_sessionize_islands",
     # dedup family
     "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_semantic",
-    # similarity family
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_semantic",
+    "dedup_prefix_jaccard", "dedup_fuzzy_names",
+    # similarity + graph family
     "sim_cosine_topk_brute", "sim_cosine_topk_lsh", "sim_cosine_topk_ivf",
-    "sim_ivf_recall",
+    "sim_ivf_recall", "sim_label_propagation", "sim_knn_kcore",
     # corpus pipeline
-    "corpus_dedup_clusters", "corpus_contamination", "corpus_ngram_vocab",
-    "corpus_chunk_windows", "corpus_weighted_sample",
+    "corpus_dedup_clusters", "corpus_contamination", "corpus_chunk_windows",
     "corpus_dedup_keep_best", "capstone_semantic_chunk_pack",
+    "corpus_bpe_compression", "basket_item_pairs",
     # text analysis
     "text_tfidf_top_terms", "text_langid", "text_fingerprints",
-    "text_quality_scores", "text_gopher_filter",
+    "text_quality_scores", "text_zipf_fit",
     # multimodal + composed pipelines + skew
     "mm_decode_features", "mm_frame_sample", "pipeline_clean_corpus",
-    "skew_salted_counts",
+    "skew_salted_counts", "skew_salted_join",
+    # timeseries / profiling / incremental maintenance (first driver rows)
+    "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",
+    "profile_equidepth_histogram", "profile_table_checksum",
+    "incremental_agg_merge", "window_sliding_distinct_users",
+    # streaming representation (swap for round-4 streaming rows when added)
+    "stream_sessionize", "pysource_stream_counts", "stream_stateful_counts",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
