@@ -576,27 +576,58 @@ class ObjectFrame:
 
     # -- reductions (A10-A12) -------------------------------------------------
 
+    # Above this many partitions, reduction's combine rounds run on the
+    # executors (coalesce + per-partition aggregate) instead of collecting
+    # one partial per partition to the driver.
+    _TREE_COMBINE_THRESHOLD = 1024
+
     def reduction(
         self,
         perpartition: Callable[[list], Any],
         aggregate: Callable[[list], Any],
         split_every: int | None = None,
+        tree: bool | None = None,
     ) -> Any:
         """Generic two-phase aggregation (reference ``core.py:104-105``).
 
         ``perpartition`` runs distributed (one small partial per
         partition); partials are tree-combined with fan-in ``split_every``
         and ``aggregate`` is applied at least once — dask
-        ``bag.reduction`` semantics.
+        ``bag.reduction`` semantics (``aggregate`` may be applied to
+        intermediate lists of partials, so it must be associative over
+        partial groups, as in dask).
+
+        Scale note: the default path collects ONE partial per partition to
+        the driver and tree-combines there.  That is bounded — each
+        partial is a small object by contract — but at ~100k partitions
+        the driver fan-in (collect size + combine CPU) becomes the limit.
+        ``tree=True`` (or automatically above ``_TREE_COMBINE_THRESHOLD``
+        partitions) runs the combine rounds on the executors instead,
+        ``treeAggregate``-style: each round ``coalesce``s the partials
+        RDD by ``split_every`` (no shuffle — adjacent partitions merge
+        locally) and applies ``aggregate`` per partition, so the driver
+        only ever sees the final ≤ ``split_every`` partials.
         """
         def _per(it):
             items = list(it)
             return [perpartition(items)] if items else []  # skip empty partitions
 
-        partials = self._element_rdd().mapPartitions(_per).collect()
+        fan_in = split_every or 8
+        rdd = self._element_rdd().mapPartitions(_per)
+        if tree is None:
+            tree = rdd.getNumPartitions() > self._TREE_COMBINE_THRESHOLD
+        if tree:
+            def _comb(it):
+                ps = list(it)
+                return [aggregate(ps)] if ps else []
+
+            n = rdd.getNumPartitions()
+            while n > fan_in:
+                n = -(-n // fan_in)  # ceil
+                rdd = rdd.coalesce(n).mapPartitions(_comb)
+        partials = rdd.collect()
         if not partials:
             return aggregate([])
-        fan_in = split_every or 8
         while len(partials) > fan_in:
             partials = [
                 aggregate(partials[i : i + fan_in]) for i in range(0, len(partials), fan_in)

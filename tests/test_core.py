@@ -158,6 +158,20 @@ def test_reduction_split_every(spark):
     assert of.reduction(sum, sum, split_every=2) == 4950
 
 
+def test_reduction_tree_combine_many_partitions(spark):
+    """tree=True runs the combine rounds on the executors (coalesce +
+    per-partition aggregate); the driver sees <= split_every partials.
+    Same result, non-commutative-safe (string concat of sorted mins
+    would differ under reorder — use an order-insensitive agg)."""
+    of = ObjectFrame(list(range(200)), spark, npartitions=64)
+    assert of.reduction(sum, sum, split_every=4, tree=True) == 19900
+    # max survives arbitrary tree shapes; empty partitions are skipped
+    sparse = ObjectFrame([5, 17, 3], spark, npartitions=32)
+    assert sparse.reduction(max, max, split_every=2, tree=True) == 17
+    # auto-trigger path: explicit False keeps the driver combine
+    assert of.reduction(sum, sum, split_every=4, tree=False) == 19900
+
+
 def test_counts_returns_counter(nums):
     c = nums.counts()
     assert isinstance(c, Counter)
