@@ -51,6 +51,8 @@ WORKLOAD = {
     "b18_zorder_keys": "layout_zorder_keys",
     "b19_knn_triangles": "sim_knn_triangles",
     "b20_pca_power": "sim_pca_power",
+    # round-4 operators
+    "b21_pca_topk": "sim_pca_topk",
 }
 
 WARMUP_RUNS = 1

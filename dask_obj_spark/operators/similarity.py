@@ -883,6 +883,156 @@ def sim_pca_power_q(spark, sf_dir):
     return pca_power_top_component(emb, "vec_id", "embedding", rounds=8)
 
 
+def pca_top_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_components: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Mean-centered top-k PCA by deflated power iteration — the real
+    embedding-whitening primitive (``sim_pca_power`` finds the dominant
+    direction of the UNcentered second moment; this subtracts the mean
+    first, so components are true covariance eigenvectors, then peels
+    k of them).
+
+    Layout is the same distributed-solver shape as the single-component
+    version: the (vid, i, x) matrix stays put and only dim-row vectors
+    circulate as broadcasts.  Mean-centering is one dim-row aggregate
+    broadcast-subtracted onto the stream (the centered matrix is
+    checkpointed once and reused by every round of every component).
+    Deflation is Gram-Schmidt per round: after each back-projection,
+    subtract ``(w·u_j) u_j`` for every previously-extracted component —
+    u_j is a broadcast dim-row frame and the dot product is a dim-row
+    aggregate, so orthogonalization costs no shuffle of the corpus.
+    Sign fixed per component (largest-|loading| coordinate positive).
+
+    Returns (comp, i, loading): ``n_components × dim`` rows."""
+    mat = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    mu = mat.groupBy("i").agg(F.avg("x").alias("mu"))
+    cmat = (
+        mat.join(F.broadcast(mu), "i")
+        .select("vid", "i", (F.col("x") - F.col("mu")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    dim = cmat.agg(F.max("i")).first()[0] + 1
+    spark = df.sparkSession
+    components: list[DataFrame] = []
+    for _ in range(n_components):
+        v = spark.range(dim).select(
+            F.col("id").cast("int").alias("i"),
+            (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("c"),
+        )
+        for _r in range(rounds):
+            s = (
+                cmat.join(F.broadcast(v), "i")
+                .groupBy("vid")
+                .agg(F.sum(F.col("x") * F.col("c")).alias("s"))
+            )
+            w = (
+                cmat.join(F.broadcast(s), "vid")
+                .groupBy("i")
+                .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
+            )
+            for u in components:  # Gram-Schmidt against extracted components
+                d = (
+                    w.join(F.broadcast(u), "i")
+                    .agg(F.sum(F.col("w") * F.col("u")).alias("d"))
+                )
+                w = (
+                    w.join(F.broadcast(u), "i")
+                    .crossJoin(F.broadcast(d))
+                    .select("i", (F.col("w") - F.col("d") * F.col("u")).alias("w"))
+                )
+            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+            v = (
+                w.crossJoin(F.broadcast(norm))
+                .select("i", (F.col("w") / F.col("n")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+        components.append(v.select("i", F.col("c").alias("u")).localCheckpoint(eager=True))
+    out = None
+    for ci, u in enumerate(components):
+        sign = u.orderBy(F.abs(F.col("u")).desc(), "i").limit(1).select(
+            F.when(F.col("u") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
+        )
+        comp = u.crossJoin(F.broadcast(sign)).select(
+            F.lit(ci).cast("int").alias("comp"),
+            "i",
+            F.round(F.col("u") * F.col("sgn"), 6).alias("loading"),
+        )
+        out = comp if out is None else out.unionByName(comp)
+    return out
+
+
+def _duck_pca_topk_oracle(n_components: int, rounds: int, dim: int) -> str:
+    """Unrolled deflated power iteration — per component c and round t:
+    scores s_ct, back-projection w_ct, one Gram-Schmidt subtraction per
+    prior component, norm, normalized v_ct.  AS MATERIALIZED throughout
+    (DuckDB inlines CTEs; chained rounds nest exponentially otherwise)."""
+    ctes = [
+        f"""mat AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             generate_subscripts(embedding::DOUBLE[], 1) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), mu AS MATERIALIZED (
+      SELECT i, avg(x) AS mu FROM mat GROUP BY i
+    ), cmat AS MATERIALIZED (
+      SELECT m.vid, m.i, m.x - mu.mu AS x FROM mat m JOIN mu ON mu.i = m.i
+    )"""
+    ]
+    finals = []
+    for c in range(n_components):
+        ctes.append(f"""v{c}_0 AS (
+      SELECT i, 1.0 / sqrt({dim}.0) AS c FROM range({dim}) t(i)
+    )""")
+        for t in range(1, rounds + 1):
+            ctes.append(f"""s{c}_{t} AS MATERIALIZED (
+      SELECT m.vid, sum(m.x * v.c) AS s
+      FROM cmat m JOIN v{c}_{t-1} v ON v.i = m.i GROUP BY m.vid
+    ), w{c}_{t}_0 AS MATERIALIZED (
+      SELECT m.i, sum(s.s * m.x) AS w
+      FROM cmat m JOIN s{c}_{t} s ON s.vid = m.vid GROUP BY m.i
+    )""")
+            for j in range(c):
+                ctes.append(f"""d{c}_{t}_{j} AS MATERIALIZED (
+      SELECT sum(w.w * u.u) AS d
+      FROM w{c}_{t}_{j} w JOIN u{j} u ON u.i = w.i
+    ), w{c}_{t}_{j+1} AS MATERIALIZED (
+      SELECT w.i, w.w - (SELECT d FROM d{c}_{t}_{j}) * u.u AS w
+      FROM w{c}_{t}_{j} w JOIN u{j} u ON u.i = w.i
+    )""")
+            ctes.append(f"""n{c}_{t} AS MATERIALIZED (
+      SELECT sqrt(sum(w * w)) AS n FROM w{c}_{t}_{c}
+    ), v{c}_{t} AS MATERIALIZED (
+      SELECT i, w / (SELECT n FROM n{c}_{t}) AS c FROM w{c}_{t}_{c}
+    )""")
+        ctes.append(f"""u{c} AS MATERIALIZED (
+      SELECT i, c AS u FROM v{c}_{rounds}
+    ), sgn{c} AS (
+      SELECT CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM u{c} ORDER BY abs(u) DESC, i LIMIT 1
+    )""")
+        finals.append(
+            f"SELECT CAST({c} AS INT) AS comp, i, round(u * sgn, 6) AS loading"
+            f" FROM u{c} CROSS JOIN sgn{c}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(finals)
+
+
+@query("sim_pca_topk", oracle=_duck_pca_topk_oracle(2, 4, DIM))
+def sim_pca_topk_q(spark, sf_dir):
+    """Top-2 mean-centered principal components by deflated power
+    iteration (4 rounds each), hash-matched against the identical
+    unrolled iteration in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_components(emb, "vec_id", "embedding", n_components=2, rounds=4)
+
+
 @query(
     "sim_standardize_dims",
     oracle="""

@@ -68,8 +68,10 @@ _WINDOW_50 = (
     "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",
     "profile_equidepth_histogram", "profile_table_checksum",
     "incremental_agg_merge", "window_sliding_distinct_users",
+    # round-4 additions (first driver rows)
+    "sim_pca_topk",
     # streaming representation (swap for round-4 streaming rows when added)
-    "stream_sessionize", "pysource_stream_counts", "stream_stateful_counts",
+    "stream_sessionize", "pysource_stream_counts",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
