@@ -69,9 +69,9 @@ _WINDOW_50 = (
     "profile_equidepth_histogram", "profile_table_checksum",
     "incremental_agg_merge", "window_sliding_distinct_users",
     # round-4 additions (first driver rows)
-    "sim_pca_topk",
-    # streaming representation (swap for round-4 streaming rows when added)
-    "stream_sessionize", "pysource_stream_counts",
+    "sim_pca_topk", "stream_late_data_drop",
+    # streaming representation
+    "stream_sessionize",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
