@@ -69,9 +69,7 @@ _WINDOW_50 = (
     "profile_equidepth_histogram", "profile_table_checksum",
     "incremental_agg_merge", "window_sliding_distinct_users",
     # round-4 additions (first driver rows)
-    "sim_pca_topk", "stream_late_data_drop",
-    # streaming representation
-    "stream_sessionize",
+    "sim_pca_topk", "stream_late_data_drop", "incremental_agg_minmax",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

@@ -1521,6 +1521,69 @@ def incremental_agg_merge(spark, sf_dir):
 
 
 @query(
+    "incremental_agg_minmax",
+    oracle="""
+    SELECT event_type,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           count(DISTINCT user_id) AS n_users,
+           true AS sketch_merge_consistent
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_minmax(spark, sf_dir):
+    """Incremental maintenance of the NON-additive aggregate family:
+    min/max (semilattice merge), exact distinct-users (set-union merge),
+    and an HLL sketch (DataSketches register-max merge).  The corpus is
+    split into a standing partition and a delta, partial states are
+    computed independently and MERGED, and the oracle certifies the
+    merged result against a full recompute.
+
+    The sketch leg proves merge-invariance inside the query itself:
+    ``hll_union_agg`` over the two partial sketches must estimate
+    EXACTLY what a single-pass ``hll_sketch_agg`` over the whole table
+    estimates (register merge is per-register max, so
+    merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) bit-for-bit) — the
+    returned boolean is compared against the oracle's ``true``.  At
+    100 TB the standing state is a stored table of (min, max, sketch)
+    per key and each delta folds in as one tiny merge; the exact
+    ``collect_set`` leg is the demonstration-scale analog whose scale
+    path IS the sketch column beside it."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.collect_set("user_id").alias("us"),
+            F.hll_sketch_agg("user_id").alias("hs"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("mn"), 6).alias("min_value"),
+            F.round(F.max("mx"), 6).alias("max_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("us")))).alias("n_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("est_merged"),
+        )
+    )
+    single_pass = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_full")
+    )
+    return merged.join(F.broadcast(single_pass), "event_type").select(
+        "event_type",
+        "min_value",
+        "max_value",
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("est_merged") == F.col("est_full")).alias("sketch_merge_consistent"),
+    )
+
+
+@query(
     "profile_value_histogram",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
