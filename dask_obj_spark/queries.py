@@ -101,6 +101,7 @@ def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import dask_obj_spark.queries_core  # noqa: F401
     import dask_obj_spark.queries_relational  # noqa: F401
+    import dask_obj_spark.queries_tpch  # noqa: F401
     import dask_obj_spark.queries_tierd  # noqa: F401
     import dask_obj_spark.operators.corpus  # noqa: F401
     import dask_obj_spark.operators.dedup  # noqa: F401
