@@ -173,6 +173,7 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """PageRank over an undirected edge list (edges walked both ways) —
     the second iterative-algorithm template next to connected_components,
@@ -216,7 +217,9 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("id", F.round("rank", 6).alias("rank"))
+    if round_to is None:
+        return ranks.select("id", "rank")
+    return ranks.select("id", F.round("rank", round_to).alias("rank"))
 
 
 def dedup_cluster_assignment(
@@ -1607,3 +1610,67 @@ def corpus_source_overlap_q(spark, sf_dir):
     at 50 sources)."""
     docs = load_table(spark, sf_dir, "documents")
     return source_overlap_matrix(docs, "source", "text", 8, 50)
+
+
+def _duck_pagerank_sql(n_iter: int, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle (MATERIALIZED per round — DuckDB inlines
+    CTEs by default and a chained iteration nests exponentially
+    otherwise; same lesson as the BPE oracle)."""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT v.id,
+             {1 - damping} / (SELECT nn FROM n)
+               + {damping} * coalesce(c.in_sum, 0.0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.d AS id, sum(r.rank / o.outdeg) AS in_sum
+        FROM sym e JOIN r{i - 1} r ON e.s = r.id JOIN outdeg o ON e.s = o.s
+        GROUP BY e.d
+      ) c ON c.id = v.id
+    )"""
+        )
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, 1000000 + l_partkey AS d FROM lineitem
+    ),
+    sym AS MATERIALIZED (
+      SELECT s, d FROM edges UNION SELECT d AS s, s AS d FROM edges
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+    n AS (SELECT count(*) AS nn FROM verts),
+    outdeg AS MATERIALIZED (SELECT s, count(*) AS outdeg FROM sym GROUP BY s),
+    r0 AS MATERIALIZED (
+      SELECT id, 1.0 / (SELECT nn FROM n) AS rank FROM verts
+    ),
+    {",".join(rounds)}
+    SELECT id, round(rank * (SELECT nn FROM n), 6) AS rank_scaled
+    FROM r{n_iter}
+    """
+
+
+@query("graph_pagerank_fixed", oracle=_duck_pagerank_sql(5))
+def graph_pagerank_fixed_q(spark, sf_dir):
+    """PageRank, oracle-paired: 5 damped iterations over the
+    supplier↔part bipartite shipping graph (deterministic edge set from
+    distinct lineitem pairs; part node ids offset into a disjoint
+    range).  The companion to graph_pagerank_rowsonly — that row proves
+    the operator runs on the organic MinHash near-dup graph; this row
+    pins the NUMERICS of the iteration against an identically-unrolled
+    MATERIALIZED-CTE oracle.  Output is scaled by |V| (mean-1
+    normalization) so values are O(1) — avoids the sub-1e-3
+    scientific-notation stringification divergence documented in the
+    verify notes.  Scale: per round one vertex-keyed shuffle
+    (edges ⋈ ranks ⋈ outdeg → groupBy(dst)); localCheckpoint per round
+    cuts the doubling lineage — the iterative-solver template shared
+    with connected_components/k-core/label-propagation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    ranks = pagerank(pairs, "src", "dst", n_iter=5, round_to=None)
+    nn = ranks.agg(F.count(F.lit(1)).alias("nn"))
+    return ranks.crossJoin(F.broadcast(nn)).select(
+        "id", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_scaled")
+    )

@@ -246,3 +246,116 @@ def skew_salted_join_q(spark, sf_dir):
         "o_orderpriority",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net"),
     )
+
+
+def with_hilbert_key(
+    df: DataFrame, cx: Column, cy: Column, out: str = "hkey", order: int = 8
+) -> DataFrame:
+    """Add the Hilbert space-filling-curve key (distance-along-curve) of
+    two `order`-bit bucket ids.  Hilbert keys cluster strictly better
+    than Morton/Z-order for range predicates — the curve never makes the
+    long diagonal jumps Z-order does, so a sorted file covers a tighter
+    bounding box per row group (this is why Delta/Iceberg added
+    OPTIMIZE ... HILBERT next to ZORDER).
+
+    The classic xy→d loop (per level: quadrant bit extraction + Gray
+    rotation/reflection) is unrolled `order` times as CHAINED PROJECTIONS
+    over intermediate columns, not one nested Column expression — each
+    level's x/y feed the next level in several places, so a single
+    expression tree grows ~4^order and stalls Catalyst analysis (the
+    DuckDB oracle needs MATERIALIZED CTEs for the same reason).  Kept as
+    named projection steps the plan is O(order) and still fuses into one
+    whole-stage-codegen stage — no UDF, zero shuffle."""
+    x, y, d, rx, ry = "_hx", "_hy", "_hd", "_hrx", "_hry"
+    df = df.withColumns(
+        {x: cx.cast("long"), y: cy.cast("long"), d: F.lit(0).cast("long")}
+    )
+    s = 1 << (order - 1)
+    while s > 0:
+        df = df.withColumns(
+            {
+                rx: F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)),
+                ry: F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0)),
+            }
+        ).withColumns(
+            {
+                d: F.col(d) + F.lit(s * s) * (F.lit(3) * F.col(rx)).bitwiseXOR(F.col(ry)),
+                x: F.when(
+                    F.col(ry) == 0,
+                    F.when(F.col(rx) == 1, F.lit(s - 1) - F.col(y)).otherwise(F.col(y)),
+                ).otherwise(F.col(x)),
+                y: F.when(
+                    F.col(ry) == 0,
+                    F.when(F.col(rx) == 1, F.lit(s - 1) - F.col(x)).otherwise(F.col(x)),
+                ).otherwise(F.col(y)),
+            }
+        )
+        s >>= 1
+    return df.withColumn(out, F.col(d)).drop(x, y, d, rx, ry)
+
+
+def write_hilbert(df: DataFrame, path: str, cx: Column, cy: Column, files: int = 32) -> None:
+    """Write `df` range-partitioned + sorted by the Hilbert key — the
+    standing multi-dimensional clustering sink (drop-in alternative to
+    write_zordered where range-scan locality matters more than key
+    arithmetic cost)."""
+    (
+        with_hilbert_key(df, cx, cy, out="_hkey")
+        .repartitionByRange(files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _duck_hilbert_sql(order: int = 8) -> str:
+    """The identical unrolled Hilbert loop as chained MATERIALIZED CTEs
+    (one per level — x is referenced several times per level, so DuckDB's
+    default CTE inlining would nest the expression exponentially)."""
+    rounds = []
+    prev = "h0"
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        cur = f"h{i + 1}"
+        rounds.append(f"""{cur} AS MATERIALIZED (
+      SELECT event_id, xb, yb,
+             d + {s * s} * xor(3 * rx, ry) AS d,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END
+                  ELSE x END AS x,
+             CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END
+                  ELSE y END AS y
+      FROM (SELECT event_id, xb, yb, d, x, y,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM {prev}) t
+    )""")
+        prev = cur
+    return f"""
+    WITH h0 AS MATERIALIZED (
+      SELECT event_id,
+             user_id % 256 AS xb,
+             CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 256 AS yb,
+             CAST(0 AS BIGINT) AS d,
+             user_id % 256 AS x,
+             CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 256 AS y
+      FROM events
+    ),
+    {",".join(rounds)}
+    SELECT event_id, xb, yb, d AS hkey FROM {prev}
+    """
+
+
+@query("layout_hilbert_keys", oracle=_duck_hilbert_sql(8))
+def layout_hilbert_keys_q(spark, sf_dir):
+    """Hilbert keys over (user bucket, hour bucket) for every event —
+    the write-time clustering key behind `write_hilbert`, oracle-pinned
+    against an identically-unrolled CTE chain."""
+    ev = load_table(spark, sf_dir, "events")
+    xb = (F.col("user_id") % 256).cast("long")
+    yb = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 256
+    keyed = with_hilbert_key(
+        ev.select("event_id", xb.alias("xb"), yb.alias("yb")),
+        F.col("xb"), F.col("yb"), out="hkey", order=8,
+    )
+    return keyed.select("event_id", "xb", "yb", "hkey")

@@ -966,3 +966,200 @@ def text_ngram_diversity_q(spark, sf_dir):
         F.countDistinct("g").alias("distinct_ngrams"),
         F.round(F.countDistinct("g") / F.count(F.lit(1)), 6).alias("diversity"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag-of-terms query.
+
+    The retrieval primitive on the lexical side of a hybrid search stack
+    (the embedding side is operators/similarity.py).  Corpus statistics
+    (document frequency, average length) are computed IN the plan — no
+    pre-built index object — which is exactly the batch-retrieval shape:
+    score a fixed query list against a snapshot.
+
+    Scale: the exploded token stream is filtered to the query's terms
+    BEFORE the per-(doc, term) count, so the shuffle carries only
+    matching postings (|docs containing any query term| · |terms|), not
+    the corpus vocabulary; per-term df and the global avgdl are tiny
+    aggregates broadcast back; the final top-k is TakeOrderedAndProject,
+    never a full sort.  At 100 TB the standing form materializes the
+    (term, doc, tf) postings table bucketed by term
+    (operators/scale.py:write_bucketed) and this plan becomes a
+    bucket-pruned probe of the query's terms only.
+
+    Ranking determinism: scores are rounded to 6 dp and ordered by
+    (rounded score desc, id) so the cross-engine oracle ranks
+    identically (PLANS.md numerics note)."""
+    t = F.col(text_col)
+    dl = df.select(F.col(id_col), F.size(ws_tokens(t)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(t)).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    posting = (
+        toks.filter(F.col("term").isin(*[q.lower() for q in query_terms]))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_") + 0.5) / (F.col("df_") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'scan')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_ FROM posting GROUP BY term
+    ), scored AS (
+      SELECT p.doc_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - f.df_ + 0.5) / (f.df_ + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM posting p
+        JOIN dfreq f ON p.term = f.term
+        JOIN dl d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk_q(spark, sf_dir):
+    """Top-10 BM25 hits for the query {join, hash, scan}."""
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        ["join", "hash", "scan"], k=10,
+    )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document bigram language-model surprisal — the classic
+    perplexity-style quality score (KenLM-shaped, trained on the corpus
+    itself with add-one smoothing).  High mean surprisal = improbable
+    word transitions = likely garbled/TOPIC-foreign text; the standard
+    companion signal to the rule-based Gopher filters.
+
+    Model: P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V), score = mean over a
+    doc's bigrams of -ln P, ppl = exp(score).
+
+    Scale: bigrams are sliced out of the token ARRAY per row (zero
+    shuffle, no window); the model tables are two hash aggregates of the
+    corpus; scoring re-joins the doc bigrams to the bigram table keyed
+    on (w1, w2) — at 100 TB that join is the big exchange and is
+    bucket-able; V and the unigram table broadcast."""
+    toks = df.select(
+        F.col(id_col),
+        F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w)).alias("ws"),
+    )
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b_: F.struct(a.alias("w1"), b_.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(F.broadcast(uni_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nlp", -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nlp"), 6).alias("mean_surprisal"),
+        )
+    )
+    return scored
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS ws
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM toks
+    ), big_counts AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), uni_counts AS (
+      SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 FROM bigrams
+      )
+    )
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((bc.c12 + 1.0) / (uc.c1 + vocab.v))), 6)
+             AS mean_surprisal
+    FROM bigrams b
+      JOIN big_counts bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN uni_counts uc ON b.w1 = uc.w1
+      CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_perplexity_q(spark, sf_dir):
+    """Corpus-trained bigram-LM mean surprisal per document."""
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -43,13 +43,17 @@ def query(name: str, oracle: str | None = None):
 # full sweep.
 _WINDOW_50 = (
     # relational smoke
-    "counts_event_type", "tpch_q1_agg", "join_lineitem_orders",
-    # round-3/4 flagship operators
-    "text_pmi_bigrams", "text_span_dedup", "corpus_bpe_merges",
-    "layout_zorder_keys", "profile_corpus_facets", "ts_sessionize_islands",
-    # dedup family
-    "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
-    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_semantic",
+    "counts_event_type",
+    # round-4 second wave: new operators (first driver rows)
+    "text_bm25_topk", "text_bigram_perplexity", "graph_pagerank_fixed",
+    "layout_hilbert_keys", "stream_dedup_exact",
+    # round-4 second wave: TPC-H completion representatives (first driver
+    # rows; the other eight adapted shapes are judge/test-green)
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
+    # dedup family (rows without a prior green record stay)
+    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_prefix_jaccard", "dedup_fuzzy_names",
     # similarity + graph family
     "sim_cosine_topk_brute", "sim_cosine_topk_lsh", "sim_cosine_topk_ivf",
@@ -68,7 +72,7 @@ _WINDOW_50 = (
     "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",
     "profile_equidepth_histogram", "profile_table_checksum",
     "incremental_agg_merge", "window_sliding_distinct_users",
-    # round-4 additions (first driver rows)
+    # round-4 first wave (first driver rows)
     "sim_pca_topk", "stream_late_data_drop", "incremental_agg_minmax",
 )
 _PRIORITY_PREFIXES = (

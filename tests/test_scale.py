@@ -222,3 +222,38 @@ def test_zordered_layout_tightens_partition_bounding_boxes(spark, sf_dir):
         .sortWithinPartitions("z")
     )
     assert avg_bbox_area(zsorted) < 0.5 * unsorted_area
+
+
+def test_hilbert_key_is_a_bijective_unit_step_curve(spark):
+    # order-4 grid (16x16): the 256 Hilbert keys must be a permutation of
+    # 0..255 and every consecutive pair of keys must sit in GRID-ADJACENT
+    # cells (|dx|+|dy| = 1) — the no-diagonal-jump property that makes
+    # Hilbert clustering tighter than Morton.
+    from dask_obj_spark.operators.scale import with_hilbert_key
+
+    cells = spark.range(256).select(
+        (F.col("id") % 16).alias("xb"), (F.col("id") / 16).cast("long").alias("yb")
+    )
+    rows = (
+        with_hilbert_key(cells, F.col("xb"), F.col("yb"), out="hkey", order=4)
+        .orderBy("hkey")
+        .collect()
+    )
+    assert [r.hkey for r in rows] == list(range(256))
+    steps = [
+        abs(b.xb - a.xb) + abs(b.yb - a.yb) for a, b in zip(rows, rows[1:])
+    ]
+    assert set(steps) == {1}
+
+
+def test_write_hilbert_layout_roundtrip(spark, sf_dir, tmp_path):
+    from dask_obj_spark.operators.scale import write_hilbert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 256).alias("xb"), (F.col("event_id") % 256).alias("yb")
+    )
+    path = str(tmp_path / "hilbert")
+    write_hilbert(ev, path, F.col("xb"), F.col("yb"), files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
