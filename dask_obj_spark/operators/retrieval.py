@@ -1,0 +1,264 @@
+"""Hybrid retrieval: rank fusion and ranking-quality evaluation.
+
+The reference has no retrieval surface (its only imports are
+dask/toolz/operator — /root/reference/src/dask_obj/core.py:3-10); this
+module is part of the training-data-pipeline tier the engine needs at
+100 TB: mining a corpus with BOTH a lexical leg (BM25,
+operators/text.py) and a semantic leg (cosine ANN,
+operators/similarity.py), fusing the two rankings, and scoring any
+approximate index against exact ground truth with graded (NDCG) rather
+than set-based (recall) credit.
+
+Spark-first design notes:
+
+- **RRF fusion** is algebra over two *already top-k* tables (≤ N rows
+  each): a full outer join on the doc id + ``1/(K+rank)`` sums.  All the
+  heavy lifting stays in the legs, which are the scale-shaped plans
+  audited in PLANS.md (posting-pruned BM25, broadcast-probe cosine); the
+  fusion itself is O(top-N) regardless of corpus size.
+- **NDCG** joins the approx top-k against the exact top-k per probe and
+  folds the log2-discounted gains — two tiny hash aggregates keyed by
+  probe id.  Like `ann_recall` (similarity.py:641) both inputs are
+  (id1, id2, rank) tables; unlike recall, position matters.
+
+Cross-engine determinism: every ranking is computed over either
+bit-identical floats (the cosine leg: left-associated fold, see
+similarity.py:59) or 6-dp-rounded scores (the BM25 leg), with the doc
+id as the final tie-break, so Spark and DuckDB rank identically; the
+discounted-gain sums are ≤ k terms and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_obj_spark.operators.similarity import (
+    CENTROID_MOD,
+    DIM,
+    NPROBE,
+    _duck_base,
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    duck_cosine,
+)
+from dask_obj_spark.operators.text import bm25_topk
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-N rankings.
+
+    Inputs are (id, lex_rank) / (id, sem_rank) tables — each already a
+    top-N result, so this plan touches O(N) rows however large the
+    corpus was.  A doc present in only one list scores only that list's
+    term (the standard RRF contract)."""
+    lx = lexical.select(F.col(id_col), F.col("lex_rank"))
+    sm = semantic.select(F.col(id_col).alias("_sid"), F.col("sem_rank"))
+    # ranks are nullable on a one-list doc: coalesce to -1 and cast
+    # bigint so the driver's pandas-mediated hash never sees a float64
+    # promotion ("5.0" vs "5" — verify SKILL.md round-3 gotcha)
+    fused = lx.join(sm, lx[id_col] == sm["_sid"], "full_outer").select(
+        F.coalesce(lx[id_col], sm["_sid"]).alias(id_col),
+        F.coalesce("lex_rank", F.lit(-1)).cast("bigint").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(-1)).cast("bigint").alias("sem_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused
+
+
+_RRF_TERMS = ("join", "hash", "scan")
+_RRF_TOPN = 20  # depth of each leg's list entering the fusion
+
+
+def _duck_rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    cos = duck_cosine("pv", "v", DIM)
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_ FROM posting GROUP BY term
+    ), lex_scored AS (
+      SELECT p.doc_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - f.df_ + 0.5) / (f.df_ + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+             ), 6) AS score
+      FROM posting p
+        JOIN dfreq f ON p.term = f.term
+        JOIN dl d ON p.doc_id = d.doc_id
+        CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ), lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM lex_scored
+      ) WHERE lex_rank <= {_RRF_TOPN}
+    ), cbase AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), probe AS (
+      SELECT v AS pv FROM cbase WHERE vid = 0
+    ), sem_scored AS (
+      SELECT vid, {cos} AS cos_raw FROM cbase, probe WHERE vid <> 0
+    ), sem AS (
+      SELECT vid, sem_rank FROM (
+        SELECT vid,
+               row_number() OVER (ORDER BY cos_raw DESC, vid) AS sem_rank
+        FROM sem_scored
+      ) WHERE sem_rank <= {_RRF_TOPN}
+    )
+    SELECT coalesce(l.doc_id, s.vid) AS doc_id,
+           coalesce(l.lex_rank, -1)::BIGINT AS lex_rank,
+           coalesce(s.sem_rank, -1)::BIGINT AS sem_rank,
+           round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                 + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+    FROM lex l FULL JOIN sem s ON l.doc_id = s.vid
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query("retrieval_rrf_hybrid", oracle=_duck_rrf_oracle())
+def retrieval_rrf_hybrid_q(spark, sf_dir):
+    """Hybrid search: BM25 top-20 for {join, hash, scan} fused with the
+    cosine top-20 neighborhood of probe vector 0 (vec ids are doc-id
+    aligned, FIXTURES.md) by reciprocal-rank fusion; top-10 fused docs.
+
+    The 20-row windows below are over leg *results*, not the corpus —
+    single-partition by construction and constant-size at any corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "doc_id", "text", list(_RRF_TERMS), k=_RRF_TOPN)
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    # probe_mod larger than any vec_id → probe set = {0} exactly
+    sem = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=1_000_000_000,
+                            k=_RRF_TOPN)
+    sem = sem.select(F.col("id2").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    fused = rrf_fuse(lex, sem, "doc_id")
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-probe NDCG@k of an approximate ranking against exact ground
+    truth (binary relevance, log2 position discount).
+
+    Both inputs are (id1, id2, rank) top-k tables keyed by probe —
+    exactly the `ann_recall` contract (similarity.py:641) but graded:
+    a relevant hit at rank 1 is worth ~3× one at rank 9.  IDCG is
+    computed from the truth table's own ranks, so probes with < k true
+    neighbors normalize correctly.  Plan: one semi-join + two tiny hash
+    aggregates keyed by probe id — O(probes · k) rows throughout."""
+    gain = lambda r: 1.0 / F.log2(F.col(r) + 1.0)  # noqa: E731
+    idcg = (
+        truth.filter(F.col("rank") <= k)
+        .groupBy("id1")
+        .agg(F.sum(gain("rank")).alias("idcg"))
+    )
+    hits = approx.filter(F.col("rank") <= k).join(
+        truth.select("id1", "id2"), ["id1", "id2"], "left_semi"
+    )
+    dcg = hits.groupBy("id1").agg(F.sum(gain("rank")).alias("dcg"))
+    return (
+        idcg.join(dcg, "id1", "left")
+        .select(
+            F.col("id1").alias("probe_id"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6).alias(
+                "ndcg"
+            ),
+        )
+    )
+
+
+def _duck_ivf_ndcg_oracle() -> str:
+    cos = duck_cosine("pv", "v", DIM)
+    return (
+        _duck_base(50)
+        + f"""
+    , t_scored AS (
+      SELECT pid AS id1, vid AS id2, {cos} AS cos_raw
+      FROM base JOIN probes ON pid <> vid
+    ), t_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM t_scored
+    ), truth AS (
+      SELECT id1, id2, rank FROM t_ranked WHERE rank <= 10
+    ), cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {CENTROID_MOD} = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid,
+             {duck_cosine("b.v", "c.cv", DIM)} AS cs
+      FROM base b, cents c
+    ), ranked_assign AS (
+      SELECT vid, v, cid, cs,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS (
+      SELECT vid, v, cid FROM ranked_assign WHERE rn = 1
+    ), pcells AS (
+      SELECT vid AS pid, v AS pv, cid
+      FROM ranked_assign WHERE rn <= {NPROBE} AND vid % 50 = 0
+    ), cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM pcells p JOIN cells c ON p.cid = c.cid AND p.pid <> c.vid
+    ), a_scored AS (
+      SELECT pid AS id1, vid AS id2, {cos} AS cos_raw
+      FROM cand
+    ), a_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM a_scored
+    ), approx AS (
+      SELECT id1, id2, rank FROM a_ranked WHERE rank <= 10
+    ), idcg AS (
+      SELECT id1, sum(1.0 / log2(rank + 1.0)) AS idcg
+      FROM truth GROUP BY id1
+    ), dcg AS (
+      SELECT a.id1, sum(1.0 / log2(a.rank + 1.0)) AS dcg
+      FROM approx a JOIN truth t ON a.id1 = t.id1 AND a.id2 = t.id2
+      GROUP BY a.id1
+    )
+    SELECT i.id1 AS probe_id, round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON i.id1 = d.id1
+    """
+    )
+
+
+@query("sim_ndcg_ivf", oracle=_duck_ivf_ndcg_oracle())
+def sim_ndcg_ivf_q(spark, sf_dir):
+    """NDCG@10 of the IVF ANN index against exact brute-force ground
+    truth, per probe — the graded companion to `sim_ivf_recall` (a hit
+    at rank 1 earns more than the same hit at rank 10), oracle-checked
+    with both rankings replayed in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    approx = cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return ndcg_at_k(truth, approx, 10)

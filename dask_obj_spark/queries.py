@@ -52,11 +52,15 @@ _WINDOW_50 = (
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
+    # round-4 third wave: hybrid retrieval + graded ANN eval (first
+    # driver rows; displaced dedup_exact_groups / sim_cosine_topk_brute
+    # hold green CORRECTNESS_r03 records)
+    "retrieval_rrf_hybrid", "sim_ndcg_ivf",
     # dedup family (rows without a prior green record stay)
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_prefix_jaccard", "dedup_fuzzy_names",
     # similarity + graph family
-    "sim_cosine_topk_brute", "sim_cosine_topk_lsh", "sim_cosine_topk_ivf",
+    "sim_cosine_topk_lsh", "sim_cosine_topk_ivf",
     "sim_ivf_recall", "sim_label_propagation", "sim_knn_kcore",
     # corpus pipeline
     "corpus_dedup_clusters", "corpus_contamination", "corpus_chunk_windows",
@@ -114,6 +118,7 @@ def load_all_queries() -> None:
     import dask_obj_spark.operators.text  # noqa: F401
     import dask_obj_spark.operators.timeseries  # noqa: F401
     import dask_obj_spark.operators.multimodal  # noqa: F401
+    import dask_obj_spark.operators.retrieval  # noqa: F401
     import dask_obj_spark.streaming.windows  # noqa: F401
 
     ordered = sorted(QUERIES, key=_registration_rank)  # stable within rank
