@@ -838,3 +838,148 @@ def dedup_prefix_jaccard_q(spark, sf_dir):
     return prefix_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", 0.7
     )
+
+
+# -- sorted-neighborhood blocking ---------------------------------------------
+
+_SN_KEY_LEN = 24  # canonical sort-key prefix length
+_SN_BLOCK_LEN = 4  # coarse block = first chars of the key
+_SN_WINDOW = 2  # neighbors paired with each record (w-1 of classic SN w=3)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 4,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: canonical sort key → order →
+    pair each record with its next `_SN_WINDOW` neighbors → exact
+    shingle-Jaccard verification.
+
+    The classic single-machine method sorts the whole dataset and slides
+    one window; the distributed adaptation BLOCKS on a coarse key prefix
+    and runs the neighbor window inside each block, which is exactly how
+    SN is sharded in practice: candidate generation is a per-block
+    window function (no global sort, no single-partition window), at the
+    documented cost of missing pairs that straddle a block boundary —
+    the standard SN recall trade, bounded by (window size / block size).
+    Complement to LSH banding (dedup_minhash_*): SN catches near-dups
+    whose similarity is PREFIX-concentrated (mutated tails) with one
+    cheap pass and zero hashing.
+
+    Plan at 100 TB: the key/block derivation is codegen'd string algebra
+    on the scan; the window shuffles once on the block key; candidate
+    pairs are O(rows · window); verification joins the candidate list
+    against the distinct-shingle inverted index twice (equi-joins on
+    (id, shingle)) — never an all-pairs surface."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        _SN_KEY_LEN,
+    )
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("sn_key"),
+    ).withColumn("block", F.substring("sn_key", 1, _SN_BLOCK_LEN))
+    w = Window.partitionBy("block").orderBy("sn_key", "doc_id")
+    nbrs = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", i).over(w).alias(f"n{i}")
+            for i in range(1, _SN_WINDOW + 1)
+        ],
+    )
+    cand = (
+        nbrs.select(
+            "doc_id",
+            F.explode(F.array(*[F.col(f"n{i}") for i in range(1, _SN_WINDOW + 1)])).alias(
+                "nbr"
+            ),
+        )
+        .filter(F.col("nbr").isNotNull())
+        .select(
+            F.least("doc_id", "nbr").alias("id1"),
+            F.greatest("doc_id", "nbr").alias("id2"),
+        )
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("a"), F.col("id1") == F.col("a.doc_id"))
+        .select("id1", "id2", F.col("a.shingle").alias("sh1"))
+        .join(
+            sh.alias("b"),
+            (F.col("id2") == F.col("b.doc_id"))
+            & (F.col("sh1") == F.col("b.shingle")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    1, """ + str(_SN_KEY_LEN) + """) AS sn_key
+      FROM documents
+    ), blocked AS (
+      SELECT doc_id, sn_key, substr(sn_key, 1, """ + str(_SN_BLOCK_LEN) + """) AS block
+      FROM keyed
+    ), nbrs AS (
+      SELECT doc_id,
+             lead(doc_id, 1) OVER (PARTITION BY block ORDER BY sn_key, doc_id) AS n1,
+             lead(doc_id, 2) OVER (PARTITION BY block ORDER BY sn_key, doc_id) AS n2
+      FROM blocked
+    ), cand0 AS (
+      SELECT doc_id, n1 AS nbr FROM nbrs WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n2 AS nbr FROM nbrs WHERE n2 IS NOT NULL
+    ), cand AS (
+      SELECT DISTINCT least(doc_id, nbr) AS id1, greatest(doc_id, nbr) AS id2
+      FROM cand0
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id1, c.id2, count(*) AS n_common
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.id1
+        JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+      GROUP BY c.id1, c.id2
+    )
+    SELECT id1, id2,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.doc_id
+               JOIN sizes sb ON id2 = sb.doc_id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.2
+    """,
+)
+def dedup_sorted_neighborhood_q(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs (block on 4-char key prefix,
+    window 2) verified by exact 4-shingle Jaccard ≥ 0.2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, "doc_id", "text", 4, 0.2)

@@ -359,3 +359,112 @@ def layout_hilbert_keys_q(spark, sf_dir):
         F.col("xb"), F.col("yb"), out="hkey", order=8,
     )
     return keyed.select("event_id", "xb", "yb", "hkey")
+
+
+# -- Bloom-filter semi-join prefilter -----------------------------------------
+
+BLOOM_WORDS = 64  # 64 x 64-bit words = 4096-bit filter
+BLOOM_HASHES = 3
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
+    """Build a 4096-bit Bloom filter over a key column as 64 longs.
+
+    Construction is one distributed pass: explode each key into its
+    BLOOM_HASHES (word, bit) positions, bit_or the masks per word — a
+    64-row hash aggregate whatever the build side's size.  The collect
+    is 64 longs (same bounded-small-side contract as the k-means
+    centroid pull, PLANS.md).  Hashing is the portable md5-derived
+    `porthash`, so an oracle engine can replay membership bit-for-bit."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    m = BLOOM_WORDS * 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (porthash(F.col(key_col).cast("string"), f"bf{i}") % m + m) % m
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.expr("CAST(p DIV 64 AS INT)").alias("w"),
+            # shiftleft's bit-count must be a column here → SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    arr = [0] * BLOOM_WORDS
+    for r in words:
+        arr[r.w] = r.word
+    return arr
+
+
+def bloom_might_contain(bloom: list[int], key_sql: str) -> Column:
+    """Membership test against a driver-built filter, as a pure codegen
+    column expression (the 64-word filter ships as a literal array in
+    the plan — no join, no shuffle, evaluated at the scan).
+
+    `key_sql` is the probe key as a SQL expression string (the whole
+    predicate is generated as SQL because shiftleft-by-a-column has no
+    DataFrame-API form).  The hash chain replays `porthash` exactly."""
+    m = BLOOM_WORDS * 64
+    arr_sql = "array(" + ", ".join(f"{int(w)}L" for w in bloom) + ")"
+    conds = []
+    for i in range(BLOOM_HASHES):
+        h = (
+            f"CAST(conv(substr(md5(concat(CAST({key_sql} AS STRING), "
+            f"'#bf{i}')), 1, 15), 16, 10) AS BIGINT)"
+        )
+        p = f"(({h}) % {m})"  # porthash is non-negative (15 hex digits)
+        word = f"element_at({arr_sql}, CAST({p} DIV 64 AS INT) + 1)"
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        conds.append(f"(({word} & {bit}) != 0)")
+    return F.expr(" AND ".join(conds))
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_items,
+           round(sum(l_extendedprice), 6) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter_q(spark, sf_dir):
+    """Semi-join with an explicit Bloom prefilter: revenue by return flag
+    of line items belonging to urgent orders.  The filter (4096 bits
+    over the urgent order keys) is applied AT THE SCAN of the probe
+    side, so only rows that might match ever enter the exchange; the
+    exact semi-join then removes the false positives — the result is
+    IDENTICAL to the plain semi-join (the oracle), which also proves the
+    filter admits every true key (a false negative would drop rows and
+    break the hash).
+
+    This is the engine-independent form of Spark's own runtime
+    row-level filtering (spark.sql.optimizer.runtime.bloomFilter.*):
+    materializing it as an operator makes the technique available when
+    the build side is computed OUTSIDE the query (a standing keyset, a
+    previous job), not just when Catalyst can inject it itself.  At
+    100 TB: shuffle volume on the probe side drops to
+    |matches| + |false positives| instead of |probe|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+    prefiltered = li.filter(bloom_might_contain(bloom, "l_orderkey"))
+    exact = prefiltered.join(F.broadcast(keys), li["l_orderkey"] == keys["o_orderkey"], "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+    )

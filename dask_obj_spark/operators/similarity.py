@@ -1280,3 +1280,105 @@ def sim_knn_kcore_q(spark, sf_dir):
         F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
     ).distinct()
     return k_core(edges, k=3, rounds=8)
+
+
+# -- multi-source BFS hop distances -------------------------------------------
+
+
+def bfs_hops(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed vertex,
+    explored `rounds` hops deep — the reachability/diffusion primitive
+    (influence radius, contamination spread over a similarity graph,
+    "how far is every doc from a trusted set").
+
+    ``vertices``: (id); ``edges``: (u, v) one row per undirected edge;
+    ``seeds``: (id) at distance 0.  Vertices unreached within `rounds`
+    hops report -1.
+
+    Scale shape: the classic frontier algorithm — each round joins ONLY
+    the newly-discovered frontier against the (symmetrized) edge list,
+    anti-joins out already-settled vertices, and appends the rest at
+    distance r.  Work per round is O(frontier · avg-degree), not
+    O(vertices); the settled table and the frontier are
+    localCheckpointed per round (the iterative-operator contract shared
+    with connected_components / k_core / label_propagation).  BFS
+    guarantees a vertex is first reached at its minimum hop count, so
+    the append-only settled table needs no min-merge."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dist = (
+        seeds.select(F.col("id"), F.lit(0).alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for r in range(1, rounds + 1):
+        cand = (
+            sym.join(frontier.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        new = cand.join(dist, "id", "left_anti").select(
+            "id", F.lit(r).alias("dist")
+        )
+        frontier = new.localCheckpoint(eager=True)
+        dist = dist.union(frontier).localCheckpoint(eager=True)
+    return vertices.join(dist, "id", "left").select(
+        "id", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist")
+    )
+
+
+def _duck_bfs_oracle(rounds: int, probe_mod: int, topk: int, seed_mod: int) -> str:
+    """Unrolled BFS oracle: per round, min-merge of the previous distance
+    table with every neighbor's dist+1 (equivalent to the frontier form:
+    BFS first touches a vertex at its minimum hop)."""
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        _duck_topk_ctes().strip().lstrip(",").strip(),
+        f"""knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM ranked WHERE rank <= {topk}
+    ), ed AS MATERIALIZED (
+      SELECT u, v FROM knn UNION ALL SELECT v, u FROM knn
+    ), d0 AS MATERIALIZED (
+      SELECT vec_id AS id, 0 AS dist FROM embeddings WHERE vec_id % {seed_mod} = 0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{r-1}
+        UNION ALL
+        SELECT e.v AS id, d.dist + 1 AS dist
+        FROM ed e JOIN d{r-1} d ON d.id = e.u
+      ) GROUP BY id
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.vid AS id, CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+    FROM base b LEFT JOIN d{rounds} d ON d.id = b.vid
+    """
+    )
+
+
+@query("graph_bfs_hops", oracle=_duck_bfs_oracle(4, 5, 10, 50))
+def graph_bfs_hops_q(spark, sf_dir):
+    """Hop distance from the 1-in-50 seed set over the 1-in-5-probe kNN
+    graph, 4 hops deep (unreached = -1) — frontier BFS hash-matched
+    against the unrolled min-merge oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
+    return bfs_hops(vertices, edges, seeds, rounds=4)

@@ -52,16 +52,16 @@ _WINDOW_50 = (
     "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
     "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
-    # round-4 third wave: hybrid retrieval + graded ANN eval (first
-    # driver rows; displaced dedup_exact_groups / sim_cosine_topk_brute
-    # hold green CORRECTNESS_r03 records)
-    "retrieval_rrf_hybrid", "sim_ndcg_ivf",
+    # round-4 third wave: hybrid retrieval, graded ANN eval, SN dedup,
+    # bloom prefilter, BFS, MI, Spearman (first driver rows; every
+    # displaced row holds a green CORRECTNESS_r03 record)
+    "retrieval_rrf_hybrid", "sim_ndcg_ivf", "dedup_sorted_neighborhood",
+    "join_bloom_prefilter", "graph_bfs_hops", "profile_mutual_information",
+    "stats_spearman_corr",
     # dedup family (rows without a prior green record stay)
-    "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "dedup_prefix_jaccard", "dedup_fuzzy_names",
     # similarity + graph family
-    "sim_cosine_topk_lsh", "sim_cosine_topk_ivf",
-    "sim_ivf_recall", "sim_label_propagation", "sim_knn_kcore",
+    "sim_label_propagation", "sim_knn_kcore",
     # corpus pipeline
     "corpus_dedup_clusters", "corpus_contamination", "corpus_chunk_windows",
     "corpus_dedup_keep_best", "capstone_semantic_chunk_pack",

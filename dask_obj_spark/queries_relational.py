@@ -1797,3 +1797,141 @@ def ts_latest_per_key(spark, sf_dir):
             F.round("value", 6).alias("value"),
         )
     )
+
+
+@query(
+    "profile_mutual_information",
+    oracle="""
+    WITH n AS (
+      SELECT count(*) AS total FROM documents
+    ), joint AS (
+      SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY lang, source
+    ), px AS (
+      SELECT lang, count(*) AS n_x FROM documents GROUP BY lang
+    ), py AS (
+      SELECT source, count(*) AS n_y FROM documents GROUP BY source
+    ), contrib AS (
+      SELECT j.lang, j.source, j.n_xy,
+             round(ln((j.n_xy * 1.0 * n.total) / (x.n_x * 1.0 * y.n_y)), 6) AS pmi,
+             (j.n_xy * 1.0 / n.total)
+               * ln((j.n_xy * 1.0 * n.total) / (x.n_x * 1.0 * y.n_y)) AS c_raw
+      FROM joint j
+      JOIN px x ON j.lang = x.lang
+      JOIN py y ON j.source = y.source
+      CROSS JOIN n
+    )
+    SELECT lang, source, n_xy, pmi,
+           round(c_raw, 6) AS contrib,
+           round(sum(c_raw) OVER (), 6) AS mi_total
+    FROM contrib
+    """,
+)
+def profile_mutual_information(spark, sf_dir):
+    """Mutual information between two categorical columns (lang ×
+    source), decomposed per cell: pointwise MI, the cell's weighted
+    contribution, and the total MI replicated on every row — the
+    column-dependency profile a schema-drift / feature-selection pass
+    computes over every categorical pair.
+
+    Plan: three hash aggregates of the corpus (joint + two marginals);
+    the marginals broadcast back onto the joint table, which is
+    dimension-sized (|lang| x |source|), so the final unpartitioned
+    window for the total runs over a handful of rows, never the corpus.
+    At 100 TB the only corpus-wide work is the three codegen'd
+    count-aggregates — one shuffle each, map-side combined."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("total"))
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    px = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_x"))
+    py = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_y"))
+    c_raw = (F.col("n_xy") / F.col("total")) * F.log(
+        (F.col("n_xy") * F.col("total")) / (F.col("n_x") * F.col("n_y"))
+    )
+    contrib = (
+        joint.join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.round(
+                F.log((F.col("n_xy") * F.col("total")) / (F.col("n_x") * F.col("n_y"))),
+                6,
+            ).alias("pmi"),
+            c_raw.alias("c_raw"),
+        )
+    )
+    w = Window.partitionBy()  # dimension-sized input: |lang| x |source| rows
+    return contrib.select(
+        "lang",
+        "source",
+        "n_xy",
+        "pmi",
+        F.round("c_raw", 6).alias("contrib"),
+        F.round(F.sum("c_raw").over(w), 6).alias("mi_total"),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH gx AS (
+      SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY l_quantity
+    ), rx AS (
+      SELECT v,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS r
+      FROM gx
+    ), gy AS (
+      SELECT l_extendedprice AS v, count(*) AS c FROM lineitem
+      GROUP BY l_extendedprice
+    ), ry AS (
+      SELECT v,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS r
+      FROM gy
+    )
+    SELECT round(corr(rx.r, ry.r), 6) AS spearman_rho,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem l
+    JOIN rx ON l.l_quantity = rx.v
+    JOIN ry ON l.l_extendedprice = ry.v
+    """,
+)
+def stats_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price — the
+    monotone-dependence profile (Pearson over average ranks, standard
+    tie handling).
+
+    Scale shape: ranks are NOT assigned by a global row window over the
+    fact table.  Each variable's average rank comes from its
+    DISTINCT-VALUE table (count per value, exclusive running sum + half
+    the tie block) — the window runs over |distinct values| rows, then
+    the tiny rank tables broadcast-join back onto the facts and a single
+    corr() aggregate finishes.  For a variable whose distinct count is
+    itself huge, the running sum generalizes to the two-phase
+    partition-offset scan used by profile_equidepth_histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def avg_ranks(col: str):
+        g = li.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            "v",
+            (F.coalesce(F.sum("c").over(w), F.lit(0)) + (F.col("c") + 1) / 2.0).alias(
+                "r"
+            ),
+        )
+
+    rx = avg_ranks("l_quantity").withColumnRenamed("r", "rx")
+    ry = avg_ranks("l_extendedprice").withColumnRenamed("r", "ry")
+    joined = li.select("l_quantity", "l_extendedprice").join(
+        F.broadcast(rx), li["l_quantity"] == rx["v"]
+    ).join(F.broadcast(ry), li["l_extendedprice"] == ry["v"])
+    return joined.agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -257,3 +257,27 @@ def test_write_hilbert_layout_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_bloom_prefilter_prunes_and_is_exact(spark, sf_dir):
+    """The Bloom prefilter must (a) admit every true key — no false
+    negatives, or the downstream semi-join would lose rows — and
+    (b) actually prune: strictly fewer rows pass the filter than exist,
+    and the pass-through set is close to the true match count (the 4096
+    bit / 3 hash filter's FP rate at this keyset size is small)."""
+    from dask_obj_spark.operators.scale import bloom_build, bloom_might_contain
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+
+    total = li.count()
+    passed = li.filter(bloom_might_contain(bloom, "l_orderkey")).count()
+    true_matches = li.join(
+        keys, li["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    ).count()
+
+    assert true_matches <= passed < total  # no false negatives, real pruning
+    # FP head-room: passes should not blow past 2x the true matches
+    assert passed <= max(2 * true_matches, true_matches + 50)
