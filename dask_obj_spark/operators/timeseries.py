@@ -574,3 +574,88 @@ def ts_user_entropy_q(spark, sf_dir):
             F.count(F.lit(1)).alias("n_types"),
         )
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH mu AS (
+      SELECT user_id, floor(avg(value) * 1000000) / 1000000 AS m
+      FROM events GROUP BY user_id
+    ), y AS (
+      SELECT e.user_id, e.event_id, e.ts, e.value - mu.m - 0.25 AS yv
+      FROM events e JOIN mu ON e.user_id = mu.user_id
+    ), m AS (
+      SELECT user_id, event_id,
+             sum(yv) OVER win AS run
+      FROM y
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT user_id, event_id,
+             run - least(0, min(run) OVER win) AS cusum
+      FROM m
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, round(cusum, 6) AS cusum,
+           CAST(cusum > 5.0 AS INT) AS changepoint
+    FROM s
+    """,
+)
+def ts_changepoint_cusum_q(spark, sf_dir):
+    """One-sided CUSUM changepoint detection per user: flag where the
+    cumulative drift statistic S_i = max(0, S_{i-1} + (x_i - mu - slack))
+    exceeds a threshold — the classic upward-shift monitor.
+
+    The textbook recursion looks sequential (each S depends on the
+    previous), but the reflection identity
+    S_i = M_i - min(0, min_{j<=i} M_j)  with  M = running sum of
+    (x - mu - slack) makes it PURE WINDOW ALGEBRA: one running sum and
+    one running min in the same per-user ordered frame — no
+    applyInPandas, no Python state, one shuffle on the key.  (EWMA has
+    no such closed form, which is why ts_ewma stays an applyInPandas
+    op.)  Cross-engine: both engines evaluate the ordered running sum
+    left-to-right over the identical (ts, event_id) order, so the float
+    stream is reproducible; slack and threshold are fixed constants.
+
+    At 100 TB: identical shape to every other keyed-window op here —
+    shuffle once on user_id, sort within partition, two frames in one
+    pass.  The ordered second window reuses the first's sort (same key,
+    coarser order column)."""
+    ev = load_table(spark, sf_dir, "events")
+    # floor-quantize the mean to micro-units on both engines: the raw
+    # avg differs in the last ulp across engines (unordered fold) and a
+    # running sum amplifies that by the row count — the same cross-engine
+    # numerics contract as ts_resample_interpolate (PLANS.md)
+    mu = ev.groupBy("user_id").agg(
+        (F.floor(F.avg("value") * 1000000) / 1000000).alias("m")
+    )
+    y = ev.join(F.broadcast(mu), "user_id").select(
+        "user_id", "event_id", "ts",
+        (F.col("value") - F.col("m") - F.lit(0.25)).alias("yv"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = y.select(
+        "user_id", "event_id", F.sum("yv").over(w_run).alias("run")
+    )
+    w_min = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = m.select(
+        "user_id",
+        "event_id",
+        (F.col("run") - F.least(F.lit(0.0), F.min("run").over(w_min))).alias("cusum"),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round("cusum", 6).alias("cusum"),
+        (F.col("cusum") > 5.0).cast("int").alias("changepoint"),
+    )

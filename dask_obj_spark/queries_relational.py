@@ -1935,3 +1935,116 @@ def stats_spearman_corr(spark, sf_dir):
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "profile_kl_drift",
+    oracle="""
+    WITH langs AS (
+      SELECT DISTINCT lang FROM documents
+    ), v AS (
+      SELECT count(*) AS nv FROM langs
+    ), gcnt AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ), gn AS (
+      SELECT count(*) AS n FROM documents
+    ), srcs AS (
+      SELECT source, count(*) AS ns FROM documents GROUP BY source
+    ), cell AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ), grid AS (
+      SELECT s.source, l.lang, s.ns, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN langs l
+      LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang
+    ), p AS (
+      SELECT g.source, g.ns,
+             (g.c + 1.0) / (g.ns + v.nv) AS p_sl,
+             (gl.c + 1.0) / (gn.n + v.nv) AS p_l
+      FROM grid g
+      JOIN gcnt gl ON gl.lang = g.lang
+      CROSS JOIN v CROSS JOIN gn
+    )
+    SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+           round(sum(p_sl * ln(p_sl / p_l)), 6) AS kl
+    FROM p GROUP BY source
+    """,
+)
+def profile_kl_drift(spark, sf_dir):
+    """Distribution-drift profile: KL divergence of each source's
+    language distribution from the corpus-wide distribution (add-one
+    smoothed over the observed lang vocabulary) — the per-shard drift
+    alarm a data-quality monitor computes for every categorical column
+    on every ingest batch.
+
+    Plan: everything after the two count aggregates is dimension-sized
+    — the (source x lang) grid is built by cross-joining the two tiny
+    key lists so ABSENT cells participate with their smoothed mass
+    (a per-cell groupBy alone would silently skip them and understate
+    the divergence).  At 100 TB the corpus-wide work is two codegen'd
+    hash aggregates; the grid, joins and the final per-source sum touch
+    |sources| x |langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct()
+    nv = langs.count()
+    n = docs.count()
+    glob = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("gc"))
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cell, ["source", "lang"], "left")
+        .select("source", "lang", "ns", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    p = grid.join(F.broadcast(glob), "lang").select(
+        "source",
+        "ns",
+        ((F.col("c") + 1.0) / (F.col("ns") + F.lit(nv))).alias("p_sl"),
+        ((F.col("gc") + 1.0) / (F.lit(n) + F.lit(nv))).alias("p_l"),
+    )
+    return p.groupBy("source").agg(
+        F.max("ns").cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.col("p_sl") * F.log(F.col("p_sl") / F.col("p_l"))), 6).alias(
+            "kl"
+        ),
+    )
+
+
+@query(
+    "profile_dp_release",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), seeded AS (
+      SELECT event_type, n,
+             ((('0x' || substr(md5(event_type || '#dp'), 1, 15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0 AS u
+      FROM counts
+    )
+    SELECT event_type, n,
+           round(n + (-1.0) * (CASE WHEN u < 0.5 THEN -1 ELSE 1 END)
+                 * ln(1 - 2 * abs(u - 0.5)), 6) AS released
+    FROM seeded
+    """,
+)
+def profile_dp_release(spark, sf_dir):
+    """Differentially-private count release: per-type event counts with
+    Laplace(1/eps) noise, eps = 1 (inverse-CDF sampling of the Laplace
+    from one uniform draw).
+
+    The uniform is derived from the portable keyed hash instead of an
+    RNG so the release is REPRODUCIBLE and oracle-checkable — the
+    pattern for seeded/deterministic DP pipelines (a production release
+    swaps the hash for a secret-seeded PRF; the plan is unchanged).
+    Noise addition is per-GROUP, post-aggregation: zero cost at any
+    scale, no per-row work — the DP mechanism lives entirely on the
+    dimension-sized result."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (porthash(F.col("event_type"), "dp") % 1000000 + 0.5) / 1000000.0
+    sign = F.when(u < 0.5, F.lit(-1)).otherwise(F.lit(1))
+    noise = F.lit(-1.0) * sign * F.log(1 - 2 * F.abs(u - 0.5))
+    return counts.select(
+        "event_type", "n", F.round(F.col("n") + noise, 6).alias("released")
+    )
