@@ -262,3 +262,171 @@ def sim_ndcg_ivf_q(spark, sf_dir):
     truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
     approx = cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
     return ndcg_at_k(truth, approx, 10)
+
+
+# -- MMR diversified re-ranking -----------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+MMR_CAND = 20  # candidate depth entering the re-rank
+MMR_PICKS = 5  # diversified results returned per probe
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    pair_sim: DataFrame,
+    picks: int = MMR_PICKS,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of a per-probe candidate
+    list: greedily pick the candidate maximizing
+    ``λ·rel − (1−λ)·max_sim_to_already_picked`` — the standard
+    diversification pass over an ANN result (top-k lists are often
+    near-duplicate clusters; MMR spreads them).
+
+    ``cand``: (pid, cid, rel); ``pair_sim``: (pid, c1, c2, sim) pairwise
+    similarities WITHIN each probe's candidate list (k² per probe, never
+    corpus-scale).  The greedy loop is inherently sequential in `picks`,
+    so it runs as `picks` rounds of keyed joins/windows — each round is
+    one hash join + one argmax window, all partitioned by probe; the
+    picked set is localCheckpointed per round (the iterative-operator
+    contract).  Every score is bit-exact algebra over the exact cosine
+    values, so the greedy trajectory is reproducible cross-engine."""
+    w = Window.partitionBy("pid").orderBy(F.desc("rel"), F.asc("cid"))
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pid",
+            "cid",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+            F.lit(1).alias("pick_order"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, picks + 1):
+        remaining = cand.join(picked.select("pid", "cid"), ["pid", "cid"], "left_anti")
+        maxsim = (
+            pair_sim.join(
+                picked.select(F.col("pid"), F.col("cid").alias("c2")),
+                ["pid", "c2"],
+            )
+            .groupBy("pid", F.col("c1").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = remaining.join(maxsim, ["pid", "cid"], "left").select(
+            "pid",
+            "cid",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1 - lam) * F.coalesce(F.col("ms"), F.lit(0.0))
+            ).alias("score"),
+        )
+        ww = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("cid"))
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(ww))
+            .filter(F.col("rn") == 1)
+            .select("pid", "cid", "score", F.lit(r).alias("pick_order"))
+        )
+        picked = picked.union(nxt).localCheckpoint(eager=True)
+    return picked.select(
+        F.col("pid").alias("id1"),
+        F.col("cid").alias("id2"),
+        "pick_order",
+        F.round("score", 6).alias("mmr_score"),
+    )
+
+
+def _duck_mmr_oracle(probe_mod: int, cand_k: int, picks: int, lam: float) -> str:
+    cos = duck_cosine("pv", "v", DIM)
+    csim = duck_cosine("a.v", "b.v", DIM)
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        f"""scored AS MATERIALIZED (
+      SELECT pid, vid, v, {cos} AS rel
+      FROM base JOIN probes ON pid <> vid
+    ), cand AS MATERIALIZED (
+      SELECT pid, vid AS cid, v, rel FROM (
+        SELECT pid, vid, v, rel,
+               row_number() OVER (PARTITION BY pid ORDER BY rel DESC, vid) AS rn
+        FROM scored
+      ) WHERE rn <= {cand_k}
+    ), psim AS MATERIALIZED (
+      SELECT a.pid, a.cid AS c1, b.cid AS c2, {csim} AS sim
+      FROM cand a JOIN cand b ON a.pid = b.pid AND a.cid <> b.cid
+    ), pick1 AS MATERIALIZED (
+      SELECT pid, cid, {lam} * rel AS score, 1 AS pick_order FROM (
+        SELECT pid, cid, rel,
+               row_number() OVER (PARTITION BY pid ORDER BY rel DESC, cid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ), sel1 AS MATERIALIZED (
+      SELECT pid, cid, score, pick_order FROM pick1
+    )""",
+    ]
+    for r in range(2, picks + 1):
+        ctes.append(f"""ms{r} AS MATERIALIZED (
+      SELECT p.pid, p.c1 AS cid, max(p.sim) AS ms
+      FROM psim p JOIN sel{r-1} s ON s.pid = p.pid AND s.cid = p.c2
+      GROUP BY p.pid, p.c1
+    ), pick{r} AS MATERIALIZED (
+      SELECT pid, cid, score, {r} AS pick_order FROM (
+        SELECT c.pid, c.cid,
+               {lam} * c.rel - {1 - lam} * coalesce(m.ms, 0) AS score,
+               row_number() OVER (PARTITION BY c.pid
+                 ORDER BY {lam} * c.rel - {1 - lam} * coalesce(m.ms, 0) DESC,
+                          c.cid) AS rn
+        FROM cand c
+        LEFT JOIN ms{r} m ON m.pid = c.pid AND m.cid = c.cid
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{r-1} s WHERE s.pid = c.pid AND s.cid = c.cid
+        )
+      ) WHERE rn = 1
+    ), sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r-1} UNION ALL SELECT * FROM pick{r}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT pid AS id1, cid AS id2, pick_order, round(score, 6) AS mmr_score
+    FROM sel{picks}
+    """
+    )
+
+
+@query(
+    "sim_mmr_topk",
+    oracle=_duck_mmr_oracle(50, MMR_CAND, MMR_PICKS, MMR_LAMBDA),
+)
+def sim_mmr_topk_q(spark, sf_dir):
+    """MMR-diversified top-5 per probe from the exact top-20 cosine
+    candidates (λ=0.7) — the greedy trajectory is replayed round-for-
+    round by the unrolled materialized-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    topk = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=MMR_CAND)
+    # re-attach vectors and RAW (unrounded) relevance for the re-rank:
+    # the greedy argmax must run on exact values on both engines
+    probes = base.filter(F.col("vid") % 50 == 0).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv")
+    )
+    cand_ids = topk.select(F.col("id1").alias("pid"), F.col("id2").alias("cid"))
+    cvec = cand_ids.join(
+        base.select(F.col("vid").alias("cid"), "v"), "cid"
+    )
+    from dask_obj_spark.operators.similarity import cosine_sim
+
+    cand = cvec.join(F.broadcast(probes), "pid").select(
+        "pid", "cid", "v", cosine_sim(F.col("pv"), F.col("v")).alias("rel")
+    ).localCheckpoint(eager=True)
+    a = cand.select("pid", F.col("cid").alias("c1"), F.col("v").alias("va"))
+    b = cand.select("pid", F.col("cid").alias("c2"), F.col("v").alias("vb"))
+    pair_sim = (
+        a.join(b, "pid")
+        .filter(F.col("c1") != F.col("c2"))
+        .select("pid", "c1", "c2", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    return mmr_rerank(cand.select("pid", "cid", "rel"), pair_sim)

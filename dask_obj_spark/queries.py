@@ -66,9 +66,13 @@ _WINDOW_50 = (
     "corpus_dedup_clusters", "corpus_contamination", "corpus_chunk_windows",
     "corpus_dedup_keep_best", "capstone_semantic_chunk_pack",
     "corpus_bpe_compression", "basket_item_pairs",
+    # round-4 fourth wave: MMR diversification, CUSUM changepoints,
+    # KL drift, DP release (first driver rows; the displaced text_*
+    # rows hold green CORRECTNESS_r03 records)
+    "sim_mmr_topk", "ts_changepoint_cusum", "profile_kl_drift",
+    "profile_dp_release",
     # text analysis
-    "text_tfidf_top_terms", "text_langid", "text_fingerprints",
-    "text_quality_scores", "text_zipf_fit",
+    "text_zipf_fit",
     # multimodal + composed pipelines + skew
     "mm_decode_features", "mm_frame_sample", "pipeline_clean_corpus",
     "skew_salted_counts", "skew_salted_join",
