@@ -983,3 +983,106 @@ def dedup_sorted_neighborhood_q(spark, sf_dir):
     window 2) verified by exact 4-shingle Jaccard ≥ 0.2."""
     docs = load_table(spark, sf_dir, "documents")
     return sorted_neighborhood_pairs(docs, "doc_id", "text", 4, 0.2)
+
+
+# -- estimator-error evaluation -----------------------------------------------
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Measured estimator error of the MinHash signature: for every LSH
+    candidate pair, the signature-agreement estimate next to the EXACT
+    shingle Jaccard and their absolute gap — the "measure, don't guess"
+    evidence row for choosing the signature width (16 hashes →
+    std ≈ sqrt(J(1-J)/16) ≈ 0.12 at J=0.5; the measured errors should
+    sit inside that envelope).
+
+    Plan: the candidate set comes from the banded equi-join
+    (sub-quadratic, `minhash_candidate_pairs`); exact Jaccard touches
+    only those pairs via two equi-joins against the distinct-shingle
+    inverted index — the verification surface stays
+    O(candidates · shingles/doc), never all-pairs."""
+    pairs = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, min_est_jaccard
+    )
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.select("id1", "id2")
+        .join(sh.alias("a"), F.col("id1") == F.col("a.doc_id"))
+        .select("id1", "id2", F.col("a.shingle").alias("sh1"))
+        .join(
+            sh.alias("b"),
+            (F.col("id2") == F.col("b.doc_id"))
+            & (F.col("sh1") == F.col("b.shingle")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("nb"))
+    exact = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+    )
+    return (
+        pairs.join(inter, ["id1", "id2"], "left")
+        .join(F.broadcast(sa), "id1")
+        .join(F.broadcast(sb), "id2")
+        .select(
+            "id1",
+            "id2",
+            "est_jaccard",
+            F.coalesce(exact, F.lit(0.0)).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("est_jaccard") - F.coalesce(exact, F.lit(0.0))), 6
+            ).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_est_error",
+    oracle=_duck_pairs_sql(16, 4, 0.5)
+    + """
+    , sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.id1, p.id2, count(*) AS n_common
+      FROM pairs p
+        JOIN sh a ON a.doc_id = p.id1
+        JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+      GROUP BY p.id1, p.id2
+    ), ex AS (
+      SELECT p.id1, p.id2, p.est_jaccard,
+             coalesce(round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6), 0.0)
+               AS exact_jaccard
+      FROM pairs p
+        LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+        JOIN sizes sa ON p.id1 = sa.doc_id
+        JOIN sizes sb ON p.id2 = sb.doc_id
+    )
+    SELECT id1, id2, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM ex
+    """,
+)
+def dedup_minhash_est_error_q(spark, sf_dir):
+    """Signature-estimate vs exact Jaccard on every LSH candidate pair
+    (16 hashes, 4 bands, est >= 0.5) with the absolute error."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_estimate_error(docs, "doc_id", "text", 16, 4, 4, 0.5)

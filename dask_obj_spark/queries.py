@@ -73,8 +73,11 @@ _WINDOW_50 = (
     "profile_dp_release",
     # text analysis
     "text_zipf_fit",
-    # multimodal + composed pipelines + skew
-    "mm_decode_features", "mm_frame_sample", "pipeline_clean_corpus",
+    # round-4 fifth wave: estimator-error eval, Gini skew diagnostic,
+    # streaming windowed top-k (first driver rows; the displaced mm_* /
+    # pipeline_clean_corpus rows hold green CORRECTNESS_r03 records)
+    "dedup_minhash_est_error", "profile_key_skew_gini", "stream_window_topk",
+    # skew
     "skew_salted_counts", "skew_salted_join",
     # timeseries / profiling / incremental maintenance (first driver rows)
     "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",

@@ -2048,3 +2048,73 @@ def profile_dp_release(spark, sf_dir):
     return counts.select(
         "event_type", "n", F.round(F.col("n") + noise, 6).alias("released")
     )
+
+
+@query(
+    "profile_key_skew_gini",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), g AS (
+      SELECT cnt, count(*) AS k FROM c GROUP BY cnt
+    ), r AS (
+      SELECT cnt, k,
+             coalesce(sum(k) OVER (ORDER BY cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+             CAST(sum(cnt * k) AS BIGINT) AS n_rows,
+             CAST(sum(cnt * (k * r0 + k * (k + 1) / 2)) AS BIGINT) AS rank_mass,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM r
+    )
+    SELECT n_keys, n_rows,
+           round(2.0 * rank_mass / (n_keys * 1.0 * n_rows)
+                 - (n_keys + 1.0) / n_keys, 6) AS gini,
+           round(max_cnt * 1.0 / n_rows, 6) AS top_key_share
+    FROM s
+    """,
+)
+def profile_key_skew_gini(spark, sf_dir):
+    """Key-skew diagnostic: Gini coefficient of the per-user event-count
+    distribution plus the hottest key's share — the numbers that decide
+    whether a join/agg on this key needs salting or AQE skew handling
+    BEFORE the job runs.
+
+    Scale shape: the corpus collapses to a per-key count table in one
+    hash aggregate; the Gini rank mass is then computed WITHOUT sorting
+    individual keys — counts are grouped by value and tie blocks
+    contribute c·(k·r0 + k(k+1)/2) in closed form, so the running-sum
+    window scans |distinct count values| rows (tiny: counts concentrate)
+    — the same two-phase ranking trick as stats_spearman_corr.  All
+    rank mass stays in exact integer arithmetic; division happens once
+    at the end."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    g = c.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "cnt", "k", F.coalesce(F.sum("k").over(w), F.lit(0)).alias("r0")
+    )
+    s = r.agg(
+        F.sum("k").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("k")).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.col("cnt")
+            * (F.col("k") * F.col("r0") + F.col("k") * (F.col("k") + 1) / 2)
+        )
+        .cast("bigint")
+        .alias("rank_mass"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        F.round(
+            2.0 * F.col("rank_mass") / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + 1.0) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_key_share"),
+    )
