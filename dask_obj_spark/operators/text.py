@@ -1163,3 +1163,81 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def text_bigram_perplexity_q(spark, sf_dir):
     """Corpus-trained bigram-LM mean surprisal per document."""
     return bigram_lm_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PPL_T1 = 0.3333333333333333  # exact double literals, identical in the SQL below
+_PPL_T2 = 0.6666666666666666
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS ws
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM toks
+    ), big_counts AS (
+      SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), uni_counts AS (
+      SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 FROM bigrams
+      )
+    ), scored AS (
+      SELECT b.doc_id,
+             round(avg(-ln((bc.c12 + 1.0) / (uc.c1 + vocab.v))), 6) AS score
+      FROM bigrams b
+        JOIN big_counts bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        JOIN uni_counts uc ON b.w1 = uc.w1
+        CROSS JOIN vocab
+      GROUP BY b.doc_id
+    ), th AS (
+      SELECT quantile_cont(score, 0.3333333333333333) AS t1,
+             quantile_cont(score, 0.6666666666666666) AS t2
+      FROM scored
+    )
+    SELECT s.doc_id, s.score,
+           CASE WHEN s.score <= th.t1 THEN 'head'
+                WHEN s.score <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s CROSS JOIN th
+    """,
+)
+def text_perplexity_buckets_q(spark, sf_dir):
+    """CCNet-style quality bucketing: split the corpus into head /
+    middle / tail thirds by language-model surprisal (head = best LM
+    fit), the standard pre-training quality stratification that feeds
+    per-bucket sampling rates.
+
+    Thresholds are EXACT interpolated percentiles of the 6-dp-rounded
+    per-doc score (Spark F.percentile and DuckDB quantile_cont compute
+    the identical linear interpolation — verify SKILL.md); the
+    two-value threshold row broadcasts onto the scored table.  Scale:
+    all corpus-wide work is the bigram-LM scoring (operators/text.py
+    `bigram_lm_scores`); exact global percentiles of a per-doc scalar
+    are one single-row aggregate — at extreme cardinality swap in
+    approx_percentile or the two-phase equidepth scan
+    (profile_equidepth_histogram) with documented error."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_lm_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("mean_surprisal").alias("score")
+    )
+    th = scored.agg(
+        F.percentile("score", F.lit(_PPL_T1)).alias("t1"),
+        F.percentile("score", F.lit(_PPL_T2)).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") <= F.col("t1"), F.lit("head"))
+        .when(F.col("score") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
