@@ -1674,3 +1674,54 @@ def graph_pagerank_fixed_q(spark, sf_dir):
     return ranks.crossJoin(F.broadcast(nn)).select(
         "id", F.round(F.col("rank") * F.col("nn"), 6).alias("rank_scaled")
     )
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
+    ), p AS (
+      SELECT source, n_docs, n_docs * 1.0 / t.total AS p,
+             pow(n_docs * 1.0 / t.total, 0.7) AS pa
+      FROM c CROSS JOIN t
+    ), z AS (
+      SELECT sum(pa) AS zsum FROM p
+    )
+    SELECT p.source, p.n_docs,
+           round(p.p, 6) AS p_raw,
+           round(p.pa / z.zsum, 6) AS p_temp,
+           round((p.pa / z.zsum) / p.p, 6) AS sample_factor
+    FROM p CROSS JOIN z
+    """,
+)
+def corpus_mix_temperature_q(spark, sf_dir):
+    """Temperature-scaled mixture weights over sources (alpha = 0.7):
+    q_s proportional to p_s^alpha, renormalized — the standard
+    multilingual/multi-source rebalancing (mT5/XLM-R style) that lifts
+    low-resource slices without flattening the mix entirely.
+    `sample_factor` (q/p) is the per-source up/down-sampling multiplier
+    a sampler like mix_rebalance consumes directly.
+
+    Plan: one corpus hash aggregate; everything after is
+    dimension-sized (|sources| rows) with two broadcast single-row
+    joins.  At 100 TB the only full-data work is the codegen'd count."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("p"),
+        F.pow(F.col("n_docs") / F.col("total"), F.lit(0.7)).alias("pa"),
+    )
+    z = p.agg(F.sum("pa").alias("zsum"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("p_raw"),
+        F.round(F.col("pa") / F.col("zsum"), 6).alias("p_temp"),
+        F.round((F.col("pa") / F.col("zsum")) / F.col("p"), 6).alias("sample_factor"),
+    )
