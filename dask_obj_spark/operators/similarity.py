@@ -1382,3 +1382,96 @@ def graph_bfs_hops_q(spark, sf_dir):
     vertices = emb.select(F.col("vec_id").alias("id"))
     seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
     return bfs_hops(vertices, edges, seeds, rounds=4)
+
+
+# -- link prediction ----------------------------------------------------------
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, min_score: float = 0.2
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list:
+    for every non-adjacent pair sharing at least one neighbor, the
+    Jaccard coefficient of their neighborhoods — the classic missing-
+    edge / recommendation score ("these two docs are not linked but
+    their neighborhoods overlap heavily").
+
+    Plan: candidate pairs come from the WEDGE join (two hops through a
+    shared neighbor, a < b), counted per pair; degrees join in as a
+    broadcast; existing edges are anti-joined out.  The wedge join's
+    cost is sum-of-squared-degrees — bounded on a kNN graph (degree ≤
+    2k by construction); on organic graphs the standard hub cap (drop
+    vertices above a degree ceiling before the wedge) applies, exactly
+    like the hot-shingle cap in dedup."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    e2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    norm_edges = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    cand = wedges.join(norm_edges, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    score = F.round(
+        F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+    )
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select("a", "b", "common", score.alias("score"))
+        .filter(F.col("score") >= min_score)
+    )
+
+
+def _duck_linkpred_oracle(probe_mod: int, topk: int, min_score: float) -> str:
+    return (
+        _duck_base(probe_mod)
+        + _duck_topk_ctes()
+        + f"""
+    , knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM ranked WHERE rank <= {topk}
+    ), ed AS MATERIALIZED (
+      SELECT u, v FROM knn UNION ALL SELECT v, u FROM knn
+    ), deg AS (
+      SELECT u, count(*) AS d FROM ed GROUP BY u
+    ), wedges AS (
+      SELECT e1.u AS a, e2.v AS b, count(*) AS common
+      FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ), cand AS (
+      SELECT w.a, w.b, w.common FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM knn k WHERE k.u = w.a AND k.v = w.b
+      )
+    )
+    SELECT c.a, c.b, c.common,
+           round(c.common / (da.d + db.d - c.common), 6) AS score
+    FROM cand c
+      JOIN deg da ON da.u = c.a
+      JOIN deg db ON db.u = c.b
+    WHERE round(c.common / (da.d + db.d - c.common), 6) >= {min_score}
+    """
+    )
+
+
+@query("graph_link_prediction", oracle=_duck_linkpred_oracle(5, 10, 0.2))
+def graph_link_prediction_q(spark, sf_dir):
+    """Predicted missing links on the 1-in-5-probe kNN graph: every
+    non-adjacent pair with neighborhood Jaccard >= 0.2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    return link_prediction_jaccard(edges, 0.2)
