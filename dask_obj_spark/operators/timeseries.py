@@ -659,3 +659,54 @@ def ts_changepoint_cusum_q(spark, sf_dir):
         F.round("cusum", 6).alias("cusum"),
         (F.col("cusum") > 5.0).cast("int").alias("changepoint"),
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH hod AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(floor(epoch(ts)) / 3600) % 24 AS BIGINT) AS hour_of_day
+      FROM events
+    ), seas AS (
+      SELECT hour_of_day,
+             floor(avg(value) * 1000000) / 1000000 AS seasonal
+      FROM hod GROUP BY hour_of_day
+    )
+    SELECT h.event_id, h.user_id, h.hour_of_day,
+           round(s.seasonal, 6) AS seasonal,
+           round(h.value - s.seasonal, 6) AS residual
+    FROM hod h JOIN seas s ON s.hour_of_day = h.hour_of_day
+    """,
+)
+def ts_seasonal_profile_q(spark, sf_dir):
+    """Seasonal decomposition (STL-lite): the hour-of-day seasonal mean
+    profile subtracted from every observation — residuals feed anomaly
+    detection without the daily cycle masking real deviations.
+
+    Plan: the profile is a 24-row hash aggregate broadcast back onto
+    the stream — the corpus is scanned once and never shuffled (the
+    aggregate's exchange carries 24 partials per task).  The seasonal
+    mean is floor-quantized to micro-units before subtraction (the
+    cross-engine numerics contract: raw avg() differs in the last ulp
+    between engines).  Hour-of-day comes from epoch seconds, aligning
+    with every other window boundary in the repo (floor, not round)."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("bigint").alias(
+            "hour_of_day"
+        ),
+    )
+    seas = hod.groupBy("hour_of_day").agg(
+        (F.floor(F.avg("value") * 1000000) / 1000000).alias("seasonal")
+    )
+    return hod.join(F.broadcast(seas), "hour_of_day").select(
+        "event_id",
+        "user_id",
+        "hour_of_day",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
+    )
