@@ -63,8 +63,12 @@ _WINDOW_50 = (
     # similarity + graph family
     "sim_label_propagation", "sim_knn_kcore",
     # corpus pipeline
-    "corpus_dedup_clusters", "corpus_contamination", "corpus_chunk_windows",
-    "corpus_dedup_keep_best", "capstone_semantic_chunk_pack",
+    # round-4 sixth wave: link prediction, seasonal decomposition,
+    # perplexity buckets, temperature mix (first driver rows; the four
+    # displaced corpus_* rows hold green CORRECTNESS_r03 records)
+    "graph_link_prediction", "ts_seasonal_profile",
+    "text_perplexity_buckets", "corpus_mix_temperature",
+    "capstone_semantic_chunk_pack",
     "corpus_bpe_compression", "basket_item_pairs",
     # round-4 fourth wave: MMR diversification, CUSUM changepoints,
     # KL drift, DP release (first driver rows; the displaced text_*
