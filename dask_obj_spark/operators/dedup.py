@@ -905,10 +905,14 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
+    # the shingle posting table has THREE consumers (sizes + both
+    # verify legs): materialize it once instead of re-running the
+    # explode per consumer — at scale this is the standing inverted
+    # index every near-dup verifier probes anyway
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.alias("a"), F.col("id1") == F.col("a.doc_id"))

@@ -1087,8 +1087,13 @@ def label_propagation(
     one left join — all keyed on the vertex, reusing one partitioning;
     localCheckpoint per round (the iterative-operator contract shared
     with connected_components/kmeans/BPE)."""
-    sym = edges.select(F.col("u"), F.col("v")).union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # materialize the symmetrized edges once: every round consumes them,
+    # and an unpinned lineage would re-run the upstream edge
+    # construction (e.g. brute-force kNN scoring) per round
+    sym = (
+        edges.select(F.col("u"), F.col("v"))
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
     )
     lab = seeds.localCheckpoint(eager=True)
     for _ in range(rounds):
@@ -1308,9 +1313,17 @@ def bfs_hops(
     localCheckpointed per round (the iterative-operator contract shared
     with connected_components / k_core / label_propagation).  BFS
     guarantees a vertex is first reached at its minimum hop count, so
-    the append-only settled table needs no min-merge."""
-    sym = edges.select("u", "v").union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    the append-only settled table needs no min-merge.
+
+    The symmetrized edge list localCheckpoints ONCE before the loop: it
+    is consumed by every round, and without materialization each round
+    re-executes the full upstream edge construction (for a kNN graph
+    the entire brute-force scoring — measured ~4x the whole query at
+    bench scale before this pin)."""
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
     )
     dist = (
         seeds.select(F.col("id"), F.lit(0).alias("dist"))
@@ -1403,6 +1416,10 @@ def link_prediction_jaccard(
     2k by construction); on organic graphs the standard hub cap (drop
     vertices above a degree ceiling before the wedge) applies, exactly
     like the hot-shingle cap in dedup."""
+    # four consumers (deg, both wedge legs, the anti-join) → pin the
+    # input edge list once; the symmetrization/projections downstream
+    # are cheap unions over the materialized table
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
