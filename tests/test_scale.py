@@ -281,3 +281,31 @@ def test_bloom_prefilter_prunes_and_is_exact(spark, sf_dir):
     assert true_matches <= passed < total  # no false negatives, real pruning
     # FP head-room: passes should not blow past 2x the true matches
     assert passed <= max(2 * true_matches, true_matches + 50)
+
+
+def test_bloom_predicate_sits_on_probe_scan(spark, sf_dir):
+    """The membership test must be a scan-side Filter on the probe
+    relation (pure codegen integer math), not a join: the physical plan
+    contains the xxhash64 chain in a Filter and no Exchange between
+    that Filter and the parquet scan."""
+    from dask_obj_spark.operators.scale import bloom_build, bloom_might_contain
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(keys, "o_orderkey")
+    filtered = li.filter(bloom_might_contain(bloom, "l_orderkey"))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "Exchange" not in plan  # filter evaluated at the scan, pre-shuffle
+
+
+def test_rrf_legs_broadcast_small_sides(spark, sf_dir):
+    """Both retrieval legs keep their small side broadcast (probe set /
+    corpus stats) — no shuffled join of the corpus against a tiny dim."""
+    from dask_obj_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["retrieval_rrf_hybrid"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
