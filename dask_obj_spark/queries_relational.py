@@ -1928,9 +1928,13 @@ def stats_spearman_corr(spark, sf_dir):
 
     rx = avg_ranks("l_quantity").withColumnRenamed("r", "rx")
     ry = avg_ranks("l_extendedprice").withColumnRenamed("r", "ry")
+    # quantity has ~50 distinct values → broadcast; extendedprice is
+    # high-cardinality (≈ one rank row per distinct price), so its rank
+    # join must stay a plain equi-join for Catalyst/AQE to pick the
+    # strategy — a forced broadcast there would not survive 100 TB
     joined = li.select("l_quantity", "l_extendedprice").join(
         F.broadcast(rx), li["l_quantity"] == rx["v"]
-    ).join(F.broadcast(ry), li["l_extendedprice"] == ry["v"])
+    ).join(ry, li["l_extendedprice"] == ry["v"])
     return joined.agg(
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
         F.count(F.lit(1)).alias("n_rows"),
