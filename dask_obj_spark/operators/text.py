@@ -1241,3 +1241,110 @@ def text_perplexity_buckets_q(spark, sf_dir):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+CMS_DEPTH = 3  # independent hash rows
+CMS_WIDTH = 1024  # counters per row
+
+
+@query(
+    "sketch_countmin_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), cms AS (
+      SELECT j, idx, count(*) AS c FROM (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"SELECT {j} AS j, ('0x' || substr(md5(tok || '#cm{j}'), 1, 15))::BIGINT"
+        f" % 1024 AS idx FROM toks"
+        for j in range(3)
+    )
+    + """
+      ) GROUP BY j, idx
+    ), exact AS (
+      SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+    ), probes AS (
+      SELECT tok, exact_n FROM (
+        SELECT tok, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, tok) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ), est AS (
+      SELECT p.tok, p.exact_n,
+             min(c.c) AS est_n
+      FROM probes p
+      JOIN cms c
+        ON c.idx = ('0x' || substr(md5(p.tok || '#cm' || c.j), 1, 15))::BIGINT % 1024
+      GROUP BY p.tok, p.exact_n
+    )
+    SELECT tok, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n >= exact_n AS INT) AS never_undercounts
+    FROM est
+    """,
+)
+def sketch_countmin_freq_q(spark, sf_dir):
+    """Count-Min sketch token frequencies: a 3 x 1024 counter table
+    estimates any token's corpus frequency as min over rows of its
+    hashed counter — compared here against exact counts for the top-20
+    tokens, with the CMS one-sided guarantee (never undercounts)
+    emitted per row.
+
+    Why it matters at 100 TB: the sketch is FIXED-SIZE state (3·1024
+    longs) and merge-by-addition — the incremental/streaming frequency
+    primitive when the vocabulary itself no longer fits anywhere
+    (per-shard sketches sum into the global one, same contract as
+    incremental_agg_merge).  All hashes are the portable md5-derived
+    `porthash`, so DuckDB replays the sketch bit-for-bit — estimate
+    AND guarantee are oracle-checked, not asserted.
+
+    Plan: one token explode feeds both the sketch build (3 codegen'd
+    hash columns → 3072-row hash agg) and the exact counts; the
+    estimate join touches 20 probe rows x 3 sketch rows."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(ws_tokens(F.col("text"))).alias("tok")
+    ).withColumn("tok", F.lower(F.col("tok"))).localCheckpoint(eager=True)
+    cms = None
+    for j in range(CMS_DEPTH):
+        part = toks.select(
+            F.lit(j).alias("j"),
+            (porthash(F.col("tok"), f"cm{j}") % CMS_WIDTH).alias("idx"),
+        )
+        cms = part if cms is None else cms.union(part)
+    cms = cms.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    # orderBy+limit → TakeOrderedAndProject: distributed per-partition
+    # top-20 + tiny driver merge, never a single-partition window over
+    # the (vocabulary-sized) exact-count table
+    probes = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    probe_pos = probes.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (porthash(F.col("tok"), f"cm{j}") % CMS_WIDTH).alias("idx"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("pos"),
+    ).select("tok", "exact_n", "pos.j", "pos.idx")
+    est = (
+        probe_pos.join(F.broadcast(cms), ["j", "idx"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") >= F.col("exact_n")).cast("int").alias("never_undercounts"),
+    )
