@@ -1492,3 +1492,98 @@ def graph_link_prediction_q(spark, sf_dir):
         F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
     ).distinct()
     return link_prediction_jaccard(edges, 0.2)
+
+
+# -- random-projection (JL) dimensionality reduction --------------------------
+
+RP_DIM = 16  # target dimensionality
+_rp_rng = random.Random(7)
+RP_PLANES: list[list[float]] = [
+    [1.0 if _rp_rng.random() < 0.5 else -1.0 for _ in range(DIM)]
+    for _ in range(RP_DIM)
+]
+
+
+def random_project(v: Column) -> Column:
+    """Project a DIM-vector to RP_DIM dims with the fixed ±1 matrix
+    scaled by 1/sqrt(RP_DIM) — the Johnson-Lindenstrauss sketch that
+    approximately preserves pairwise distances.  Pure codegen arithmetic
+    (RP_DIM fold-sums); the matrix ships as literals in the plan."""
+    scale = 1.0 / (RP_DIM ** 0.5)
+    return F.array(
+        *[
+            (dot(v, F.array(*[F.lit(c) for c in plane])) * scale)
+            for plane in RP_PLANES
+        ]
+    )
+
+
+def _duck_rp_oracle(probe_mod: int, other_mod: int) -> str:
+    scale = 1.0 / (RP_DIM ** 0.5)
+
+    def proj(vec: str, k: int) -> str:
+        terms = " + ".join(
+            f"{vec}[{i + 1}]*({RP_PLANES[k][i]})" for i in range(DIM)
+        )
+        return f"((0.0 + {terms}) * {scale})"
+
+    orig = "(0.0 + " + " + ".join(
+        f"(a.v[{i}] - b.v[{i}])*(a.v[{i}] - b.v[{i}])" for i in range(1, DIM + 1)
+    ) + ")"
+    projd = "(0.0 + " + " + ".join(
+        f"({proj('a.v', k)} - {proj('b.v', k)})*({proj('a.v', k)} - {proj('b.v', k)})"
+        for k in range(RP_DIM)
+    ) + ")"
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), a AS (
+      SELECT vid, v FROM base WHERE vid % {probe_mod} = 0
+    ), b AS (
+      SELECT vid, v FROM base WHERE vid % {other_mod} = 0
+    )
+    SELECT a.vid AS id1, b.vid AS id2,
+           round({orig}, 6) AS orig_d2,
+           round({projd}, 6) AS proj_d2,
+           round({projd} / {orig}, 6) AS ratio
+    FROM a JOIN b ON a.vid <> b.vid
+    """
+
+
+@query("sim_random_projection", oracle=_duck_rp_oracle(50, 11))
+def sim_random_projection_q(spark, sf_dir):
+    """JL random projection 64 → 16 dims: squared distances before and
+    after projection for every (1-in-50 probe, 1-in-11 corpus) pair,
+    with the preservation ratio — the measured evidence that the sketch
+    keeps neighborhoods (E[ratio] = 1, concentration by JL), and the
+    dimensionality-reduction primitive that makes downstream ANN /
+    clustering 4x cheaper per vector.
+
+    Plan: projection is RP_DIM codegen'd fold-sums evaluated once per
+    side; the pair join is probe-broadcast like cosine_topk_brute.  The
+    oracle replays the entire fixed ±1 matrix in left-assoc SQL, so
+    every value is bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = base.filter(F.col("vid") % 50 == 0).select(
+        F.col("vid").alias("id1"), F.col("v").alias("va")
+    ).withColumn("pa", random_project(F.col("va")))
+    b = base.filter(F.col("vid") % 11 == 0).select(
+        F.col("vid").alias("id2"), F.col("v").alias("vb")
+    ).withColumn("pb", random_project(F.col("vb")))
+    diff2 = lambda x, y: dot(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p - q), F.zip_with(x, y, lambda p, q: p - q)
+    )
+    pairs = b.join(F.broadcast(a), F.col("id1") != F.col("id2"))
+    return pairs.select(
+        "id1",
+        "id2",
+        F.round(diff2(F.col("va"), F.col("vb")), 6).alias("orig_d2"),
+        F.round(diff2(F.col("pa"), F.col("pb")), 6).alias("proj_d2"),
+        F.round(
+            diff2(F.col("pa"), F.col("pb")) / diff2(F.col("va"), F.col("vb")), 6
+        ).alias("ratio"),
+    )
