@@ -68,7 +68,6 @@ _WINDOW_50 = (
     # displaced corpus_* rows hold green CORRECTNESS_r03 records)
     "graph_link_prediction", "ts_seasonal_profile",
     "text_perplexity_buckets", "corpus_mix_temperature",
-    "capstone_semantic_chunk_pack",
     "corpus_bpe_compression", "basket_item_pairs",
     # round-4 fourth wave: MMR diversification, CUSUM changepoints,
     # KL drift, DP release (first driver rows; the displaced text_*
@@ -82,7 +81,11 @@ _WINDOW_50 = (
     # pipeline_clean_corpus rows hold green CORRECTNESS_r03 records)
     "dedup_minhash_est_error", "profile_key_skew_gini", "stream_window_topk",
     # skew
-    "skew_salted_counts", "skew_salted_join",
+    "skew_salted_join",
+    # round-4 seventh wave: Count-Min sketch + JL projection (first
+    # driver rows; displaced skew_salted_counts / capstone hold green
+    # CORRECTNESS_r03 records)
+    "sketch_countmin_freq", "sim_random_projection",
     # timeseries / profiling / incremental maintenance (first driver rows)
     "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",
     "profile_equidepth_histogram", "profile_table_checksum",
