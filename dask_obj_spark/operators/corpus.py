@@ -1725,3 +1725,98 @@ def corpus_mix_temperature_q(spark, sf_dir):
         F.round(F.col("pa") / F.col("zsum"), 6).alias("p_temp"),
         F.round((F.col("pa") / F.col("zsum")) / F.col("p"), 6).alias("sample_factor"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """HITS hubs & authorities over a DIRECTED edge list: authority =
+    sum of pointing hubs, hub = sum of pointed-to authorities, each
+    side max-normalized per round — the link-analysis companion to
+    PageRank (on a bipartite supplier→part graph: hub = supplier
+    breadth, authority = part popularity weighted by supplier breadth).
+
+    Max-normalization (not L2) is deliberate: max() is
+    order-INDEPENDENT, so the per-round normalizer is bit-identical on
+    any engine/partitioning, while an L2 norm would fold a
+    partition-order-dependent sum into every score each round.  Per
+    round: two edge⋈score joins + two vertex-keyed sums + two 1-row
+    max aggregates (broadcast) — the iterative-solver template
+    (localCheckpoint per round)."""
+    ed = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    ed = ed.localCheckpoint(eager=True)
+    hubs = ed.select(F.col("s").alias("id")).distinct().withColumn(
+        "h", F.lit(1.0)
+    ).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            ed.join(hubs, ed["s"] == hubs["id"])
+            .groupBy("d")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_max = a_raw.agg(F.max("a").alias("m"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select(F.col("d").alias("id"), (F.col("a") / F.col("m")).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            ed.join(auths, ed["d"] == auths["id"])
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_max = h_raw.agg(F.max("h").alias("m"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select(F.col("s").alias("id"), (F.col("h") / F.col("m")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return hubs.select("id", F.lit("hub").alias("kind"), F.round("h", 6).alias("score")).union(
+        auths.select("id", F.lit("authority").alias("kind"), F.round("a", 6).alias("score"))
+    )
+
+
+def _duck_hits_sql(n_iter: int) -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        rounds.append(f"""ar{i} AS MATERIALIZED (
+      SELECT e.d AS id, sum(h.h) AS a
+      FROM ed e JOIN {prev_h} h ON e.s = h.id GROUP BY e.d
+    ), a{i} AS MATERIALIZED (
+      SELECT id, a / (SELECT max(a) FROM ar{i}) AS a FROM ar{i}
+    ), hr{i} AS MATERIALIZED (
+      SELECT e.s AS id, sum(a.a) AS h
+      FROM ed e JOIN a{i} a ON e.d = a.id GROUP BY e.s
+    ), h{i} AS MATERIALIZED (
+      SELECT id, h / (SELECT max(h) FROM hr{i}) AS h FROM hr{i}
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, 1000000 + l_partkey AS d FROM lineitem
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT s AS id, 1.0 AS h FROM ed
+    ),
+    {",".join(rounds)}
+    SELECT id, 'hub' AS kind, round(h, 6) AS score FROM h{n_iter}
+    UNION ALL
+    SELECT id, 'authority' AS kind, round(a, 6) AS score FROM a{n_iter}
+    """
+
+
+@query("graph_hits_fixed", oracle=_duck_hits_sql(4))
+def graph_hits_fixed_q(spark, sf_dir):
+    """HITS (4 rounds) over the directed supplier→part shipping graph,
+    numerics pinned against the identically-unrolled oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return hits_scores(pairs, "src", "dst", n_iter=4)
