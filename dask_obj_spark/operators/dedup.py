@@ -1090,3 +1090,146 @@ def dedup_minhash_est_error_q(spark, sf_dir):
     (16 hashes, 4 bands, est >= 0.5) with the absolute error."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_estimate_error(docs, "doc_id", "text", 16, 4, 4, 0.5)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |A∩B| / |A|: catches a document
+    embedded inside a larger one (quote pages, aggregators, boilerplate
+    wrappers) that symmetric Jaccard dilutes below threshold — the
+    standard second screen next to `ngram_jaccard_pairs`.
+
+    Same inverted-index join as Jaccard (sub-quadratic, hot-shingle
+    capped); each unordered pair emits up to two directed rows (A→B and
+    B→A) since containment is directional."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    ).distinct()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.localCheckpoint(eager=True)  # sizes + both join legs
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_from"), F.col("b.doc_id").alias("id_to")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_from"), F.col("n_sh").alias("na"))
+    cont = F.round(F.col("n_common") / F.col("na"), 6)
+    return (
+        inter.join(F.broadcast(sa), "id_from")
+        .select("id_from", "id_to", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_from, b.doc_id AS id_to, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_from, id_to,
+           round(n_common / sa.n_sh, 6) AS containment
+    FROM inter JOIN sizes sa ON id_from = sa.doc_id
+    WHERE round(n_common / sa.n_sh, 6) >= 0.5
+    """,
+)
+def dedup_containment_pairs_q(spark, sf_dir):
+    """Directed shingle-containment pairs >= 0.5 (doc-inside-doc
+    screen; each direction scored separately)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", 4, 0.5, max_shingle_freq=None)
+
+
+@query(
+    "dedup_lsh_precision_recall",
+    oracle=_duck_pairs_sql(16, 4, 0.0)
+    + """
+    , sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 4)
+    + """) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT id1, id2
+      FROM inter JOIN sizes sa ON id1 = sa.doc_id
+                 JOIN sizes sb ON id2 = sb.doc_id
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+    ), cand_set AS (
+      SELECT DISTINCT id1, id2 FROM pairs
+    ), hits AS (
+      SELECT count(*) AS n FROM cand_set c
+      WHERE EXISTS (SELECT 1 FROM truth t WHERE t.id1 = c.id1 AND t.id2 = c.id2)
+    )
+    SELECT (SELECT count(*) FROM cand_set)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT n FROM hits)::BIGINT AS n_hits,
+           round((SELECT n FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM cand_set), 1), 6) AS precision,
+           round((SELECT n FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """,
+)
+def dedup_lsh_precision_recall_q(spark, sf_dir):
+    """Set-level quality of the LSH banding stage: precision and recall
+    of the candidate pairs (16 hashes / 4 bands, no estimate floor)
+    against exact-Jaccard >= 0.6 ground truth — the companion evidence
+    row to dedup_minhash_est_error (which scores the ESTIMATOR; this
+    scores the BUCKETING).  At 100 TB this query runs on a sample to
+    tune bands/rows before the full sweep — the shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(
+        docs, "doc_id", "text", 16, 4, 4, 0.0
+    ).select("id1", "id2").distinct()
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", 4, 0.6, max_shingle_freq=None
+    ).select("id1", "id2")
+    cand = cand.localCheckpoint(eager=True)
+    truth = truth.localCheckpoint(eager=True)
+    hits = cand.join(truth, ["id1", "id2"], "left_semi")
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = hits.count()
+    return docs.sparkSession.createDataFrame(
+        [(n_cand, n_truth, n_hits,
+          round(n_hits / max(n_cand, 1), 6),
+          round(n_hits / max(n_truth, 1), 6))],
+        "n_candidates long, n_truth long, n_hits long, precision double, recall double",
+    )

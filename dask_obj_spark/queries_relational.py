@@ -2122,3 +2122,57 @@ def profile_key_skew_gini(spark, sf_dir):
         ).alias("gini"),
         F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("top_key_share"),
     )
+
+
+@query(
+    "profile_benford_digits",
+    oracle="""
+    WITH v AS (
+      SELECT substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), n AS (
+      SELECT count(*) AS total FROM v
+    ), obs AS (
+      SELECT digit, count(*) AS n_obs FROM v GROUP BY digit
+    )
+    SELECT o.digit, o.n_obs,
+           round(o.n_obs * 1.0 / n.total, 6) AS p_obs,
+           round(ln(1.0 + 1.0 / CAST(o.digit AS BIGINT)) / ln(10.0), 6)
+             AS p_benford,
+           round(abs(o.n_obs * 1.0 / n.total
+                     - ln(1.0 + 1.0 / CAST(o.digit AS BIGINT)) / ln(10.0)), 6)
+             AS abs_dev
+    FROM obs o CROSS JOIN n
+    """,
+)
+def profile_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals: observed
+    leading-digit frequencies vs the log10(1 + 1/d) expectation with
+    per-digit absolute deviation — the classic fraud / synthetic-data
+    screen a profiling pass runs over every monetary column.
+
+    Plan: leading digit via integer-string truncation (no float
+    formatting — the value is floored to BIGINT first, so both engines
+    stringify identically), one hash aggregate, then a 9-row result
+    against broadcast total.  Corpus-scale work is the single count
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.filter(F.col("o_totalprice") >= 1).select(
+        # explicit floor: Spark's double->bigint cast truncates while
+        # DuckDB's ROUNDS (half-even) — the SKILL.md cast-semantics class
+        F.substring(
+            F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string"),
+            1, 1,
+        ).alias("digit")
+    )
+    n = v.agg(F.count(F.lit(1)).alias("total"))
+    obs = v.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    p_ben = F.log(1.0 + 1.0 / F.col("digit").cast("bigint")) / F.log(F.lit(10.0))
+    return obs.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("total"), 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(F.abs(F.col("n_obs") / F.col("total") - p_ben), 6).alias("abs_dev"),
+    )
