@@ -42,8 +42,9 @@ def query(name: str, oracle: str | None = None):
 # is still hash-verified by tests/test_oracle_parity.py and the judge's
 # full sweep.
 _WINDOW_50 = (
-    # relational smoke
-    "counts_event_type",
+    # HITS takes the smoke slot: counts_event_type holds green
+    # records from rounds 1-3
+    "graph_hits_fixed",
     # round-4 second wave: new operators (first driver rows)
     "text_bm25_topk", "text_bigram_perplexity", "graph_pagerank_fixed",
     "layout_hilbert_keys", "stream_dedup_exact",
