@@ -1,0 +1,135 @@
+"""In-engine model training: distributed full-batch gradient descent.
+
+The reference has no ML surface (imports are dask/toolz/operator only);
+this module demonstrates the *training* layout a 100 TB pipeline uses
+for cheap model fits (quality classifiers, calibration layers): the
+DATA never moves — each step is one corpus scan computing per-feature
+gradient sums (map-side combined), and only the d-dimensional weight
+vector circulates through the driver, exactly the k-means-centroid /
+power-iteration contract (PLANS.md).
+
+Cross-engine determinism: after every step the weights are
+floor-quantized to micro-units before re-entering the next step's
+expressions, so the ~1e-13 engine-order noise in the gradient sums can
+never accumulate across rounds (same contract as ts_changepoint_cusum's
+quantized mean; the sigmoid's last-ulp libm differences are absorbed by
+the same quantization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_obj_spark.queries import query
+from dask_obj_spark.sources import load_table
+
+LR = 0.5  # learning rate
+GD_STEPS = 5
+Q = 1_000_000  # weight quantization: micro-units
+
+
+def _quant(x: float) -> float:
+    import math
+
+    return math.floor(x * Q) / Q
+
+
+def logreg_gd_weights(
+    df: DataFrame, feature_cols: list[str], label_col: str,
+    steps: int = GD_STEPS, lr: float = LR,
+) -> list[float]:
+    """Train logistic regression by `steps` full-batch GD steps.
+
+    Features must include the bias as a constant column if wanted.
+    Returns the quantized weight vector.  Each step is ONE distributed
+    aggregate (d+0 gradient sums + the count); the driver applies the
+    update to d floats — no per-row state leaves the executors."""
+    d = len(feature_cols)
+    w = [0.0] * d
+    n = None
+    for _ in range(steps):
+        z = None
+        for j, c in enumerate(feature_cols):
+            t = F.lit(w[j]) * F.col(c)
+            z = t if z is None else z + t
+        sig = 1.0 / (1.0 + F.exp(-z))
+        resid = F.col(label_col) - sig
+        aggs = [F.sum(resid * F.col(c)).alias(f"g{j}") for j, c in enumerate(feature_cols)]
+        if n is None:
+            aggs.append(F.count(F.lit(1)).alias("n"))
+        row = df.agg(*aggs).collect()[0]
+        if n is None:
+            n = row["n"]
+        w = [_quant(w[j] + lr * row[f"g{j}"] / n) for j in range(d)]
+    return w
+
+
+def _docs_features(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).alias("x1"),
+        (F.size(F.split(F.trim("text"), r"\s+")) / 100.0).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+
+
+_DUCK_FEATS = """
+      SELECT doc_id, 1.0 AS x0, n_chars / 1000.0 AS x1,
+             len(string_split_regex(trim(text), '\\s+')) / 100.0 AS x2,
+             CAST(lang = 'en' AS INT) AS y
+      FROM documents
+"""
+
+
+def _duck_logreg_oracle(steps: int, lr: float) -> str:
+    ctes = [f"feats AS MATERIALIZED ({_DUCK_FEATS})",
+            "n AS (SELECT count(*) AS nn FROM feats)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(1, steps + 1):
+        ctes.append(f"""g{i} AS MATERIALIZED (
+      SELECT sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x0) AS g0,
+             sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x1) AS g1,
+             sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x2) AS g2
+      FROM feats f CROSS JOIN w{i-1} w
+    ), w{i} AS MATERIALIZED (
+      SELECT floor((w.w0 + {lr} * g.g0 / n.nn) * {Q}) / {Q} AS w0,
+             floor((w.w1 + {lr} * g.g1 / n.nn) * {Q}) / {Q} AS w1,
+             floor((w.w2 + {lr} * g.g2 / n.nn) * {Q}) / {Q} AS w2
+      FROM w{i-1} w CROSS JOIN g{i} g CROSS JOIN n
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    , preds AS (
+      SELECT f.y,
+             CASE WHEN (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2) >= 0
+                  THEN 1 ELSE 0 END AS yhat
+      FROM feats f CROSS JOIN w{steps} w
+    )
+    SELECT w.w0, w.w1, w.w2,
+           round((SELECT avg(CAST(y = yhat AS DOUBLE)) FROM preds), 6)
+             AS train_accuracy
+    FROM w{steps} w
+    """
+
+
+@query("ml_logreg_gd", oracle=_duck_logreg_oracle(GD_STEPS, LR))
+def ml_logreg_gd_q(spark, sf_dir):
+    """Logistic regression (predict lang='en' from length features)
+    trained by 5 full-batch GD steps inside the engine; output = the
+    quantized weights + training accuracy at the sign threshold, every
+    step replayed by the unrolled oracle.  Iterative operator #10."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _docs_features(docs).localCheckpoint(eager=True)
+    w = logreg_gd_weights(feats, ["x0", "x1", "x2"], "y")
+    z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    acc = feats.select(
+        (F.col("y") == F.when(z >= 0, 1).otherwise(0)).cast("double").alias("ok")
+    ).agg(F.round(F.avg("ok"), 6).alias("train_accuracy"))
+    return acc.select(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        "train_accuracy",
+    )

@@ -134,6 +134,7 @@ def load_all_queries() -> None:
     import dask_obj_spark.operators.timeseries  # noqa: F401
     import dask_obj_spark.operators.multimodal  # noqa: F401
     import dask_obj_spark.operators.retrieval  # noqa: F401
+    import dask_obj_spark.operators.ml  # noqa: F401
     import dask_obj_spark.streaming.windows  # noqa: F401
 
     ordered = sorted(QUERIES, key=_registration_rank)  # stable within rank
