@@ -133,3 +133,68 @@ def ml_logreg_gd_q(spark, sf_dir):
         F.lit(w[2]).alias("w2"),
         "train_accuracy",
     )
+
+
+def _duck_logreg_ctes(steps: int, lr: float) -> str:
+    """The shared WITH-chain: features + `steps` unrolled GD rounds,
+    ending with w{steps} (used by both the weights query and the
+    calibration query)."""
+    ctes = [f"feats AS MATERIALIZED ({_DUCK_FEATS})",
+            "n AS (SELECT count(*) AS nn FROM feats)",
+            "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(1, steps + 1):
+        ctes.append(f"""g{i} AS MATERIALIZED (
+      SELECT sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x0) AS g0,
+             sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x1) AS g1,
+             sum((f.y - 1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))))*f.x2) AS g2
+      FROM feats f CROSS JOIN w{i-1} w
+    ), w{i} AS MATERIALIZED (
+      SELECT floor((w.w0 + {lr} * g.g0 / n.nn) * {Q}) / {Q} AS w0,
+             floor((w.w1 + {lr} * g.g1 / n.nn) * {Q}) / {Q} AS w1,
+             floor((w.w2 + {lr} * g.g2 / n.nn) * {Q}) / {Q} AS w2
+      FROM w{i-1} w CROSS JOIN g{i} g CROSS JOIN n
+    )""")
+    return "WITH " + ",".join(ctes)
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=_duck_logreg_ctes(GD_STEPS, LR)
+    + f"""
+    , scored AS (
+      SELECT f.y,
+             1.0/(1.0+exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2))) AS p
+      FROM feats f CROSS JOIN w{GD_STEPS} w
+    ), binned AS (
+      SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, y, p
+      FROM scored
+    )
+    SELECT bin, count(*) AS n,
+           round(avg(p), 6) AS mean_pred,
+           round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+)
+def ml_calibration_bins_q(spark, sf_dir):
+    """Reliability diagram of the GD-trained classifier: predicted
+    probability deciles vs observed positive rate — the calibration
+    check every score-thresholding pipeline (quality filtering by
+    classifier score) needs before picking a cutoff.  Reuses the exact
+    quantized training trajectory; binning floors p into deciles so the
+    bin edges are engine-exact.  Plan: score = one broadcast weight
+    row against a single corpus scan, then a 10-row hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _docs_features(docs).localCheckpoint(eager=True)
+    w = logreg_gd_weights(feats, ["x0", "x1", "x2"], "y")
+    z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    binned = feats.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("bigint").alias("bin"),
+        "y",
+        p.alias("p"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p"), 6).alias("mean_pred"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
+    )
