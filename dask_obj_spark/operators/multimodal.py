@@ -265,3 +265,65 @@ def mm_resize_q(spark, sf_dir):
     dimensions come from the stubbed decoder)."""
     mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return resize_images(mm, 64, 64)
+
+
+@query(
+    "mm_clip_pairs",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT count(*) AS nn FROM emb
+    ), norms AS (
+      SELECT vec_id,
+             round(sqrt("""
+    + "(0.0 + "
+    + " + ".join(f"v[{i}]*v[{i}]" for i in range(1, 65))
+    + """)), 6) AS l2
+      FROM emb
+    ), media AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT m.doc_id,
+           m.n_bytes,
+           p.l2 AS pos_l2,
+           CAST((m.doc_id + 137) % n.nn AS BIGINT) AS neg_id,
+           g.l2 AS neg_l2
+    FROM media m
+      JOIN norms p ON p.vec_id = m.doc_id
+      CROSS JOIN n
+      JOIN norms g ON g.vec_id = (m.doc_id + 137) % n.nn
+    """,
+)
+def mm_clip_pairs_q(spark, sf_dir):
+    """Contrastive cross-modal pair construction (CLIP-style): each
+    media payload joins its id-aligned embedding as the positive and a
+    deterministic modular-ring offset (+137 mod N) as the hard
+    negative — the batch-builder every image-text contrastive trainer
+    needs, with the media side's byte size carried for batch packing.
+
+    Plan: payload features come from the Arrow-batched decode path
+    (`decode_media`); both embedding joins are equi on the id; the ring
+    offset is pure arithmetic, so negatives need no shuffle of their
+    own (same trick as corpus_contrastive_negatives).  At 100 TB both
+    sides are bucketed by id and the joins are co-partitioned."""
+    from dask_obj_spark.operators.similarity import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = decode_media(as_multimodal(docs, "doc_id", "text")).select(
+        "doc_id", "n_bytes"
+    )
+    norms = emb.select(
+        F.col("vec_id"),
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("l2"),
+    )
+    nn = emb.count()
+    pos = norms.select(F.col("vec_id").alias("doc_id"), F.col("l2").alias("pos_l2"))
+    neg = norms.select(F.col("vec_id").alias("neg_id"), F.col("l2").alias("neg_l2"))
+    return (
+        media.join(pos, "doc_id")
+        .withColumn("neg_id", ((F.col("doc_id") + 137) % nn).cast("bigint"))
+        .join(neg, "neg_id")
+        .select("doc_id", "n_bytes", "pos_l2", "neg_id", "neg_l2")
+    )
