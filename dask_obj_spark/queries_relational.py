@@ -2176,3 +2176,170 @@ def profile_benford_digits(spark, sf_dir):
         F.round(p_ben, 6).alias("p_benford"),
         F.round(F.abs(F.col("n_obs") / F.col("total") - p_ben), 6).alias("abs_dev"),
     )
+
+
+@query(
+    "eval_ab_lift",
+    oracle="""
+    WITH armed AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'), 1, 15))::BIGINT
+               % 2 AS arm,
+             value
+      FROM events
+    ), stats AS (
+      SELECT arm, count(*) AS n,
+             avg(value) AS mu,
+             var_samp(value) AS v
+      FROM armed GROUP BY arm
+    ), wide AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        max(CASE WHEN arm = 0 THEN mu END) AS mu_a,
+        max(CASE WHEN arm = 0 THEN v END) AS v_a,
+        max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        max(CASE WHEN arm = 1 THEN mu END) AS mu_b,
+        max(CASE WHEN arm = 1 THEN v END) AS v_b
+      FROM stats
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mu_a, 6) AS mean_a, round(mu_b, 6) AS mean_b,
+           round(mu_b - mu_a, 6) AS lift,
+           round((mu_b - mu_a) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_welch
+    FROM wide
+    """,
+)
+def eval_ab_lift(spark, sf_dir):
+    """A/B experiment readout: users deterministically hash-assigned to
+    two arms (the portable keyed hash — the same bucketing a real
+    experimentation system uses so assignment is stable across
+    sessions), per-arm mean/variance, lift, and the Welch t statistic.
+
+    Plan: one scan, one two-group aggregate, one pivot of a 2-row
+    table.  The per-arm moments are algebraic (map-side combined); at
+    100 TB this is a single codegen'd aggregate whatever the event
+    volume.  Cross-engine: hash assignment replays exactly; the moment
+    sums' last-ulp ordering noise is absorbed by 6-dp rounding."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    ev = _t(spark, sf_dir, "events")
+    armed = ev.select(
+        (porthash(F.col("user_id").cast("string"), "ab") % 2).alias("arm"),
+        "value",
+    )
+    stats = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("mu"))).alias("mu_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("mu"))).alias("mu_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v_b"),
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("mu_a", 6).alias("mean_a"),
+        F.round("mu_b", 6).alias("mean_b"),
+        F.round(F.col("mu_b") - F.col("mu_a"), 6).alias("lift"),
+        F.round(
+            (F.col("mu_b") - F.col("mu_a"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            6,
+        ).alias("t_welch"),
+    )
+
+
+@query(
+    "eval_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             avg(CASE WHEN event_id % 2 = 0 THEN value END) AS pre,
+             avg(CASE WHEN event_id % 2 = 1 THEN value END) AS post
+      FROM events GROUP BY user_id
+      HAVING count(CASE WHEN event_id % 2 = 0 THEN 1 END) > 0
+         AND count(CASE WHEN event_id % 2 = 1 THEN 1 END) > 0
+    ), armed AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'), 1, 15))::BIGINT
+               % 2 AS arm,
+             pre, post
+      FROM per_user
+    ), theta AS (
+      SELECT floor((covar_samp(pre, post) / var_samp(pre)) * 1000000) / 1000000
+               AS th,
+             floor(avg(pre) * 1000000) / 1000000 AS pre_mu
+      FROM armed
+    ), adj AS (
+      SELECT arm, post, post - th * (pre - pre_mu) AS post_adj
+      FROM armed CROSS JOIN theta
+    ), vr AS (
+      SELECT round(1.0 - var_samp(post_adj) / var_samp(post), 6) AS var_reduction
+      FROM adj
+    )
+    SELECT arm, count(*) AS n_users,
+           round(avg(post), 6) AS mean_post,
+           round(avg(post_adj), 6) AS mean_adj,
+           (SELECT var_reduction FROM vr) AS var_reduction
+    FROM adj GROUP BY arm
+    """,
+)
+def eval_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction for the A/B readout: each user's
+    pre-period metric (even event ids) regresses out of their
+    post-period metric (odd event ids), shrinking arm variance without
+    biasing the lift — the standard trick that cuts experiment runtime.
+
+    theta = cov(pre, post)/var(pre) and the pre-period mean are
+    floor-quantized to micro-units before the adjustment (the
+    cross-engine contract: both are order-sensitive aggregate ratios
+    feeding every row).  Plan: one per-user aggregate, a 1-row theta
+    aggregate broadcast back, one per-arm aggregate — three shuffles
+    total, all keyed/map-side-combined, at any scale."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("event_id") % 2 == 0, F.col("value"))).alias("pre"),
+            F.avg(F.when(F.col("event_id") % 2 == 1, F.col("value"))).alias("post"),
+            F.count(F.when(F.col("event_id") % 2 == 0, 1)).alias("n_pre"),
+            F.count(F.when(F.col("event_id") % 2 == 1, 1)).alias("n_post"),
+        )
+        .filter((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+    )
+    armed = per_user.select(
+        (porthash(F.col("user_id").cast("string"), "ab") % 2).alias("arm"),
+        "pre",
+        "post",
+    )
+    theta = armed.agg(
+        (F.floor((F.covar_samp("pre", "post") / F.var_samp("pre")) * 1000000)
+         / 1000000).alias("th"),
+        (F.floor(F.avg("pre") * 1000000) / 1000000).alias("pre_mu"),
+    )
+    adj = armed.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "post",
+        (F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mu"))).alias(
+            "post_adj"
+        ),
+    )
+    vr = adj.agg(
+        F.round(1.0 - F.var_samp("post_adj") / F.var_samp("post"), 6).alias(
+            "var_reduction"
+        )
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("post"), 6).alias("mean_post"),
+            F.round(F.avg("post_adj"), 6).alias("mean_adj"),
+        )
+        .crossJoin(F.broadcast(vr))
+    )
