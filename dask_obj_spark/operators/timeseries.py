@@ -710,3 +710,96 @@ def ts_seasonal_profile_q(spark, sf_dir):
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+@query(
+    "ts_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), totals AS (
+      SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           round(t.n * 1.0 / s.tot, 6) AS p
+    FROM trans t JOIN totals s ON s.from_type = t.from_type
+    """,
+)
+def ts_markov_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for every
+    (current event type → next event type) pair, the transition count
+    and conditional probability — the sequence model behind next-action
+    prediction, funnel leak analysis, and bot detection (bots have
+    degenerate transition rows).
+
+    Plan: one lead() window per user (single shuffle on the key, the
+    same sort every sessionization query reuses), then two
+    dimension-sized aggregates (|types|² transition cells).  Counts are
+    exact integers; the probability divides integers, so cross-engine
+    values are identical before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             floor(epoch(ts))::BIGINT
+               - lag(floor(epoch(ts))::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           round(avg(gap_s), 6) AS mean_gap_s,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats_q(spark, sf_dir):
+    """Inter-arrival gap distribution per event type (seconds between a
+    user's consecutive events, attributed to the later event's type):
+    count, mean, exact p50/p90 — the dwell-time / engagement-cadence
+    profile, and the input for hazard-style churn heuristics.
+
+    Gap computed on integer epoch seconds (floor on both engines) so
+    lag-differences are exact; percentiles are the exact interpolated
+    kind (F.percentile ≡ quantile_cont).  One per-user window + one
+    per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp("ts")
+    gaps = ev.select(
+        "event_type", (secs - F.lag(secs).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+    )
