@@ -1233,3 +1233,72 @@ def dedup_lsh_precision_recall_q(spark, sf_dir):
           round(n_hits / max(n_truth, 1), 6))],
         "n_candidates long, n_truth long, n_hits long, precision double, recall double",
     )
+
+
+@query(
+    "er_canonical_entities",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name AS n FROM part
+    ), toks AS (
+      SELECT n, unnest(string_split(n, ' ')) AS w FROM names
+    ), cand AS (
+      SELECT DISTINCT a.n AS n1, b.n AS n2
+      FROM toks a JOIN toks b ON a.w = b.w AND a.n < b.n
+    ), prs AS (
+      SELECT n1, n2 FROM cand WHERE levenshtein(n1, n2) <= 3
+    ), ed AS (
+      SELECT n1 AS s, n2 AS d FROM prs UNION ALL SELECT n2, n1 FROM prs
+    ), reach AS (
+      SELECT s AS id, s AS lbl FROM ed
+      UNION
+      SELECT e.d AS id, r.lbl
+      FROM reach r JOIN ed e ON e.s = r.id
+      WHERE r.lbl < e.d
+    ), comp AS (
+      SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    ), er AS (
+      SELECT nm.n AS name, coalesce(c.cluster_id, nm.n) AS entity_id
+      FROM names nm LEFT JOIN comp c ON c.id = nm.n
+    ), sizes AS (
+      SELECT entity_id, count(*) AS n_variants FROM er GROUP BY entity_id
+    )
+    SELECT e.name, e.entity_id,
+           CAST(e.name = e.entity_id AS INT) AS is_canonical,
+           CAST(s.n_variants AS BIGINT) AS n_variants
+    FROM er e JOIN sizes s ON s.entity_id = e.entity_id
+    """,
+)
+def er_canonical_entities_q(spark, sf_dir):
+    """Entity resolution end-to-end: token-blocked edit-distance pairs
+    (`fuzzy_name_pairs`) → connected components (large-star/small-star)
+    → canonical entity per cluster (lexicographic min name) with variant
+    counts — the catalog-dedup capstone a reference user runs as ONE
+    operator (match → cluster → survivorship).
+
+    The min-label semantics work unchanged on string vertex ids (min is
+    lexicographic); singleton names never enter the edge list and pass
+    through as their own entity.  Scale: blocking bounds candidate
+    generation, components converge in O(log n) rounds, survivorship is
+    one dimension-sized aggregate — the oracle replays match + cluster
+    via a pruned recursive CTE (labels only propagate downhill, so the
+    recursion carries O(V·avg-labels) rows, and min() collapses it)."""
+    # local import: corpus.py imports from this module at top level
+    from dask_obj_spark.operators.corpus import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    pairs = fuzzy_name_pairs(part, "p_name", 3)
+    comp = connected_components(pairs, "n1", "n2")
+    er = names.join(
+        comp.select(F.col("id").alias("name"), "cluster_id"), "name", "left"
+    ).select(
+        "name", F.coalesce("cluster_id", "name").alias("entity_id")
+    )
+    sizes = er.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_variants"))
+    return er.join(F.broadcast(sizes), "entity_id").select(
+        "name",
+        "entity_id",
+        (F.col("name") == F.col("entity_id")).cast("int").alias("is_canonical"),
+        F.col("n_variants").cast("bigint").alias("n_variants"),
+    )
