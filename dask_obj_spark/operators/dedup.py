@@ -1302,3 +1302,72 @@ def er_canonical_entities_q(spark, sf_dir):
         (F.col("name") == F.col("entity_id")).cast("int").alias("is_canonical"),
         F.col("n_variants").cast("bigint").alias("n_variants"),
     )
+
+
+@query(
+    "dedup_corpus_report",
+    oracle=_duck_pairs_sql(16, 4, 0.5)
+    + """
+    , basic AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique_texts
+      FROM documents
+    ), pairstats AS (
+      SELECT count(*) AS n_near_pairs FROM pairs
+    ), involved AS (
+      SELECT count(DISTINCT id) AS n_docs_in_near_pairs FROM (
+        SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs
+      )
+    )
+    SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_unique_texts AS BIGINT) AS n_unique_texts,
+           CAST(b.n_docs - b.n_unique_texts AS BIGINT) AS n_exact_extra,
+           round(b.n_unique_texts * 1.0 / b.n_docs, 6) AS exact_unique_rate,
+           CAST(p.n_near_pairs AS BIGINT) AS n_near_pairs,
+           CAST(i.n_docs_in_near_pairs AS BIGINT) AS n_docs_in_near_pairs
+    FROM basic b CROSS JOIN pairstats p CROSS JOIN involved i
+    """,
+)
+def dedup_corpus_report_q(spark, sf_dir):
+    """One-row dedup health report: corpus size, exact-unique count and
+    rate, MinHash-LSH near-dup pair count and the number of documents
+    involved — the summary a pipeline owner reads before deciding
+    whether a full dedup pass is worth the compute.
+
+    Plan: exact stats are one two-aggregate scan on hashed content; the
+    near-dup leg is the standard banded pipeline; all three single-row
+    legs cross-join at the end.  At 100 TB the report costs one corpus
+    scan plus the (sub-quadratic) LSH candidate generation — this is
+    the cheap census you run on a SAMPLE first (identical shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    basic = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5)
+    pairs = pairs.localCheckpoint(eager=True)  # two consumers below
+    pairstats = pairs.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    involved = (
+        pairs.select(F.col("id1").alias("id"))
+        .union(pairs.select("id2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs_in_near_pairs"))
+    )
+    return (
+        basic.crossJoin(F.broadcast(pairstats))
+        .crossJoin(F.broadcast(involved))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_unique_texts").cast("bigint").alias("n_unique_texts"),
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("bigint").alias(
+                "n_exact_extra"
+            ),
+            F.round(F.col("n_unique_texts") / F.col("n_docs"), 6).alias(
+                "exact_unique_rate"
+            ),
+            F.col("n_near_pairs").cast("bigint").alias("n_near_pairs"),
+            F.col("n_docs_in_near_pairs").cast("bigint").alias(
+                "n_docs_in_near_pairs"
+            ),
+        )
+    )
