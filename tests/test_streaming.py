@@ -183,3 +183,62 @@ def test_python_streaming_source_drains_and_matches_batch(spark, tmp_path):
         n, sv = expect.get(u, (0, 0.0))
         expect[u] = (n + 1, round(sv + v, 6))
     assert got == expect
+
+
+def test_checkpoint_resume_carries_state(spark, oracle_sf_dir, tmp_path):
+    """Exactly-once restart contract: a stateful streaming aggregation
+    drained with availableNow, STOPPED, given more input, and restarted
+    from the SAME checkpoint must (a) not reprocess the first batch and
+    (b) resume its state — a user seen in both halves must report the
+    combined count, which is only possible if the shuffle-state store
+    was recovered from the checkpoint."""
+    import os
+
+    ev = load_table(spark, oracle_sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+
+    raw_schema = ev.select("event_id", "user_id").schema
+
+    def run_once(run_dir_has_all: bool) -> None:
+        stream = (
+            spark.readStream.schema(raw_schema).parquet(src)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half_a.select("event_id", "user_id").write.mode("overwrite").parquet(src)
+    run_once(False)
+    # second half arrives AFTER the first drain completed and stopped
+    half_b.select("event_id", "user_id").write.mode("append").parquet(src)
+    run_once(True)
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))  # n is monotone across re-emissions
+    )
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    diff = got.alias("g").join(want.alias("w"), "user_id").filter(
+        F.col("g.n") != F.col("w.n")
+    )
+    assert diff.count() == 0
+    assert got.count() == want.count()
