@@ -2343,3 +2343,125 @@ def eval_cuped_adjustment(spark, sf_dir):
         )
         .crossJoin(F.broadcast(vr))
     )
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round(d.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           CAST(abs(d.value - d.med) > 3 * 1.4826 * m.mad AS INT) AS is_outlier
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    """,
+)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust outlier flags by median absolute deviation: per event
+    type, the median and MAD (scaled by 1.4826 to estimate sigma under
+    normality), flagging |x - med| > 3 scaled MADs — the outlier screen
+    that, unlike z-scores, is not itself corrupted by the outliers it
+    hunts.
+
+    Plan: two exact-percentile aggregates (per-type median, then
+    per-type median of absolute deviations) with the tiny per-type
+    tables broadcast back between them — two corpus scans, no window,
+    no sort of the fact table (F.percentile aggregates).  Cross-engine:
+    exact interpolated percentiles are identical; the comparison
+    operands derive from them deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH n AS (
+      SELECT count(*) AS total FROM documents
+    ), joint AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ), px AS (
+      SELECT lang, count(*) AS n_x FROM documents GROUP BY lang
+    ), py AS (
+      SELECT source, count(*) AS n_y FROM documents GROUP BY source
+    ), grid AS (
+      SELECT x.lang, y.source, x.n_x, y.n_y,
+             coalesce(j.o, 0) AS o,
+             x.n_x * 1.0 * y.n_y / n.total AS e
+      FROM px x CROSS JOIN py y
+      LEFT JOIN joint j ON j.lang = x.lang AND j.source = y.source
+      CROSS JOIN n
+    )
+    SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM grid
+    """,
+)
+def stats_chi2_independence(spark, sf_dir):
+    """Pearson chi-square test of independence for lang × source: the
+    statistic, degrees of freedom, and cell count — the hypothesis-test
+    companion to profile_mutual_information (MI measures the strength
+    of dependence; chi2 scales it against sampling noise).
+
+    The full marginal grid (cross join of the two tiny key lists, LEFT
+    joined with observed cells) includes zero-observation cells, which
+    carry expected mass and belong in the statistic.  All corpus-wide
+    work is three count aggregates; the grid is dimension-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    px = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_x"))
+    py = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_y"))
+    grid = (
+        px.crossJoin(F.broadcast(py))
+        .join(joint, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("n_x") * F.col("n_y") / F.lit(float(n))).alias("e"),
+        )
+    )
+    return grid.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
