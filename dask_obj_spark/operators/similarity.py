@@ -1587,3 +1587,51 @@ def sim_random_projection_q(spark, sf_dir):
             diff2(F.col("pa"), F.col("pb")) / diff2(F.col("va"), F.col("vb")), 6
         ).alias("ratio"),
     )
+
+
+@query(
+    "sim_gram_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT generate_subscripts(embedding::DOUBLE[], 1) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS x,
+             vec_id
+      FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(sum(a.x * b.x), 6) AS g
+    FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def sim_gram_matrix_q(spark, sf_dir):
+    """The corpus Gram matrix X'X (upper triangle, 64x64 → 2080 cells)
+    — the sufficient statistic behind closed-form OLS, covariance/PCA,
+    and whitening: compute it ONCE in a distributed pass and every
+    downstream d x d solve is driver-trivial.
+
+    Plan: posexplode to (vec, dim, x) rows, self-join on the vector id
+    (co-partitioned — the join key is the id both sides were exploded
+    from, so with the upstream repartition there is ONE shuffle), then
+    a d² hash aggregate.  The shuffle carries (d²/2) partials per task
+    — independent of corpus size.  Cross-engine: per-cell sums differ
+    in last-ulp order; 6-dp rounding absorbs it (values O(n))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ncores = emb.sparkSession.sparkContext.defaultParallelism
+    m = (
+        emb.repartition(ncores, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.round(F.sum(F.col("a.x") * F.col("b.x")), 6).alias("g"))
+    )

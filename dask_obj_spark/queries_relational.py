@@ -2465,3 +2465,93 @@ def stats_chi2_independence(spark, sf_dir):
         .alias("dof"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
+
+
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563",
+)
+_BOOT_B = 32  # bootstrap replicas
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.value, r.r,
+             {_boot_weight_sql(
+                 "((('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '#boot' "
+                 "|| CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 1000000) + 0.5) "
+                 "/ 1000000.0"
+             )} AS w
+      FROM events e CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS r) r
+    ), means AS (
+      SELECT r, round(sum(w * value) / sum(w), 6) AS mu
+      FROM reps GROUP BY r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           round((SELECT avg(value) FROM events), 6) AS mean_full,
+           round(quantile_cont(mu, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mu, 0.975), 6) AS ci_hi,
+           round(stddev_samp(mu), 6) AS se_boot
+    FROM means
+    """,
+)
+def stats_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the mean event value by
+    POISSONIZED resampling: each of the 32 replicas weights every row
+    by a Poisson(1) draw derived from the keyed hash (inverse CDF over
+    a hash-uniform), so the whole bootstrap is ONE scan producing 32
+    weighted means — no per-replica shuffling of the data, and fully
+    deterministic/oracle-checkable (a production run swaps the hash
+    for a seeded PRF; the plan is unchanged).
+
+    Poissonization is the standard distributed-bootstrap trick:
+    multinomial resampling needs global coordination, Poisson(1)
+    weights are independent per (row, replica) and the replica total
+    concentrates at n.  Per-replica means are rounded to 6 dp before
+    the percentile so the tiny engine-order sum noise cannot reorder
+    nearly-equal replicas.  Scale: the explode is x32 rows of (value,
+    weight) — at 100 TB run it on the statistic's sufficient columns
+    only; the aggregate is map-side combined."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    ev = _t(spark, sf_dir, "events")
+    reps = ev.select("event_id", "value").crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
+        )
+    )
+    u = (
+        porthash(
+            F.concat(F.col("event_id").cast("string"), F.lit("#boot"),
+                     F.col("r").cast("string")),
+        )
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    w = F.when(u < float(_POIS_CDF[0]), 0)
+    for k in range(1, 5):
+        w = w.when(u < float(_POIS_CDF[k]), k)
+    w = w.otherwise(5)
+    means = (
+        reps.select("r", "value", w.alias("w"))
+        .groupBy("r")
+        .agg(F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6).alias("mu"))
+    )
+    full = ev.agg(F.round(F.avg("value"), 6).alias("mean_full"))
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicas"),
+        F.round(F.percentile("mu", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("mu", F.lit(0.975)), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("mu"), 6).alias("se_boot"),
+    ).crossJoin(F.broadcast(full)).select(
+        "n_replicas", "mean_full", "ci_lo", "ci_hi", "se_boot"
+    )
