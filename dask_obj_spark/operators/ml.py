@@ -198,3 +198,73 @@ def ml_calibration_bins_q(spark, sf_dir):
         F.round(F.avg("p"), 6).alias("mean_pred"),
         F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_pos"),
     )
+
+
+@query(
+    "ml_ols_normal_equations",
+    oracle="""
+    WITH feats AS (
+      SELECT n_chars / 1000.0 AS y,
+             len(string_split_regex(trim(text), '\\s+')) / 100.0 AS x
+      FROM documents
+    ), sums AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM feats
+    ), w AS (
+      SELECT floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000)
+               / 1000000 AS w1,
+             floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                   * 1000000) / 1000000 AS w0
+      FROM sums
+    ), fit AS (
+      SELECT f.y, w.w0 + w.w1 * f.x AS yhat, w.w0, w.w1
+      FROM feats f CROSS JOIN w
+    )
+    SELECT round(max(w0), 6) AS w0, round(max(w1), 6) AS w1,
+           round(1.0 - sum((y - yhat) * (y - yhat))
+                     / sum((y - (SELECT sy / n FROM sums))
+                           * (y - (SELECT sy / n FROM sums))), 6) AS r2
+    FROM fit
+    """,
+)
+def ml_ols_normal_equations_q(spark, sf_dir):
+    """Closed-form OLS (predict character count from token count) via
+    the normal equations: the five sufficient sums (n, Σx, Σy, Σx²,
+    Σxy) come from ONE distributed aggregate, the 2×2 solve happens in
+    the plan, and a second scan scores R² — the closed-form companion
+    to the iterative `ml_logreg_gd` (and the d-feature generalization
+    is exactly `sim_gram_matrix` + a driver-side solve).
+
+    Weights are floor-quantized to micro-units before the residual pass
+    (the cross-engine contract), so R² is computed from identical
+    coefficients on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("n_chars") / 1000.0).alias("y"),
+        (F.size(F.split(F.trim("text"), r"\s+")) / 100.0).alias("x"),
+    ).localCheckpoint(eager=True)
+    s = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    slope = (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+    w1 = _quant(slope)
+    w0 = _quant((s.sy - slope * s.sx) / s.n)
+    ybar = s.sy / s.n
+    fit = feats.select(
+        "y", (F.lit(w0) + F.lit(w1) * F.col("x")).alias("yhat")
+    )
+    return fit.agg(
+        F.round(F.lit(w0), 6).alias("w0"),
+        F.round(F.lit(w1), 6).alias("w1"),
+        F.round(
+            1.0
+            - F.sum((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat")))
+            / F.sum((F.col("y") - F.lit(ybar)) * (F.col("y") - F.lit(ybar))),
+            6,
+        ).alias("r2"),
+    )
