@@ -2555,3 +2555,80 @@ def stats_bootstrap_ci(spark, sf_dir):
     ).crossJoin(F.broadcast(full)).select(
         "n_replicas", "mean_full", "ci_lo", "ci_hi", "se_boot"
     )
+
+
+@query(
+    "funnel_conversion_lag",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    ), lags AS (
+      SELECT 'view_to_click' AS transition,
+             floor(epoch(t2.t2))::BIGINT - floor(epoch(t1.t1))::BIGINT AS lag_s
+      FROM t2 JOIN t1 ON t1.user_id = t2.user_id
+      UNION ALL
+      SELECT 'click_to_purchase' AS transition,
+             floor(epoch(t3.t3))::BIGINT - floor(epoch(t2.t2))::BIGINT AS lag_s
+      FROM t3 JOIN t2 ON t2.user_id = t3.user_id
+    )
+    SELECT transition, count(*) AS n_users,
+           round(avg(lag_s), 6) AS mean_lag_s,
+           round(quantile_cont(lag_s, 0.5), 6) AS p50_lag_s,
+           round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s
+    FROM lags GROUP BY transition
+    """,
+)
+def funnel_conversion_lag(spark, sf_dir):
+    """Time-to-convert for each funnel transition (first qualifying
+    view → click, click → purchase): per-transition user counts, mean
+    and exact p50/p90 lags in seconds — the companion to funnel_stages
+    that tells you not just WHERE users drop but HOW LONG conversion
+    takes (the attribution-window calibration input).
+
+    Same chained per-user min-aggregation plan as funnel_stages (one
+    user_id partitioning reused end-to-end); lags are integer epoch
+    second differences (floor on both engines), percentiles exact
+    interpolated."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lag1 = t2.join(t1, "user_id").select(
+        F.lit("view_to_click").alias("transition"),
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("lag_s"),
+    )
+    lag2 = t3.join(t2, "user_id").select(
+        F.lit("click_to_purchase").alias("transition"),
+        (F.unix_timestamp("t3") - F.unix_timestamp("t2")).alias("lag_s"),
+    )
+    return lag1.union(lag2).groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("lag_s"), 6).alias("mean_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_lag_s"),
+    )
