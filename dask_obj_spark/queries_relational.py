@@ -2632,3 +2632,89 @@ def funnel_conversion_lag(spark, sf_dir):
         F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_lag_s"),
         F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_lag_s"),
     )
+
+
+@query(
+    "incremental_agg_quantile",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS b
+      FROM events
+    ), hist AS (
+      SELECT event_type, b, count(*) AS c FROM binned GROUP BY event_type, b
+    ), tot AS (
+      SELECT event_type, sum(c) AS n FROM hist GROUP BY event_type
+    ), cum AS (
+      SELECT h.event_type, h.b, h.c, t.n,
+             sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cm
+      FROM hist h JOIN tot t ON t.event_type = h.event_type
+    ), med AS (
+      SELECT event_type, min(b) AS med_bin FROM cum
+      WHERE cm * 2 >= n GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(t.n AS BIGINT) AS n,
+           round(m.med_bin / 100.0, 6) AS binned_p50,
+           1 AS merge_consistent
+    FROM med m JOIN tot t ON t.event_type = m.event_type
+    """,
+)
+def incremental_agg_quantile(spark, sf_dir):
+    """Incremental quantile maintenance: a fixed-resolution (centi-unit)
+    histogram is the mergeable state — per-split histograms SUM into the
+    global one, and the binned median reads off the cumulative counts.
+    Third member of the incremental family (sum/count, min/max+sketch,
+    now order statistics), the approximation contract being the bin
+    width (here 0.01 absolute).
+
+    The query itself proves merge-invariance: the corpus splits into a
+    standing part and a delta, each aggregates its own histogram, the
+    partials merge, and the merged median is compared in-plan to the
+    full-recompute median (`merge_consistent` — histogram addition is
+    exact, so any mismatch fails the hash).  All arithmetic is integer
+    until the final bin→value division."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") * 100).cast("bigint").alias("b")
+
+    def hist(df):
+        return df.select("event_type", b).groupBy("event_type", "b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    part_a = hist(ev.filter(F.col("event_id") % 10 < 8))
+    part_b = hist(ev.filter(F.col("event_id") % 10 >= 8))
+    merged = (
+        part_a.unionByName(part_b)
+        .groupBy("event_type", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = hist(ev)
+
+    def binned_median(h):
+        tot = h.groupBy("event_type").agg(F.sum("c").alias("n"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = h.join(F.broadcast(tot), "event_type").withColumn(
+            "cm", F.sum("c").over(w)
+        )
+        return (
+            cum.filter(F.col("cm") * 2 >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min("b").alias("med_bin"), F.max("n").alias("n"))
+        )
+    m_merged = binned_median(merged)
+    m_full = binned_median(full).select(
+        F.col("event_type"), F.col("med_bin").alias("med_full")
+    )
+    return m_merged.join(m_full, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("med_bin") / 100.0, 6).alias("binned_p50"),
+        (F.col("med_bin") == F.col("med_full")).cast("int").alias("merge_consistent"),
+    )
