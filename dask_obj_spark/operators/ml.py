@@ -268,3 +268,90 @@ def ml_ols_normal_equations_q(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "ml_nearest_centroid_confusion",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding::DOUBLE[], 1) AS i,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, i, round(avg(x), 6) AS m
+      FROM pos GROUP BY label, i
+    ), d2 AS (
+      SELECT p.vec_id, p.label AS label_true, c.clabel,
+             sum((p.x - c.m) * (p.x - c.m)) AS d2
+      FROM pos p JOIN cent c ON c.i = p.i
+      GROUP BY p.vec_id, p.label, c.clabel
+    ), pred AS (
+      SELECT vec_id, label_true, clabel AS label_pred FROM (
+        SELECT vec_id, label_true, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, clabel) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), conf AS (
+      SELECT label_true, label_pred, count(*) AS n
+      FROM pred GROUP BY label_true, label_pred
+    )
+    SELECT label_true, label_pred, CAST(n AS BIGINT) AS n,
+           round(sum(CASE WHEN label_true = label_pred THEN n ELSE 0 END)
+                   OVER () * 1.0 / sum(n) OVER (), 6) AS accuracy
+    FROM conf
+    """,
+)
+def ml_nearest_centroid_confusion_q(spark, sf_dir):
+    """Nearest-centroid classification of the embedding corpus against
+    its own label centroids, reported as a confusion matrix with the
+    overall accuracy replicated per cell — the cheapest supervised
+    sanity check of an embedding space (are classes even separable by
+    their means?).
+
+    Centroids are rounded to 6 dp BEFORE the distance pass so the
+    argmin trajectory is engine-deterministic; distances accumulate per
+    (vector, class) from the dim-exploded stream (the shuffle carries
+    k·d partial sums, never vectors — centroid_per_label's contract);
+    the final windows run over the k x k confusion table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        F.col("label").alias("label_true"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).withColumn("i", F.col("i0") + 1).drop("i0")
+    cent = (
+        pos.groupBy(F.col("label_true").alias("clabel"), "i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    d2 = (
+        pos.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label_true", "clabel")
+        .agg(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("d2"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "clabel")
+    )
+    pred = (
+        d2.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("label_true", F.col("clabel").alias("label_pred"))
+    )
+    conf = pred.groupBy("label_true", "label_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = W.partitionBy()
+    return conf.select(
+        "label_true",
+        "label_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.when(F.col("label_true") == F.col("label_pred"), F.col("n")).otherwise(0)
+            ).over(wall)
+            / F.sum("n").over(wall),
+            6,
+        ).alias("accuracy"),
+    )

@@ -1635,3 +1635,53 @@ def sim_gram_matrix_q(spark, sf_dir):
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.round(F.sum(F.col("a.x") * F.col("b.x")), 6).alias("g"))
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=_duck_base(5)
+    + _duck_topk_ctes()
+    + """
+    , knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM ranked WHERE rank <= 10
+    ), ed AS (
+      SELECT u, v FROM knn UNION ALL SELECT v, u FROM knn
+    ), deg AS (
+      SELECT u, count(*) AS d FROM ed GROUP BY u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           round(avg(da.d), 6) AS mean_deg,
+           round(corr(da.d, db.d), 6) AS assortativity
+    FROM ed e JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v
+    """,
+)
+def graph_assortativity_q(spark, sf_dir):
+    """Degree assortativity of the kNN graph: the Pearson correlation
+    of endpoint degrees over all (directed) edges — positive means hubs
+    connect to hubs (social-network-like), negative means hub-and-spoke
+    (typical for kNN graphs, where dense-region vectors absorb many
+    reverse edges).  The one-number topology screen that decides
+    whether degree-capping is needed before wedge/triangle work.
+
+    Plan: degree table (one hash agg) joined onto the edge list twice
+    (both dimension-sized broadcasts at reasonable degree counts), one
+    corr aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("u"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("v"), F.col("d").alias("db"))
+    return (
+        sym.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+            F.round(F.avg("da"), 6).alias("mean_deg"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
