@@ -1685,3 +1685,93 @@ def graph_assortativity_q(spark, sf_dir):
             F.round(F.corr("da", "db"), 6).alias("assortativity"),
         )
     )
+
+
+@query(
+    "sim_triplet_mining",
+    oracle=_duck_base(25)
+    + f"""
+    , lab AS (
+      SELECT vec_id AS vid, label FROM embeddings
+    ), scored AS (
+      SELECT p.pid, b.vid, {duck_cosine("p.pv", "b.v", DIM)} AS cs,
+             la.label AS alabel, lb.label AS blabel
+      FROM base b
+        JOIN probes p ON p.pid <> b.vid
+        JOIN lab la ON la.vid = p.pid
+        JOIN lab lb ON lb.vid = b.vid
+    ), pos AS (
+      SELECT pid, vid AS pos_id, cs AS pos_cos FROM (
+        SELECT pid, vid, cs,
+               row_number() OVER (PARTITION BY pid ORDER BY cs DESC, vid) AS rn
+        FROM scored WHERE alabel = blabel
+      ) WHERE rn = 1
+    ), neg AS (
+      SELECT s.pid, s.vid AS neg_id, s.cs AS neg_cos,
+             row_number() OVER (PARTITION BY s.pid
+                                ORDER BY s.cs DESC, s.vid) AS rn
+      FROM scored s JOIN pos p ON p.pid = s.pid
+      WHERE s.alabel <> s.blabel AND s.cs < p.pos_cos
+    )
+    SELECT p.pid AS anchor_id, p.pos_id, n.neg_id,
+           round(p.pos_cos, 6) AS pos_cos,
+           round(n.neg_cos, 6) AS neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.pid = p.pid AND n.rn = 1
+    """,
+)
+def sim_triplet_mining_q(spark, sf_dir):
+    """Semi-hard triplet mining for metric learning: for each anchor
+    (1-in-25 probe), the most-similar SAME-label vector as the
+    positive, and the hardest DIFFERENT-label vector that is still
+    farther than the positive (the semi-hard band of FaceNet) as the
+    negative — the batch construction that makes triplet-loss training
+    converge, as one engine query.
+
+    Plan: the anchor-probe set broadcasts against the corpus exactly
+    like cosine_topk_brute; label attachment is two dimension joins;
+    positive and semi-hard negative are per-anchor argmax windows over
+    bit-exact scores (id tie-breaks), so the mined triplets are
+    deterministic and the oracle replays them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    ).withColumn("vn", l2_norm(F.col("v")))
+    probes = base.filter(F.col("vid") % 25 == 0).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv"),
+        F.col("vn").alias("pn"), F.col("label").alias("alabel"),
+    )
+    scored = base.join(F.broadcast(probes), F.col("pid") != F.col("vid")).select(
+        "pid",
+        "vid",
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cs"),
+        "alabel",
+        F.col("label").alias("blabel"),
+    ).localCheckpoint(eager=True)  # two consumers: positives + negatives
+    wp = Window.partitionBy("pid").orderBy(F.desc("cs"), F.asc("vid"))
+    pos = (
+        scored.filter(F.col("alabel") == F.col("blabel"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("pid", F.col("vid").alias("pos_id"), F.col("cs").alias("pos_cos"))
+    )
+    neg_cand = (
+        scored.filter(F.col("alabel") != F.col("blabel"))
+        .join(pos.select("pid", "pos_cos"), "pid")
+        .filter(F.col("cs") < F.col("pos_cos"))
+    )
+    neg = (
+        neg_cand.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("pid", F.col("vid").alias("neg_id"), F.col("cs").alias("neg_cos"))
+    )
+    return pos.join(neg, "pid").select(
+        F.col("pid").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        F.round("pos_cos", 6).alias("pos_cos"),
+        F.round("neg_cos", 6).alias("neg_cos"),
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

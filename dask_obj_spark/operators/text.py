@@ -1348,3 +1348,85 @@ def sketch_countmin_freq_q(spark, sf_dir):
         F.col("est_n").cast("bigint").alias("est_n"),
         (F.col("est_n") >= F.col("exact_n")).cast("int").alias("never_undercounts"),
     )
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), stats AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+    ), df AS (
+      SELECT term, count(*) AS df_ FROM tf GROUP BY term
+    ), w AS (
+      SELECT t.doc_id, t.term, t.tf * ln(s.n_docs * 1.0 / d.df_) AS w
+      FROM tf t JOIN df d ON d.term = t.term CROSS JOIN stats s
+      WHERE d.df_ <= 50
+    ), norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.w * b.w) AS dp
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.id1, d.id2,
+           round(d.dp / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM dots d
+      JOIN norms na ON na.doc_id = d.id1
+      JOIN norms nb ON nb.doc_id = d.id2
+    WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= 0.3
+    """,
+)
+def text_tfidf_cosine_pairs_q(spark, sf_dir):
+    """Sparse lexical cosine: tf-idf weighted document similarity over
+    the shared-term inverted index — the bag-of-words analog of
+    embedding cosine (catches topical near-dups whose wording diverges
+    too much for shingle Jaccard but whose term distributions align).
+
+    Sub-quadratic by construction: the pair join runs term-by-term over
+    the inverted index, and terms with document frequency > 50 are
+    dropped BEFORE the join (they carry ~zero idf weight AND generate
+    the hottest buckets — the idf-weighted version of the stop-shingle
+    cap).  Norms are per-doc aggregates broadcast onto the pair
+    results.  At 100 TB the weighted postings table is the standing
+    bucketed-by-term asset shared with BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = toks.select("doc_id").distinct().count()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    w = (
+        tf.join(F.broadcast(df.filter(F.col("df_") <= 50)), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_"))).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # norms + both pair legs
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dp"))
+    )
+    na = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6)
+    return (
+        dots.join(F.broadcast(na), "id1")
+        .join(F.broadcast(nb), "id2")
+        .select("id1", "id2", cos.alias("tfidf_cosine"))
+        .filter(F.col("tfidf_cosine") >= 0.3)
+    )
