@@ -1775,3 +1775,32 @@ def sim_triplet_mining_q(spark, sf_dir):
         F.round("neg_cos", 6).alias("neg_cos"),
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+@query(
+    "sim_knn_outlier_scores",
+    oracle=_duck_base(5)
+    + _duck_topk_ctes()
+    + """
+    SELECT id1 AS vid, round(cos_raw, 6) AS cos_at_k,
+           round(1.0 - round(cos_raw, 6), 6) AS outlier_score
+    FROM ranked WHERE rank = 10
+    """,
+)
+def sim_knn_outlier_scores_q(spark, sf_dir):
+    """Distance-to-kth-neighbor outlier scores: a vector whose 10th-
+    nearest neighbor is already far (low cosine) sits in a sparse
+    region — the classic kNN density proxy for embedding-space outlier
+    and OOD detection (the per-point counterpart to the k-core's
+    subgraph-level density filter).
+
+    Plan: exactly the brute top-k machinery, keeping ONLY the rank-k
+    row per probe — no extra passes; with an ANN index the same score
+    comes from the index probe at negligible cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    return knn.filter(F.col("rank") == 10).select(
+        F.col("id1").alias("vid"),
+        F.col("cosine").alias("cos_at_k"),
+        F.round(1.0 - F.col("cosine"), 6).alias("outlier_score"),
+    )

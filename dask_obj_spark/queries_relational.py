@@ -2718,3 +2718,68 @@ def incremental_agg_quantile(spark, sf_dir):
         F.round(F.col("med_bin") / 100.0, 6).alias("binned_p50"),
         (F.col("med_bin") == F.col("med_full")).cast("int").alias("merge_consistent"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS c0
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT c.c0, date_diff('day', c.c0, date_trunc('day', e.ts)) AS day_offset,
+             sum(e.value) AS v
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT c0, count(*) AS cohort_size FROM cohort GROUP BY c0
+    )
+    SELECT CAST(epoch(d.c0) AS BIGINT) AS cohort_ts,
+           d.day_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(sum(d.v) OVER (PARTITION BY d.c0 ORDER BY d.day_offset
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                 / s.cohort_size, 6) AS cum_value_per_user
+    FROM daily d JOIN sized s ON s.c0 = d.c0
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: cumulative value per user by
+    day-offset for each first-active-day cohort — the LTV companion to
+    retention_cohorts that tells you what each cohort is WORTH over
+    time, not just whether it comes back (the payback-period input).
+
+    Plan: per-user cohort day (one aggregate), per-(cohort, offset)
+    value sums (one aggregate on the joined stream — same user_id
+    partitioning), then a running sum over the TINY cohort x offset
+    matrix.  The running-sum window is dimension-sized; the corpus-wide
+    work is two hash aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("c0")
+    )
+    daily = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "c0",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("c0")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    sized = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.join(F.broadcast(sized), "c0").select(
+        F.unix_timestamp("c0").alias("cohort_ts"),
+        "day_offset",
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.round(F.sum("v").over(w) / F.col("cohort_size"), 6).alias(
+            "cum_value_per_user"
+        ),
+    )
