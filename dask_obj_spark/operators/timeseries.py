@@ -803,3 +803,70 @@ def ts_interarrival_stats_q(spark, sf_dir):
         F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
     )
+
+
+@query(
+    "ts_rolling_autocorr",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value AS x,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ), stats AS (
+      SELECT user_id, event_id,
+             count(*) OVER win AS nw,
+             avg(x) OVER win AS mx,
+             avg(y) OVER win AS my,
+             avg(x * y) OVER win AS mxy,
+             stddev_pop(x) OVER win AS sx,
+             stddev_pop(y) OVER win AS sy
+      FROM lagged WHERE y IS NOT NULL
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN nw >= 5 AND sx > 0 AND sy > 0
+                THEN round((mxy - mx * my) / (sx * sy), 6) END AS autocorr
+    FROM stats
+    """,
+)
+def ts_rolling_autocorr_q(spark, sf_dir):
+    """Rolling lag-1 autocorrelation per user (trailing 20 events,
+    5-event warm-up): the serial-dependence monitor — near zero for
+    organic noise, spiking for scripted/periodic behavior (bots,
+    replayed traffic) — computed as windowed moment algebra:
+    corr = (E[xy] − E[x]E[y]) / (σx σy), all six moments from ONE
+    ordered frame in one per-user pass.
+
+    NULL (not 0) during warm-up or zero variance, so downstream
+    consumers can't mistake 'undefined' for 'uncorrelated'.  Same
+    keyed-window shape as ts_anomaly_flags; the lag and the frame share
+    one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").alias("x"),
+        F.lag("value").over(wl).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    nw = F.count(F.lit(1)).over(win)
+    mx = F.avg("x").over(win)
+    my = F.avg("y").over(win)
+    mxy = F.avg(F.col("x") * F.col("y")).over(win)
+    sx = F.stddev_pop("x").over(win)
+    sy = F.stddev_pop("y").over(win)
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.when(
+            (nw >= 5) & (sx > 0) & (sy > 0),
+            F.round((mxy - mx * my) / (sx * sy), 6),
+        ).alias("autocorr"),
+    )

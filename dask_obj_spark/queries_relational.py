@@ -2783,3 +2783,79 @@ def events_cohort_ltv(spark, sf_dir):
             "cum_value_per_user"
         ),
     )
+
+
+@query(
+    "profile_jsd_source_matrix",
+    oracle="""
+    WITH langs AS (
+      SELECT DISTINCT lang FROM documents
+    ), v AS (
+      SELECT count(*) AS nv FROM langs
+    ), srcs AS (
+      SELECT source, count(*) AS ns FROM documents GROUP BY source
+    ), cell AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ), p AS (
+      SELECT s.source, l.lang,
+             (coalesce(c.c, 0) + 1.0) / (s.ns + v.nv) AS p
+      FROM srcs s CROSS JOIN langs l
+      LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang
+      CROSS JOIN v
+    ), pairs AS (
+      SELECT a.source AS src1, b.source AS src2, a.lang,
+             a.p AS pa, b.p AS pb, (a.p + b.p) / 2 AS pm
+      FROM p a JOIN p b ON a.lang = b.lang AND a.source < b.source
+    )
+    SELECT src1, src2,
+           round(sum(0.5 * pa * ln(pa / pm) + 0.5 * pb * ln(pb / pm))
+                 / ln(2.0), 6) AS jsd_bits
+    FROM pairs GROUP BY src1, src2
+    """,
+)
+def profile_jsd_source_matrix(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence (in bits) between every pair
+    of sources' language distributions — the symmetric, bounded [0, 1]
+    drift MATRIX that feeds source clustering and mixture design, where
+    profile_kl_drift gives each source's one-number drift from the
+    corpus.
+
+    Everything past the two count aggregates is dimension-sized: the
+    smoothed (source x lang) probability grid self-joins on the lang
+    key with source ordering, |sources|²/2 x |langs| rows.  JSD's
+    mixture term makes it finite even where one side has zero mass
+    (the +1 smoothing keeps both logs defined)."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = docs.select("lang").distinct()
+    nv = langs.count()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cell, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            ((F.coalesce("c", F.lit(0)) + 1.0) / (F.col("ns") + F.lit(nv))).alias("p"),
+        )
+    )
+    a = p.select(
+        F.col("source").alias("src1"), "lang", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src2"), F.col("lang").alias("lang2"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(
+        b, (F.col("lang") == F.col("lang2")) & (F.col("src1") < F.col("src2"))
+    ).withColumn("pm", (F.col("pa") + F.col("pb")) / 2)
+    return pairs.groupBy("src1", "src2").agg(
+        F.round(
+            F.sum(
+                0.5 * F.col("pa") * F.log(F.col("pa") / F.col("pm"))
+                + 0.5 * F.col("pb") * F.log(F.col("pb") / F.col("pm"))
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("jsd_bits")
+    )
