@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dask_obj_spark.functions.hashing import duck_porthash, porthash
+from dask_obj_spark.functions.hashing import (
+    duck_porthash,
+    duck_word_shingles,
+    porthash,
+    word_shingles,
+)
 from dask_obj_spark.queries import query
 from dask_obj_spark.sources import load_table
 
@@ -1429,4 +1434,54 @@ def text_tfidf_cosine_pairs_q(spark, sf_dir):
         .join(F.broadcast(nb), "id2")
         .select("id1", "id2", cos.alias("tfidf_cosine"))
         .filter(F.col("tfidf_cosine") >= 0.3)
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest("""
+    + duck_word_shingles("text", 3)
+    + """) AS shingle
+      FROM documents
+    ), first_seen AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty_q(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST occurrence (by doc id, the ingestion
+    order) is the doc itself — the diminishing-returns curve of a
+    growing corpus (novelty trending to zero means new data is
+    re-treading old ground; the aggregate signal behind data-pruning
+    and crawl-frontier decisions).
+
+    Plan: first-occurrence is one min-aggregate over the shingle
+    posting table; novelty is a join back on the shingle key + one
+    per-doc aggregate — the same inverted-index shapes as the dedup
+    family, no quadratic surface anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).localCheckpoint(eager=True)  # first_seen + the join-back leg
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count(F.lit(1)), 6).alias("novelty"),
+        )
     )
