@@ -930,9 +930,11 @@ def sorted_neighborhood_pairs(
     jac = F.round(
         F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
     )
+    # sizes are PER-DOC (corpus-sized): plain equi-joins — AQE
+    # broadcasts them at demo scale, shuffles at 100 TB (no forced hint)
     return (
-        inter.join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
+        inter.join(sa, "id1")
+        .join(sb, "id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -1038,10 +1040,11 @@ def minhash_estimate_error(
     exact = F.round(
         F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
     )
+    # per-doc sizes: plain joins (AQE decides; corpus-sized at 100 TB)
     return (
         pairs.join(inter, ["id1", "id2"], "left")
-        .join(F.broadcast(sa), "id1")
-        .join(F.broadcast(sb), "id2")
+        .join(sa, "id1")
+        .join(sb, "id2")
         .select(
             "id1",
             "id2",
@@ -1136,8 +1139,9 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_from"), F.col("n_sh").alias("na"))
     cont = F.round(F.col("n_common") / F.col("na"), 6)
+    # per-doc sizes: plain join (AQE decides; corpus-sized at 100 TB)
     return (
-        inter.join(F.broadcast(sa), "id_from")
+        inter.join(sa, "id_from")
         .select("id_from", "id_to", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )

@@ -1406,8 +1406,9 @@ def text_tfidf_cosine_pairs_q(spark, sf_dir):
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = toks.select("doc_id").distinct().count()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    # the rare-term df table is VOCABULARY-sized — no broadcast hint
     w = (
-        tf.join(F.broadcast(df.filter(F.col("df_") <= 50)), "term")
+        tf.join(df.filter(F.col("df_") <= 50), "term")
         .select(
             "doc_id",
             "term",
@@ -1429,9 +1430,10 @@ def text_tfidf_cosine_pairs_q(spark, sf_dir):
     na = norms.select(F.col("doc_id").alias("id1"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("id2"), F.col("nrm").alias("nb"))
     cos = F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6)
+    # norms are per-doc (corpus-sized): plain joins, AQE decides
     return (
-        dots.join(F.broadcast(na), "id1")
-        .join(F.broadcast(nb), "id2")
+        dots.join(na, "id1")
+        .join(nb, "id2")
         .select("id1", "id2", cos.alias("tfidf_cosine"))
         .filter(F.col("tfidf_cosine") >= 0.3)
     )
