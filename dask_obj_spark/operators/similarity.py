@@ -1441,9 +1441,10 @@ def link_prediction_jaccard(
     score = F.round(
         F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
     )
+    # degree tables are per-vertex: plain joins (AQE decides)
     return (
-        cand.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        cand.join(da, "a")
+        .join(db, "b")
         .select("a", "b", "common", score.alias("score"))
         .filter(F.col("score") >= min_score)
     )
@@ -1665,8 +1666,8 @@ def graph_assortativity_q(spark, sf_dir):
     whether degree-capping is needed before wedge/triangle work.
 
     Plan: degree table (one hash agg) joined onto the edge list twice
-    (both dimension-sized broadcasts at reasonable degree counts), one
-    corr aggregate."""
+    (vertex-keyed equi-joins — per-vertex tables, so no broadcast
+    hint), one corr aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
     edges = knn.select(
@@ -1676,9 +1677,10 @@ def graph_assortativity_q(spark, sf_dir):
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("u"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("v"), F.col("d").alias("db"))
+    # per-vertex degree tables: plain joins (AQE decides)
     return (
-        sym.join(F.broadcast(da), "u")
-        .join(F.broadcast(db), "v")
+        sym.join(da, "u")
+        .join(db, "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
             F.round(F.avg("da"), 6).alias("mean_deg"),

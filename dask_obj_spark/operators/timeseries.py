@@ -631,7 +631,8 @@ def ts_changepoint_cusum_q(spark, sf_dir):
     mu = ev.groupBy("user_id").agg(
         (F.floor(F.avg("value") * 1000000) / 1000000).alias("m")
     )
-    y = ev.join(F.broadcast(mu), "user_id").select(
+    # per-user means are corpus-sized at scale: plain key join
+    y = ev.join(mu, "user_id").select(
         "user_id", "event_id", "ts",
         (F.col("value") - F.col("m") - F.lit(0.25)).alias("yv"),
     )
