@@ -1806,3 +1806,84 @@ def sim_knn_outlier_scores_q(spark, sf_dir):
         F.col("cosine").alias("cos_at_k"),
         F.round(1.0 - F.col("cosine"), 6).alias("outlier_score"),
     )
+
+
+@query(
+    "graph_label_modularity",
+    oracle=_duck_base(5)
+    + _duck_topk_ctes()
+    + """
+    , knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM ranked WHERE rank <= 10
+    ), lab AS (
+      SELECT vec_id AS vid, label FROM embeddings
+    ), lab_e AS (
+      SELECT k.u, k.v, lu.label AS lu, lv.label AS lv
+      FROM knn k JOIN lab lu ON lu.vid = k.u JOIN lab lv ON lv.vid = k.v
+    ), m AS (
+      SELECT count(*) AS m FROM knn
+    ), ed AS (
+      SELECT u AS x, lu AS l FROM lab_e UNION ALL SELECT v, lv FROM lab_e
+    ), dsum AS (
+      SELECT l, count(*) AS d FROM ed GROUP BY l
+    ), within AS (
+      SELECT lu AS l, count(*) AS mc FROM lab_e WHERE lu = lv GROUP BY lu
+    ), per AS (
+      SELECT d.l,
+             coalesce(w.mc, 0) * 1.0 / m.m
+               - (d.d / (2.0 * m.m)) * (d.d / (2.0 * m.m)) AS q
+      FROM dsum d LEFT JOIN within w ON w.l = d.l CROSS JOIN m
+    )
+    SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           round(sum(q), 6) AS modularity
+    FROM per
+    """,
+)
+def graph_label_modularity_q(spark, sf_dir):
+    """Newman modularity of the TRUE label partition over the kNN
+    graph: Q = Σ_c (m_c/m − (d_c/2m)²) — the one-number check of how
+    well the class structure aligns with embedding-space neighborhoods
+    (high Q ⇒ labels form graph communities ⇒ kNN classifiers and
+    graph-propagation labeling will work; near-zero Q ⇒ the embedding
+    does not separate the classes).
+
+    Plan: label attachment is two vertex-keyed joins; within-community
+    edge counts and degree sums are two small aggregates over the edge
+    list; the Q fold runs over |labels| rows.  Everything after the kNN
+    construction is edge-list-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    lab = emb.select(F.col("vec_id").alias("vid"), "label")
+    lab_e = (
+        edges.join(lab.select(F.col("vid").alias("u"), F.col("label").alias("lu")), "u")
+        .join(lab.select(F.col("vid").alias("v"), F.col("label").alias("lv")), "v")
+        .localCheckpoint(eager=True)
+    )
+    m = edges.count()
+    dsum = (
+        lab_e.select(F.col("lu").alias("l"))
+        .union(lab_e.select(F.col("lv").alias("l")))
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    within = (
+        lab_e.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("l"))
+        .agg(F.count(F.lit(1)).alias("mc"))
+    )
+    per = dsum.join(within, "l", "left").select(
+        (
+            F.coalesce("mc", F.lit(0)) / F.lit(float(m))
+            - (F.col("d") / F.lit(2.0 * m)) * (F.col("d") / F.lit(2.0 * m))
+        ).alias("q")
+    )
+    return per.agg(
+        F.lit(m).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.round(F.sum("q"), 6).alias("modularity"),
+    )
