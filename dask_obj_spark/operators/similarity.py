@@ -1887,3 +1887,84 @@ def graph_label_modularity_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_labels"),
         F.round(F.sum("q"), 6).alias("modularity"),
     )
+
+
+@query(
+    "sim_recall_curve_lsh",
+    oracle=_duck_base(50)
+    + _duck_bits_cte()
+    + """
+    , cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM keyed c JOIN (
+        SELECT k.vid AS pid, k.v AS pv, k.bucket FROM keyed k WHERE k.vid % 50 = 0
+      ) p ON c.bucket = p.bucket AND p.pid <> c.vid
+    ), a_scored AS (
+      SELECT pid AS id1, vid AS id2, """
+    + duck_cosine("pv", "v", DIM)
+    + """ AS cos_raw FROM cand
+    ), a_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM a_scored
+    ), t_scored AS (
+      SELECT pid AS id1, vid AS id2, """
+    + duck_cosine("pv", "v", DIM)
+    + """ AS cos_raw
+      FROM base JOIN probes ON pid <> vid
+    ), t_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM t_scored
+    ), ks AS (
+      SELECT unnest([1, 5, 10]) AS k
+    ), probeset AS (
+      SELECT DISTINCT id1 FROM t_ranked
+    ), hits AS (
+      SELECT a.id1, kk.k, count(*) AS h
+      FROM a_ranked a
+        JOIN t_ranked t ON t.id1 = a.id1 AND t.id2 = a.id2
+        JOIN ks kk ON a.rank <= kk.k AND t.rank <= kk.k
+      GROUP BY a.id1, kk.k
+    ), per AS (
+      SELECT kk.k, coalesce(h.h, 0) * 1.0 / kk.k AS r
+      FROM probeset p CROSS JOIN ks kk
+      LEFT JOIN hits h ON h.id1 = p.id1 AND h.k = kk.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(r), 6) AS mean_recall
+    FROM per GROUP BY k
+    """,
+)
+def sim_recall_curve_lsh_q(spark, sf_dir):
+    """LSH recall CURVE — mean recall@k of the hyperplane index against
+    exact ground truth for k in {1, 5, 10}: the index-tuning readout
+    (recall@1 tells you about the nearest neighbor specifically, which
+    banding parameters trade away first).  Zero-hit probes count as
+    zero recall (the probeset cross join), not as missing rows.
+
+    Plan: both rankings are the existing probe-broadcast shapes; the
+    curve aggregation is O(probes · k-levels)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    approx = cosine_topk_lsh(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    ks = emb.sparkSession.createDataFrame([(1,), (5,), (10,)], "k int")
+    t = truth.select("id1", "id2", F.col("rank").alias("rt"))
+    a = approx.select("id1", "id2", F.col("rank").alias("ra"))
+    hits = (
+        a.join(t, ["id1", "id2"])
+        .join(F.broadcast(ks), (F.col("ra") <= F.col("k")) & (F.col("rt") <= F.col("k")))
+        .groupBy("id1", "k")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    probeset = t.select("id1").distinct()
+    per = (
+        probeset.crossJoin(F.broadcast(ks))
+        .join(hits, ["id1", "k"], "left")
+        .select("k", (F.coalesce("h", F.lit(0)) / F.col("k")).alias("r"))
+    )
+    return per.groupBy(F.col("k").cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.round(F.avg("r"), 6).alias("mean_recall"),
+    )
