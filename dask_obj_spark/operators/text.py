@@ -1487,3 +1487,96 @@ def text_ngram_novelty_q(spark, sf_dir):
             F.round(F.sum(novel) / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+_HEAPS_BUCKET = 50  # docs per growth-curve bucket
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), first_seen AS (
+      SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term
+    ), tb AS (
+      SELECT CAST(doc_id // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+             sum(n_toks) AS toks
+      FROM per_doc GROUP BY 1
+    ), vb AS (
+      SELECT CAST(first_doc // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+             count(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    ), curve AS (
+      SELECT t.bucket,
+             CAST(sum(t.toks) OVER w AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(v.new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+      FROM tb t LEFT JOIN vb v ON v.bucket = t.bucket
+      WINDOW w AS (ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), fit AS (
+      SELECT round(
+               (count(*) * sum(ln(cum_tokens) * ln(cum_vocab))
+                 - sum(ln(cum_tokens)) * sum(ln(cum_vocab)))
+               / (count(*) * sum(ln(cum_tokens) * ln(cum_tokens))
+                 - sum(ln(cum_tokens)) * sum(ln(cum_tokens))), 6) AS heaps_beta
+      FROM curve
+    )
+    SELECT c.bucket, c.cum_tokens, c.cum_vocab, f.heaps_beta
+    FROM curve c CROSS JOIN fit f
+    """,
+)
+def text_vocab_growth_heaps_q(spark, sf_dir):
+    """Vocabulary growth curve + Heaps'-law exponent: cumulative
+    distinct terms vs cumulative tokens over ingestion-ordered buckets
+    of documents, with the log-log regression slope (V ≈ K·nᵝ, β
+    typically 0.4-0.8) — the companion to text_zipf_fit and
+    text_ngram_novelty that forecasts how much NEW vocabulary more data
+    will buy.
+
+    Scale: no per-doc prefix scan — growth is computed at BUCKET
+    granularity (first-occurrence per term is one min-aggregate; tokens
+    and new-term counts roll up per bucket), so the only running-sum
+    window is over |buckets| rows, and the regression is one aggregate
+    over the same tiny curve."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    ).withColumn("term", F.lower(F.col("term"))).localCheckpoint(eager=True)
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    tb = per_doc.groupBy(
+        F.expr(f"CAST(doc_id DIV {_HEAPS_BUCKET} AS BIGINT)").alias("bucket")
+    ).agg(F.sum("n_toks").alias("toks"))
+    vb = first_seen.groupBy(
+        F.expr(f"CAST(first_doc DIV {_HEAPS_BUCKET} AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tb.join(vb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_terms", F.lit(0))).over(w).cast("bigint").alias(
+                "cum_vocab"
+            ),
+        )
+        .localCheckpoint(eager=True)  # curve feeds the fit AND the output
+    )
+    lx = F.log("cum_tokens")
+    ly = F.log("cum_vocab")
+    fit = curve.agg(
+        F.round(
+            (F.count(F.lit(1)) * F.sum(lx * ly) - F.sum(lx) * F.sum(ly))
+            / (F.count(F.lit(1)) * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
+            6,
+        ).alias("heaps_beta")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        "bucket", "cum_tokens", "cum_vocab", "heaps_beta"
+    )
