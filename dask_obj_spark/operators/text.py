@@ -1522,7 +1522,8 @@ _HEAPS_BUCKET = 50  # docs per growth-curve bucket
                (count(*) * sum(ln(cum_tokens) * ln(cum_vocab))
                  - sum(ln(cum_tokens)) * sum(ln(cum_vocab)))
                / (count(*) * sum(ln(cum_tokens) * ln(cum_tokens))
-                 - sum(ln(cum_tokens)) * sum(ln(cum_tokens))), 6) AS heaps_beta
+                 - sum(ln(cum_tokens)) * sum(ln(cum_tokens))), 6) + 0
+               AS heaps_beta
       FROM curve
     )
     SELECT c.bucket, c.cum_tokens, c.cum_vocab, f.heaps_beta
@@ -1571,10 +1572,13 @@ def text_vocab_growth_heaps_q(spark, sf_dir):
     lx = F.log("cum_tokens")
     ly = F.log("cum_vocab")
     fit = curve.agg(
-        F.round(
-            (F.count(F.lit(1)) * F.sum(lx * ly) - F.sum(lx) * F.sum(ly))
-            / (F.count(F.lit(1)) * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
-            6,
+        (
+            F.round(
+                (F.count(F.lit(1)) * F.sum(lx * ly) - F.sum(lx) * F.sum(ly))
+                / (F.count(F.lit(1)) * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
+                6,
+            )
+            + 0  # IEEE -0.0 guard (verify SKILL.md) on BOTH engines
         ).alias("heaps_beta")
     )
     return curve.crossJoin(F.broadcast(fit)).select(
