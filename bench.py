@@ -53,6 +53,11 @@ WORKLOAD = {
     "b20_pca_power": "sim_pca_power",
     # round-4 operators
     "b21_pca_topk": "sim_pca_topk",
+    "b22_rrf_hybrid": "retrieval_rrf_hybrid",
+    "b23_mmr_topk": "sim_mmr_topk",
+    "b24_sorted_neighborhood": "dedup_sorted_neighborhood",
+    "b25_bfs_hops": "graph_bfs_hops",
+    "b26_bloom_semijoin": "join_bloom_prefilter",
 }
 
 WARMUP_RUNS = 1
