@@ -91,6 +91,25 @@ def cosine_topk_brute(
     factored `dot/(‖p‖·‖v‖)` evaluates the sqrt-fold subexpressions
     identically, so values — and the oracle hash — are bit-unchanged,
     but the per-pair interpreted work drops from 3 folds to 1)."""
+    return (
+        cosine_ranked_raw(df, id_col, vec_col, probe_mod)
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_ranked_raw(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+) -> DataFrame:
+    """All probe-corpus cosine pairs with per-probe rank and the RAW
+    (unrounded) cosine — the shared kernel behind `cosine_topk_brute`
+    and the weighted-graph builders, which need `cos_raw` so derived
+    integer edge weights can floor-quantize it without a round() in
+    between (round's tie semantics differ across engines; floor on the
+    identical double does not)."""
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -105,11 +124,7 @@ def cosine_topk_brute(
         (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
-    )
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 def cosine_topk_brute_numpy(
@@ -1395,6 +1410,157 @@ def graph_bfs_hops_q(spark, sf_dir):
     vertices = emb.select(F.col("vec_id").alias("id"))
     seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
     return bfs_hops(vertices, edges, seeds, rounds=4)
+
+
+# -- weighted single-source shortest paths ------------------------------------
+
+
+def weighted_sssp(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int | None = None,
+) -> DataFrame:
+    """Multi-source weighted shortest paths (Bellman-Ford min-merge):
+    minimum total edge weight from any seed to every vertex — the
+    weighted generalization of `bfs_hops` (semantic distance through a
+    similarity graph, cheapest-hop routing, influence with per-edge
+    cost).
+
+    ``edges``: (u, v, w) one row per undirected edge, ``w`` a
+    non-negative BIGINT (callers quantize float weights to integer
+    micro-units FIRST, so path sums are exact on every engine and no
+    float-summation-order noise can flip a min).  ``seeds``: (id) at
+    distance 0.  Unreached vertices report -1.
+
+    With ``rounds=None`` (library default) relaxation iterates TO
+    CONVERGENCE — each round's distance table is localCheckpointed, so
+    the stopping check (same row count AND same exact BIGINT sum —
+    min-merge only ever improves, so the pair is a fixpoint witness) is
+    two cheap aggregates on materialized data; paths up to the graph
+    diameter are found regardless of shape.  An explicit ``rounds``
+    runs that FIXED unroll instead (extra rounds past convergence are
+    no-ops), which the oracle-paired query uses so the SQL oracle can
+    replay the exact round count — the k_core / bfs_hops contract.
+
+    Scale shape: per round ONE equi-join of the current distance table
+    against the symmetrized edge list and ONE min-merge hash aggregate
+    — the shuffle carries (vertex, candidate-distance) pairs, never
+    payloads.  Unlike frontier BFS the full distance table re-relaxes
+    each round (weighted minima can improve through longer paths), the
+    standard trade until delta-stepping; the edge list checkpoints once
+    before the loop (shared-scan pin, see `bfs_hops`)."""
+    sym = (
+        edges.select("u", "v", "w")
+        .union(
+            edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("id", F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def relax(d: DataFrame) -> DataFrame:
+        cand = sym.join(d.select(F.col("id").alias("u"), "dist"), "u").select(
+            F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        return (
+            d.union(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+
+    if rounds is None:
+        sig = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        while True:
+            dist = relax(dist)
+            new_sig = dist.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).first()
+            if (new_sig["n"], new_sig["s"]) == (sig["n"], sig["s"]):
+                break
+            sig = new_sig
+    else:
+        for _ in range(rounds):
+            dist = relax(dist)
+    return vertices.join(dist, "id", "left").select(
+        "id", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist_micro")
+    )
+
+
+def _duck_sssp_oracle(rounds: int, probe_mod: int, topk: int, seed_mod: int) -> str:
+    """Unrolled Bellman-Ford oracle over the micro-unit-weighted kNN
+    graph: per round, min-merge of the previous distance table with
+    every neighbor's dist + edge weight.  Weights floor-quantize the
+    RAW cosine ((1 - cos) · 1e6 → BIGINT) — floor on the bit-identical
+    double agrees across engines where round()'s tie handling would
+    not, and integer path sums are exact."""
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        _duck_topk_ctes().strip().lstrip(",").strip(),
+        f"""knnw AS MATERIALIZED (
+      SELECT least(id1, id2) AS u, greatest(id1, id2) AS v,
+             CAST(floor((1.0 - cos_raw) * 1000000) AS BIGINT) AS w
+      FROM ranked WHERE rank <= {topk} AND id1 <> id2
+    ), ew AS MATERIALIZED (
+      SELECT u, v, min(w) AS w FROM knnw GROUP BY u, v
+    ), ed AS MATERIALIZED (
+      SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew
+    ), d0 AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(0 AS BIGINT) AS dist FROM embeddings
+      WHERE vec_id % {seed_mod} = 0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{r-1}
+        UNION ALL
+        SELECT e.v AS id, d.dist + e.w AS dist
+        FROM ed e JOIN d{r-1} d ON d.id = e.u
+      ) GROUP BY id
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.vid AS id, CAST(coalesce(d.dist, -1) AS BIGINT) AS dist_micro
+    FROM base b LEFT JOIN d{rounds} d ON d.id = b.vid
+    """
+    )
+
+
+@query("graph_weighted_sssp", oracle=_duck_sssp_oracle(4, 5, 10, 50))
+def graph_weighted_sssp_q(spark, sf_dir):
+    """Cheapest cosine-distance path from the 1-in-50 seed set over the
+    1-in-5-probe kNN graph, 4 relaxation rounds, weights in integer
+    micro-units of (1 - cosine) — Bellman-Ford hash-matched against
+    the unrolled min-merge oracle (unreached = -1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = cosine_ranked_raw(emb, "vec_id", "embedding", probe_mod=5)
+    edges = (
+        ranked.filter((F.col("rank") <= 10) & (F.col("id1") != F.col("id2")))
+        .select(
+            F.least("id1", "id2").alias("u"),
+            F.greatest("id1", "id2").alias("v"),
+            F.floor((F.lit(1.0) - F.col("cos_raw")) * 1000000)
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
+    return weighted_sssp(vertices, edges, seeds, rounds=4)
 
 
 # -- link prediction ----------------------------------------------------------

@@ -871,3 +871,83 @@ def ts_rolling_autocorr_q(spark, sf_dir):
             F.round((mxy - mx * my) / (sx * sy), 6),
         ).alias("autocorr"),
     )
+
+
+@query(
+    "ts_burst_detection",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT // 3600 AS b,
+             count(*) AS cnt
+      FROM events GROUP BY user_id, floor(epoch(ts))::BIGINT // 3600
+    ), s AS (
+      SELECT user_id, b, cnt,
+             count(*) OVER u AS n,
+             sum(cnt) OVER u AS sc,
+             sum(cnt * cnt) OVER u AS sc2
+      FROM c
+      WINDOW u AS (PARTITION BY user_id)
+    ), z AS (
+      SELECT user_id, b, cnt, n,
+             (cnt - sc / CAST(n AS DOUBLE))
+               / sqrt((sc2 - sc * sc / CAST(n AS DOUBLE)) / (n - 1)) AS zs
+      FROM s
+      WHERE n >= 3 AND sc2 * n > sc * sc
+    )
+    SELECT user_id, b AS bucket, CAST(cnt AS BIGINT) AS cnt,
+           round(zs, 6) AS z
+    FROM z WHERE zs > 2.0
+    """,
+)
+def ts_burst_detection_q(spark, sf_dir):
+    """Per-user activity-burst detection: hourly event counts flagged
+    where the count sits more than 2 sample standard deviations above
+    that user's own mean over their OBSERVED hours — the rate-anomaly
+    monitor (scraper bursts, retry storms, incident spikes) that
+    ts_anomaly_flags runs on values, applied to event RATE.
+
+    Scale shape: the facts collapse to (user, hour) counts in one
+    codegen'd hash aggregate; the per-user baseline (n, sum, sum of
+    squares) is an unordered window over the SAME user partitioning,
+    so the whole query is a single shuffle on user_id — no second
+    aggregate-and-join pass.  Mean and variance are computed from the
+    exact BIGINT count sums with an identical expression on both
+    engines (never stddev(), whose summation order differs), so the
+    z-scores — and the >2.0 flag boundary — agree bit-for-bit.  The
+    variance guard compares the integer cross products directly
+    (sc2*n > sc*sc), exact on both engines.  A pathologically hot user
+    key generalizes via the salt-and-remerge pattern of
+    skew_salted_counts."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / F.lit(3600))).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    u = Window.partitionBy("user_id")
+    s = c.select(
+        "user_id",
+        "b",
+        "cnt",
+        F.count(F.lit(1)).over(u).alias("n"),
+        F.sum("cnt").over(u).alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(u).alias("sc2"),
+    )
+    zs = (F.col("cnt") - F.col("sc") / F.col("n").cast("double")) / F.sqrt(
+        (F.col("sc2") - F.col("sc") * F.col("sc") / F.col("n").cast("double"))
+        / (F.col("n") - 1)
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 3) & (F.col("sc2") * F.col("n") > F.col("sc") * F.col("sc"))
+        )
+        .select(
+            "user_id",
+            F.col("b").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            zs.alias("zs"),
+        )
+        .filter(F.col("zs") > 2.0)
+        .select(
+            "user_id", "bucket", "cnt", F.round("zs", 6).alias("z")
+        )
+    )

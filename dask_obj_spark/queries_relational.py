@@ -2859,3 +2859,95 @@ def profile_jsd_source_matrix(spark, sf_dir):
             6,
         ).alias("jsd_bits")
     )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH a AS (
+      SELECT value AS v, count(*) AS ca FROM events
+      WHERE event_type = 'click' GROUP BY value
+    ), b AS (
+      SELECT value AS v, count(*) AS cb FROM events
+      WHERE event_type = 'purchase' GROUP BY value
+    ), g AS (
+      SELECT coalesce(a.v, b.v) AS v,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v
+    ), t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g
+    ), e AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM g
+    )
+    SELECT round(max(abs(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE))), 6)
+             AS ks_d,
+           max(na) AS n_a, max(nb) AS n_b
+    FROM e CROSS JOIN t
+    """,
+)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D statistic between the `value`
+    distributions of click vs purchase events — the nonparametric
+    "did this metric's distribution shift?" test a data-quality monitor
+    runs between cohorts, sources, or ingestion batches (the supremum
+    of the ECDF gap, unlike profile_kl_drift's binned divergence,
+    needs no binning choice).
+
+    Scale shape: each sample collapses to its DISTINCT-VALUE count
+    table first (one codegen'd hash aggregate over the facts), so the
+    full-outer value grid, the two running sums and the final max all
+    run over |distinct values| rows, not |facts|.  Both cumulative
+    counts come from ONE ordered window pass over the merged grid.
+    For a value domain too large for a single window partition, the
+    running sums generalize to the two-phase partition-offset scan
+    used by profile_equidepth_histogram.  The two totals are one extra
+    tiny aggregate broadcast onto the single-row result.  Division
+    happens on exact BIGINT counts with an identical expression on
+    both engines, so the doubles — and the hash — agree bit-for-bit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    g = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    t = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = g.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    return e.crossJoin(F.broadcast(t)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cuma") / F.col("na").cast("double")
+                    - F.col("cumb") / F.col("nb").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )

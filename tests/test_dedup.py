@@ -295,3 +295,37 @@ def test_k_core_converges_past_fixed_rounds(spark):
     assert conv == {1: 3, 2: 3, 3: 3, 4: 3}
     # empty-result fixpoint terminates too (no infinite loop on k too big)
     assert k_core(df, k=4).count() == 0
+
+
+def test_weighted_sssp_known_graph(spark):
+    """Hand-checkable weighted graph: the cheap two-hop path must beat
+    the expensive direct edge, and unreached vertices report -1."""
+    from dask_obj_spark.operators.similarity import weighted_sssp
+
+    # 1 -(10)- 2 -(10)- 3, plus direct 1 -(50)- 3; isolated island 8-9
+    edges = [(1, 2, 10), (2, 3, 10), (1, 3, 50), (8, 9, 7)]
+    e = spark.createDataFrame(edges, ["u", "v", "w"])
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 8, 9)], ["id"])
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {r.id: r.dist_micro for r in weighted_sssp(verts, e, seeds, rounds=4).collect()}
+    assert got == {1: 0, 2: 10, 3: 20, 8: -1, 9: -1}
+
+
+def test_weighted_sssp_converges_past_fixed_rounds(spark):
+    """rounds=None relaxes to the true shortest paths even when a fixed
+    unroll stops early: a 6-edge cheap chain vs a 1-hop expensive edge
+    — 3 rounds keep the expensive estimate, convergence replaces it."""
+    from dask_obj_spark.operators.similarity import weighted_sssp
+
+    chain = [(i, i + 1, 1) for i in range(1, 7)]  # 1-2-...-7, cost 6 total
+    e = spark.createDataFrame(chain + [(1, 7, 100)], ["u", "v", "w"])
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    fixed = {r.id: r.dist_micro for r in weighted_sssp(verts, e, seeds, rounds=3).collect()}
+    assert fixed[7] == 100  # truncated unroll still holds the direct edge
+    conv = {r.id: r.dist_micro for r in weighted_sssp(verts, e, seeds).collect()}
+    assert conv == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6}
+    # multi-seed min semantics: a second seed shortens the far end
+    seeds2 = spark.createDataFrame([(1,), (7,)], ["id"])
+    conv2 = {r.id: r.dist_micro for r in weighted_sssp(verts, e, seeds2).collect()}
+    assert conv2[6] == 1 and conv2[7] == 0 and conv2[4] == 3
