@@ -1563,6 +1563,326 @@ def graph_weighted_sssp_q(spark, sf_dir):
     return weighted_sssp(vertices, edges, seeds, rounds=4)
 
 
+# -- product quantization -----------------------------------------------------
+
+PQ_M = 4  # subspaces (DIM/PQ_M dims each)
+PQ_MOD = 11  # deterministic codebook: subvectors of vids with vid % 11 == 1
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance of two array columns — the same
+    JVM-side left fold as :func:`dot`, so the DuckDB left-assoc chain
+    ``0.0 + (a1-b1)*(a1-b1) + ...`` reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = DIM,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into `m`
+    contiguous subspaces and each subspace gets its own k-codeword
+    k-means model (:func:`kmeans_fit` on the sliced frame) — the
+    IVF-PQ compression stage (Jégou et al., TPAMI 2011): memory per
+    vector drops from dim×4 bytes to m log2(k) bits, which is what
+    makes billion-vector ANN indexes fit a cluster's RAM at 100 TB.
+
+    Driver holds only the m×k×(dim/m) codebook floats (model state,
+    same contract as kmeans_fit); the corpus never re-shuffles — each
+    subspace fit scans the same frame with a different slice.  Returns
+    one codeword list per subspace (index = code id)."""
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                "subv"
+            ),
+        )
+        cents, _ = kmeans_fit(sliced, id_col, "subv", k=k, iters=iters)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    dim: int = DIM,
+) -> DataFrame:
+    """Assign every vector its per-subspace nearest codeword →
+    (id, code0..code{m-1}, err_micro).  Codebooks are driver-held model
+    state compiled into tiny broadcast frames; assignment is a narrow
+    broadcast nested-loop + per-(id, subspace) argmin — no corpus
+    shuffle until the final m-way pivot groupBy on the id.
+
+    ``err_micro`` is the total squared reconstruction error
+    floor-quantized to integer micro-units (the cross-engine-stable
+    quantization contract shared with weighted_sssp)."""
+    m = len(books)
+    sub = dim // m
+    spark = df.sparkSession
+    rows = [
+        (s, cid, [float(x) for x in cv])
+        for s, book in enumerate(books)
+        for cid, cv in enumerate(book)
+    ]
+    cw = F.broadcast(spark.createDataFrame(rows, ["s", "cid", "cv"]))
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    d = base.join(cw).select(
+        "vid",
+        "s",
+        "cid",
+        sqdist(F.slice(F.col("v"), F.col("s") * sub + 1, sub), F.col("cv")).alias(
+            "dist"
+        ),
+    )
+    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
+    best = d.withColumn("rn", F.row_number().over(aw)).filter(F.col("rn") == 1)
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code{s}")
+        for s in range(m)
+    ]
+    err = F.max(F.when(F.col("s") == 0, F.col("dist")))
+    for s in range(1, m):
+        err = err + F.max(F.when(F.col("s") == s, F.col("dist")))
+    return best.groupBy("vid").agg(
+        *code_cols, F.floor(err * 1000000).cast("long").alias("err_micro")
+    )
+
+
+def _duck_pq_oracle(m: int, mod: int, dim: int) -> str:
+    """Unrolled PQ-encode oracle: per subspace, the identical left-assoc
+    squared-distance chain against every modular codeword, argmin by
+    (dist, cid), then the m-way pivot with explicit left-assoc error
+    addition — every float op replayed in Spark's evaluation order."""
+    sub = dim // m
+    arms = []
+    for s in range(m):
+        off = s * sub
+        chain = "0.0 + " + " + ".join(
+            f"(b.v[{off + i}]-c.cv[{off + i}])*(b.v[{off + i}]-c.cv[{off + i}])"
+            for i in range(1, sub + 1)
+        )
+        arms.append(
+            f"SELECT b.vid, {s} AS s, c.cid, ({chain}) AS dist FROM base b CROSS JOIN cw c"
+        )
+    codes = ",\n           ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS code{s}" for s in range(m)
+    )
+    err = f"max(CASE WHEN s = 0 THEN dist END)"
+    for s in range(1, m):
+        err = f"({err} + max(CASE WHEN s = {s} THEN dist END))"
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), cw AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {mod} = 1
+    ), d AS (
+      {" UNION ALL ".join(arms)}
+    ), a AS (
+      SELECT vid, s, cid, dist,
+             row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vid, {codes},
+           CAST(floor({err} * 1000000) AS BIGINT) AS err_micro
+    FROM a WHERE rn = 1 GROUP BY vid
+    """
+
+
+@query("sim_pq_encode", oracle=_duck_pq_oracle(PQ_M, PQ_MOD, DIM))
+def sim_pq_encode_q(spark, sf_dir):
+    """Product-quantization encoding of the whole corpus: 4 subspaces
+    of 16 dims, deterministic modular codebooks (subvectors of vids
+    ≡ 1 mod 11 — the IVF precedent, so the oracle replays the index
+    exactly; production trains per-subspace k-means via pq_fit), each
+    vector reduced to 4 codeword ids + its floor-quantized total
+    reconstruction error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    sub = DIM // PQ_M
+    cw = F.broadcast(
+        base.filter(F.col("vid") % PQ_MOD == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    d = base.join(cw).join(F.broadcast(subspaces)).select(
+        "vid",
+        "s",
+        "cid",
+        sqdist(
+            F.slice(F.col("v"), F.col("s") * sub + 1, sub),
+            F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
+        ).alias("dist"),
+    )
+    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
+    best = d.withColumn("rn", F.row_number().over(aw)).filter(F.col("rn") == 1)
+    code_cols = [
+        F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code{s}")
+        for s in range(PQ_M)
+    ]
+    err = F.max(F.when(F.col("s") == 0, F.col("dist")))
+    for s in range(1, PQ_M):
+        err = err + F.max(F.when(F.col("s") == s, F.col("dist")))
+    return best.groupBy("vid").agg(
+        *code_cols, F.floor(err * 1000000).cast("long").alias("err_micro")
+    )
+
+
+def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> str:
+    """Unrolled PQ-ADC oracle: encode the corpus (as _duck_pq_oracle),
+    build each probe's subspace×codeword distance table, melt the codes,
+    join, and recombine the m partial distances by PIVOTED max-case
+    arms with explicit left-assoc addition — never sum() over an
+    unordered group, whose float order differs across engines."""
+    sub = dim // m
+    enc_arms, probe_arms = [], []
+    for s in range(m):
+        off = s * sub
+        chain = "0.0 + " + " + ".join(
+            f"(b.v[{off + i}]-c.cv[{off + i}])*(b.v[{off + i}]-c.cv[{off + i}])"
+            for i in range(1, sub + 1)
+        )
+        enc_arms.append(
+            f"SELECT b.vid, {s} AS s, c.cid, ({chain}) AS dist FROM base b CROSS JOIN cw c"
+        )
+        pchain = "0.0 + " + " + ".join(
+            f"(p.v[{off + i}]-c.cv[{off + i}])*(p.v[{off + i}]-c.cv[{off + i}])"
+            for i in range(1, sub + 1)
+        )
+        probe_arms.append(
+            f"SELECT p.vid AS pid, {s} AS s, c.cid, ({pchain}) AS pd "
+            f"FROM probes p CROSS JOIN cw c"
+        )
+    melt = " UNION ALL ".join(
+        f"SELECT vid, {s} AS s, code{s} AS code FROM enc" for s in range(m)
+    )
+    adc2 = "max(CASE WHEN pt.s = 0 THEN pd END)"
+    for s in range(1, m):
+        adc2 = f"({adc2} + max(CASE WHEN pt.s = {s} THEN pd END))"
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vid, v FROM base WHERE vid % {probe_mod} = 0
+    ), cw AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {mod} = 1
+    ), d AS (
+      {" UNION ALL ".join(enc_arms)}
+    ), a AS (
+      SELECT vid, s, cid,
+             row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn
+      FROM d
+    ), enc AS (
+      SELECT vid, {", ".join(f"max(CASE WHEN s = {s} THEN cid END) AS code{s}" for s in range(m))}
+      FROM a WHERE rn = 1 GROUP BY vid
+    ), melt AS (
+      {melt}
+    ), pt AS (
+      {" UNION ALL ".join(probe_arms)}
+    ), scored AS (
+      SELECT pt.pid AS id1, melt.vid AS id2, {adc2} AS adc
+      FROM melt JOIN pt ON pt.s = melt.s AND pt.cid = melt.code
+      WHERE pt.pid <> melt.vid
+      GROUP BY pt.pid, melt.vid
+    ), ranked AS (
+      SELECT id1, id2, adc,
+             row_number() OVER (PARTITION BY id1 ORDER BY adc, id2) AS rank
+      FROM scored
+    )
+    SELECT id1, id2, CAST(floor(adc * 1000000) AS BIGINT) AS adc_micro, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("sim_pq_adc_topk", oracle=_duck_pq_adc_oracle(PQ_M, PQ_MOD, DIM, 50, 10))
+def sim_pq_adc_topk_q(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for 1-in-50 probes — the
+    compressed-index read path (Jégou et al.): the corpus is touched
+    only through its 4 codeword ids, and each probe precomputes one
+    subspace×codeword distance table (m·k entries, broadcast) that
+    every candidate's approximate distance is assembled from by code
+    lookup.
+
+    Scale shape at 100 TB: the encoded corpus is m BIGINTs per vector
+    (a standing dataset — pq_encode writes it once), probes never see
+    raw corpus floats, and the per-candidate work is m table lookups +
+    an m-term add.  The groupBy carries (probe, vid, partials); the
+    m partial distances recombine by PIVOTED when-arms with explicit
+    left-assoc addition, never an unordered float sum().  Codebooks
+    here are the deterministic modular ones (oracle replays the index);
+    production swaps in pq_fit's k-means books unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    sub = DIM // PQ_M
+    cw = F.broadcast(
+        base.filter(F.col("vid") % PQ_MOD == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    subspaces = F.broadcast(
+        spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    )
+    ssq = sqdist(
+        F.slice(F.col("v"), F.col("s") * sub + 1, sub),
+        F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
+    )
+    d = base.join(cw).join(subspaces).select("vid", "s", "cid", ssq.alias("dist"))
+    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
+    enc = (
+        d.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
+    )
+    pt = (
+        base.filter(F.col("vid") % 50 == 0)
+        .join(cw)
+        .join(subspaces)
+        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
+    )
+    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
+    for s in range(1, PQ_M):
+        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
+    scored = (
+        enc.join(
+            F.broadcast(pt),
+            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
+        )
+        .filter(F.col("pid") != F.col("vid"))
+        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
+        .agg(adc.alias("adc"))
+    )
+    rw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "id1", "id2", F.floor(F.col("adc") * 1000000).cast("long").alias("adc_micro"), "rank"
+        )
+    )
+
+
 # -- link prediction ----------------------------------------------------------
 
 

@@ -309,3 +309,37 @@ def test_rrf_legs_broadcast_small_sides(spark, sf_dir):
     df = QUERIES["retrieval_rrf_hybrid"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_fit_encode_matches_numpy(spark):
+    """Trained PQ path: per-subspace k-means codebooks, then encoding
+    must pick the numpy-argmin codeword per subspace and report the
+    summed reconstruction error of exactly those codewords."""
+    import numpy as np
+
+    from dask_obj_spark.operators.similarity import pq_encode, pq_fit
+
+    rng = np.random.default_rng(7)
+    dim, m, k, n = 16, 4, 3, 40
+    vecs = rng.normal(size=(n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], ["vec_id", "embedding"]
+    )
+    books = pq_fit(df, "vec_id", "embedding", m=m, k=k, iters=2, dim=dim)
+    assert len(books) == m and all(len(b) == k for b in books)
+    got = {
+        r.vid: ([r.code0, r.code1, r.code2, r.code3], r.err_micro)
+        for r in pq_encode(df, "vec_id", "embedding", books, dim=dim).collect()
+    }
+    sub = dim // m
+    for i in range(n):
+        want_codes, want_err = [], 0.0
+        for s in range(m):
+            v = vecs[i, s * sub : (s + 1) * sub]
+            dists = [float(((v - np.array(cw)) ** 2).sum()) for cw in books[s]]
+            j = int(np.argmin(dists))  # np.argmin keeps the lowest index on ties
+            want_codes.append(j)
+            want_err += dists[j]
+        codes, err_micro = got[i]
+        assert codes == want_codes, (i, codes, want_codes)
+        assert abs(err_micro - int(np.floor(want_err * 1e6))) <= 1  # fp assoc slack
