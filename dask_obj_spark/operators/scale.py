@@ -469,3 +469,142 @@ def join_bloom_prefilter_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
     )
+
+
+# -- HyperLogLog distinct-count sketch ----------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << HLL_P
+# alpha_m * m^2 computed ONCE in Python and embedded as the same double
+# literal on both engines (repr round-trips exactly)
+_HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / _HLL_M) * float(_HLL_M * _HLL_M)
+_TWO_53 = 9007199254740992.0  # 2^53 as an exact double
+
+
+def _hll_rho(w: Column) -> Column:
+    """Leading-zero rank of the 52-bit suffix: rho = 53 - bit_length(w),
+    via a pure-integer comparison chain (never floor(log2(w)) — libm
+    log2 at exact powers of two is a cross-engine hazard)."""
+    expr = None
+    for r in range(1, 53):
+        cond = w >= (1 << (52 - r))
+        expr = F.when(cond, r) if expr is None else expr.when(cond, r)
+    return expr.otherwise(53)
+
+
+def hll_registers(df: DataFrame, key_col: str, salt: str = "hll") -> DataFrame:
+    """(bucket, m) HyperLogLog register table over a key column — the
+    mergeable fixed-size distinct-count state (Flajolet et al. 2007):
+    256 registers regardless of input size, merged across shards /
+    days / streams by per-bucket max, which is exact integer algebra.
+
+    Plan: one porthash + modulo projection, one 256-group hash
+    aggregate (map-side partials do the heavy lifting — each task
+    emits at most 256 rows), and a broadcast grid join so EMPTY
+    registers participate as 0.  This is THE cardinality primitive at
+    100 TB: count-distinct without the count-distinct shuffle."""
+    from dask_obj_spark.functions.hashing import porthash
+
+    spark = df.sparkSession
+    h = porthash(F.col(key_col).cast("string"), salt)
+    rows = df.select(
+        (h % _HLL_M).alias("bucket"), F.expr(f"{_HLL_M}").alias("_m"), h.alias("h")
+    ).select("bucket", F.expr(f"CAST(h div {_HLL_M} AS BIGINT)").alias("w"))
+    rho = rows.select("bucket", _hll_rho(F.col("w")).alias("rho"))
+    regs = rho.groupBy("bucket").agg(F.max("rho").alias("mx"))
+    grid = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    return grid.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("mx", F.lit(0)).cast("int").alias("m")
+    )
+
+
+def hll_estimate_x1000(regs: DataFrame) -> DataFrame:
+    """(est_x1000, nonzero) from a register table.  The indicator sum
+    Z = Σ 2^-M_j is carried as the SCALED INTEGER Σ 2^(53-M_j) — exact
+    BIGINT, summation-order-free — and converted to double ONCE, so
+    the raw estimate alpha·m²/Z involves no unordered float sum and no
+    libm call; floor(est·1000) is then engine-stable."""
+    zs = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+    est = F.lit(_HLL_ALPHA_MM) / (zs.cast("double") / F.lit(_TWO_53)) * F.lit(1000.0)
+    return regs.agg(
+        F.floor(est).cast("long").alias("est_x1000"),
+        F.sum((F.col("m") > 0).cast("long")).alias("nonzero_registers"),
+    )
+
+
+def _duck_hll_oracle() -> str:
+    from dask_obj_spark.functions.hashing import duck_porthash
+
+    m = _HLL_M
+    rho_chain = " ".join(
+        f"WHEN w >= {1 << (52 - r)} THEN {r}" for r in range(1, 53)
+    )
+    ph = duck_porthash("l_partkey::VARCHAR", "hll")
+    reg = """
+      SELECT g.bucket, coalesce(t.mx, 0) AS m FROM grid g
+      LEFT JOIN (SELECT bucket, max(rho) AS mx FROM rho {where} GROUP BY bucket) t
+      ON t.bucket = g.bucket"""
+    est = (
+        f"CAST(floor({_HLL_ALPHA_MM!r} / (CAST({{zs}} AS DOUBLE) / {_TWO_53!r})"
+        f" * 1000.0) AS BIGINT)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT {ph} AS h, l_orderkey % 2 AS half FROM lineitem
+    ), ex AS (
+      SELECT count(DISTINCT l_partkey)::BIGINT AS n_exact FROM lineitem
+    ), rho AS (
+      SELECT h % {m} AS bucket, half,
+             CASE {rho_chain} ELSE 53 END AS rho
+      FROM (SELECT h, h // {m} AS w, half FROM h)
+    ), grid AS (
+      SELECT unnest(range(0, {m})) AS bucket
+    ), regs_all AS ({reg.format(where="")}
+    ), regs_even AS ({reg.format(where="WHERE half = 0")}
+    ), regs_odd AS ({reg.format(where="WHERE half = 1")}
+    ), merged AS (
+      SELECT e.bucket, greatest(e.m, o.m) AS m
+      FROM regs_even e JOIN regs_odd o ON o.bucket = e.bucket
+    ), za AS (
+      SELECT sum(1::BIGINT << (53 - m))::BIGINT AS zs,
+             sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS nz
+      FROM regs_all
+    ), zm AS (
+      SELECT sum(1::BIGINT << (53 - m))::BIGINT AS zs FROM merged
+    )
+    SELECT ex.n_exact, {est.format(zs="za.zs")} AS est_x1000,
+           {est.format(zs="zm.zs")} AS merged_x1000,
+           za.nz AS nonzero_registers
+    FROM ex, za, zm
+    """
+
+
+@query("sketch_hll_distinct", oracle=_duck_hll_oracle())
+def sketch_hll_distinct_q(spark, sf_dir):
+    """HyperLogLog distinct part-keys over lineitem with an IN-PLAN
+    merge-invariance proof: registers built from the even- and
+    odd-orderkey halves and max-merged must yield the SAME estimate as
+    one pass over the whole table (est_x1000 = merged_x1000 — integer
+    register algebra, so the equality is exact, the same proof shape
+    as incremental_agg_quantile).  Exact distinct count rides along as
+    the accuracy reference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(F.count_distinct("l_partkey").cast("long").alias("n_exact"))
+    whole = hll_estimate_x1000(
+        hll_registers(li, "l_partkey")
+    )
+    even = hll_registers(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey")
+    odd = hll_registers(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey")
+    merged = (
+        even.select("bucket", F.col("m").alias("me"))
+        .join(odd.select("bucket", F.col("m").alias("mo")), "bucket")
+        .select("bucket", F.greatest("me", "mo").alias("m"))
+    )
+    merged_est = hll_estimate_x1000(merged).select(
+        F.col("est_x1000").alias("merged_x1000")
+    )
+    return (
+        exact.crossJoin(F.broadcast(whole))
+        .crossJoin(F.broadcast(merged_est))
+        .select("n_exact", "est_x1000", "merged_x1000", "nonzero_registers")
+    )

@@ -951,3 +951,36 @@ def ts_burst_detection_q(spark, sf_dir):
             "user_id", "bucket", "cnt", F.round("zs", 6).alias("z")
         )
     )
+
+
+@query(
+    "ts_ewma_exact",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(event_id ORDER BY ts, event_id) AS l_e,
+             list(value ORDER BY ts, event_id) AS l_v
+      FROM events GROUP BY user_id
+    ), idx AS (
+      SELECT user_id, l_e, l_v, unnest(range(1, len(l_v) + 1)) AS i
+      FROM ordered
+    )
+    SELECT user_id, l_e[i] AS event_id,
+           round(list_reduce(l_v[1:i],
+                 (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma
+    FROM idx
+    """,
+)
+def ts_ewma_exact_q(spark, sf_dir):
+    """Per-user EWMA (alpha=0.3), ORACLE-PAIRED: the sequential
+    recurrence s_t = 0.3·x_t + 0.7·s_{t-1} folds left in DuckDB's
+    list_reduce over the identically-ordered value list, and IEEE
+    addition of the two products is commutative EXACTLY, so pandas'
+    ewm(adjust=False) inside the applyInPandas batch produces
+    bit-identical doubles — upgrading the recurrence class that
+    ts_ewma_rowsonly could only row-count-check to a full hash match.
+    (Oracle cost is the per-user prefix re-fold, O(rows·avg-group) —
+    an oracle-side price only; the Spark plan is one Arrow batch per
+    user, the same as the rows-only query.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.3)

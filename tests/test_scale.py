@@ -343,3 +343,27 @@ def test_pq_fit_encode_matches_numpy(spark):
         codes, err_micro = got[i]
         assert codes == want_codes, (i, codes, want_codes)
         assert abs(err_micro - int(np.floor(want_err * 1e6))) <= 1  # fp assoc slack
+
+
+def test_hll_accuracy_and_merge(spark):
+    """Register mergeability is exact (max algebra) and the estimate
+    lands within ~3 standard errors (1.04/sqrt(256) ≈ 6.5%) of truth."""
+    from dask_obj_spark.operators.scale import hll_estimate_x1000, hll_registers
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 7919 % 100000).alias("k"))
+    true = df.select("k").distinct().count()
+    regs = hll_registers(df, "k")
+    est = hll_estimate_x1000(regs).first()["est_x1000"] / 1000.0
+    assert abs(est - true) / true < 0.20
+    # merging three arbitrary shards reproduces the whole-table registers
+    shards = [hll_registers(df.filter(F.col("k") % 3 == i), "k") for i in range(3)]
+    merged = shards[0].select("bucket", F.col("m").alias("m0"))
+    for i, sh in enumerate(shards[1:], 1):
+        merged = merged.join(sh.select("bucket", F.col("m").alias(f"m{i}")), "bucket")
+    merged = merged.select(
+        "bucket", F.greatest("m0", "m1", "m2").alias("m")
+    )
+    whole = {r.bucket: r.m for r in regs.collect()}
+    got = {r.bucket: r.m for r in merged.collect()}
+    assert got == whole
