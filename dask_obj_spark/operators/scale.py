@@ -522,13 +522,26 @@ def hll_estimate_x1000(regs: DataFrame) -> DataFrame:
     """(est_x1000, nonzero) from a register table.  The indicator sum
     Z = Σ 2^-M_j is carried as the SCALED INTEGER Σ 2^(53-M_j) — exact
     BIGINT, summation-order-free — and converted to double ONCE, so
-    the raw estimate alpha·m²/Z involves no unordered float sum and no
-    libm call; floor(est·1000) is then engine-stable."""
-    zs = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
-    est = F.lit(_HLL_ALPHA_MM) / (zs.cast("double") / F.lit(_TWO_53)) * F.lit(1000.0)
-    return regs.agg(
-        F.floor(est).cast("long").alias("est_x1000"),
-        F.sum((F.col("m") > 0).cast("long")).alias("nonzero_registers"),
+    the raw estimate alpha·m²/Z involves no unordered float sum;
+    the standard small-range linear-counting branch (m·ln(m/V) when
+    the raw estimate ≤ 2.5m and empty registers remain) corrects the
+    known low-cardinality bias — ln is the libm contract the
+    entropy/KL oracle rows already rely on."""
+    agged = regs.agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")
+        ).alias("zs"),
+        F.sum((F.col("m") > 0).cast("long")).alias("nz"),
+    )
+    raw = F.lit(_HLL_ALPHA_MM) / (F.col("zs").cast("double") / F.lit(_TWO_53))
+    corrected = F.when(
+        (F.col("nz") < _HLL_M) & (raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("nz")).cast("double")),
+    ).otherwise(raw)
+    return agged.select(
+        F.floor(corrected * F.lit(1000.0)).cast("long").alias("est_x1000"),
+        F.col("nz").alias("nonzero_registers"),
     )
 
 
@@ -544,9 +557,14 @@ def _duck_hll_oracle() -> str:
       SELECT g.bucket, coalesce(t.mx, 0) AS m FROM grid g
       LEFT JOIN (SELECT bucket, max(rho) AS mx FROM rho {where} GROUP BY bucket) t
       ON t.bucket = g.bucket"""
-    est = (
-        f"CAST(floor({_HLL_ALPHA_MM!r} / (CAST({{zs}} AS DOUBLE) / {_TWO_53!r})"
-        f" * 1000.0) AS BIGINT)"
+    corr = (
+        f"CAST(floor(CASE WHEN {{nz}} < {_HLL_M}"
+        f" AND {_HLL_ALPHA_MM!r} / (CAST({{zs}} AS DOUBLE) / {_TWO_53!r})"
+        f" <= {2.5 * _HLL_M!r}"
+        f" THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}"
+        f" / CAST({_HLL_M} - {{nz}} AS DOUBLE))"
+        f" ELSE {_HLL_ALPHA_MM!r} / (CAST({{zs}} AS DOUBLE) / {_TWO_53!r})"
+        f" END * 1000.0) AS BIGINT)"
     )
     return f"""
     WITH h AS (
@@ -572,8 +590,8 @@ def _duck_hll_oracle() -> str:
     ), zm AS (
       SELECT sum(1::BIGINT << (53 - m))::BIGINT AS zs FROM merged
     )
-    SELECT ex.n_exact, {est.format(zs="za.zs")} AS est_x1000,
-           {est.format(zs="zm.zs")} AS merged_x1000,
+    SELECT ex.n_exact, {corr.format(zs="za.zs", nz="za.nz")} AS est_x1000,
+           {corr.format(zs="zm.zs", nz="za.nz")} AS merged_x1000,
            za.nz AS nonzero_registers
     FROM ex, za, zm
     """
@@ -607,4 +625,143 @@ def sketch_hll_distinct_q(spark, sf_dir):
         exact.crossJoin(F.broadcast(whole))
         .crossJoin(F.broadcast(merged_est))
         .select("n_exact", "est_x1000", "merged_x1000", "nonzero_registers")
+    )
+
+
+def _duck_rho_chain() -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN w >= {1 << (52 - r)} THEN {r}" for r in range(1, 53))
+        + " ELSE 53 END"
+    )
+
+
+def _duck_est_x1000(zs: str) -> str:
+    return (
+        f"CAST(floor({_HLL_ALPHA_MM!r} / (CAST({zs} AS DOUBLE) / {_TWO_53!r})"
+        f" * 1000.0) AS BIGINT)"
+    )
+
+
+def _duck_raw_est(zs: str) -> str:
+    return f"({_HLL_ALPHA_MM!r} / (CAST({zs} AS DOUBLE) / {_TWO_53!r}))"
+
+
+def _duck_hll_sliding_oracle() -> str:
+    from dask_obj_spark.functions.hashing import duck_porthash
+
+    m = _HLL_M
+    ph = duck_porthash("user_id::VARCHAR", "hll")
+    return f"""
+    WITH ev AS (
+      SELECT floor(epoch(ts))::BIGINT // 3600 AS hr, user_id FROM events
+    ), rho AS (
+      SELECT hr, h % {m} AS bucket, {_duck_rho_chain().replace("w >=", "(h // " + str(m) + ") >=")} AS rho
+      FROM (SELECT hr, {ph} AS h FROM ev)
+    ), regs AS (
+      SELECT hr, bucket, max(rho) AS mx FROM rho GROUP BY hr, bucket
+    ), hours AS (
+      SELECT DISTINCT hr FROM ev
+    ), grid AS (
+      SELECT h.hr, g.bucket FROM hours h
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS bucket) g
+    ), filled AS (
+      SELECT g.hr, g.bucket, coalesce(r.mx, 0) AS mreg FROM grid g
+      LEFT JOIN regs r ON r.hr = g.hr AND r.bucket = g.bucket
+    ), win AS (
+      SELECT hr, bucket,
+             max(mreg) OVER (PARTITION BY bucket ORDER BY hr
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m
+      FROM filled
+    ), est AS (
+      SELECT hr, sum(1::BIGINT << (53 - m))::BIGINT AS zs,
+             sum(CASE WHEN m > 0 THEN 1 ELSE 0 END)::BIGINT AS nz
+      FROM win GROUP BY hr
+    ), exact AS (
+      SELECT wend, count(DISTINCT user_id) AS n_exact FROM (
+        SELECT user_id, unnest([hr, hr+1, hr+2, hr+3, hr+4, hr+5]) AS wend
+        FROM ev
+      ) GROUP BY wend
+    )
+    SELECT e.hr AS hour_end,
+           CAST(floor(CASE
+             WHEN e.nz < {m} AND {_duck_raw_est("e.zs")} <= {2.5 * _HLL_M!r}
+             THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({m} - e.nz AS DOUBLE))
+             ELSE {_duck_raw_est("e.zs")}
+           END * 1000.0) AS BIGINT) AS est_x1000,
+           x.n_exact AS n_exact
+    FROM est e JOIN exact x ON x.wend = e.hr
+    """
+
+
+@query("sketch_hll_sliding_users", oracle=_duck_hll_sliding_oracle())
+def sketch_hll_sliding_users_q(spark, sf_dir):
+    """Rolling 6-hour distinct-user ESTIMATE per hour from merged
+    HyperLogLog registers — the pre-aggregated-sketch answer to the
+    query window_sliding_distinct_users computes exactly: per-hour
+    256-register tables (tiny, storable) are max-merged across the
+    trailing window by a RANGE frame per register, so the rolling
+    distinct needs NO re-scan of raw events and NO per-window distinct
+    shuffle.  At 100 TB the hourly register tables are the only state
+    retained (256 ints/hour), and ANY window — day, week, arbitrary
+    ad-hoc span — merges from the same state; the exact twin rides
+    along for the accuracy readout.  All register algebra is integer;
+    one double conversion per window feeds the estimate, with the
+    standard small-range linear-counting branch (n « m here, where the
+    raw harmonic estimator is biased ~3x high; m·ln(m/V) from the
+    integer empty-register count V brings it back to ~5%) — ln is the
+    same libm contract the entropy/KL oracle rows already rely on."""
+    from dask_obj_spark.functions.hashing import porthash
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("hr"),
+        "user_id",
+    )
+    h = porthash(F.col("user_id").cast("string"), "hll")
+    rho = ev.select(
+        "hr", (h % _HLL_M).alias("bucket"), h.alias("hh")
+    ).select(
+        "hr",
+        "bucket",
+        _hll_rho(F.expr(f"CAST(hh div {_HLL_M} AS BIGINT)")).alias("rho"),
+    )
+    regs = rho.groupBy("hr", "bucket").agg(F.max("rho").alias("mx"))
+    hours = ev.select("hr").distinct()
+    grid = hours.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(_HLL_M).select(
+                F.col("id").cast("long").alias("bucket")
+            )
+        )
+    )
+    filled = grid.join(regs, ["hr", "bucket"], "left").select(
+        "hr", "bucket", F.coalesce("mx", F.lit(0)).cast("int").alias("mreg")
+    )
+    w = Window.partitionBy("bucket").orderBy("hr").rangeBetween(-5, 0)
+    win = filled.select("hr", "bucket", F.max("mreg").over(w).alias("m"))
+    est = win.groupBy("hr").agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")
+        ).alias("zs"),
+        F.sum((F.col("m") > 0).cast("long")).alias("nz"),
+    )
+    raw = F.lit(_HLL_ALPHA_MM) / (F.col("zs").cast("double") / F.lit(_TWO_53))
+    corrected = F.when(
+        (F.col("nz") < _HLL_M) & (raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("nz")).cast("double")),
+    ).otherwise(raw)
+    est = est.select(
+        "hr",
+        F.floor(corrected * F.lit(1000.0)).cast("long").alias("est_x1000"),
+    )
+    wend = F.explode(F.array(*[F.col("hr") + i for i in range(6)])).alias("wend")
+    exact = (
+        ev.select("user_id", wend)
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, est["hr"] == exact["wend"]).select(
+        F.col("hr").alias("hour_end"), "est_x1000", "n_exact"
     )
