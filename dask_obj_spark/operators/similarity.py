@@ -1829,7 +1829,15 @@ def sim_pq_adc_topk_q(spark, sf_dir):
     m partial distances recombine by PIVOTED when-arms with explicit
     left-assoc addition, never an unordered float sum().  Codebooks
     here are the deterministic modular ones (oracle replays the index);
-    production swaps in pq_fit's k-means books unchanged."""
+    production swaps in pq_fit's k-means books unchanged.
+
+    Broadcast-audit note (PLANS.md rule — hints only on
+    constant-bounded sides): the modular codeword table and the probe
+    distance table here grow with the corpus (N/11 and N/50 rows), so
+    their hints are justified only for this oracle-replayable variant
+    at test/bench scale; the production path is pq_fit's CONSTANT-k
+    codebooks (k·d model floats) with probes arriving in bounded
+    batches, where the same hints are size-safe by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("vid"),
