@@ -2951,3 +2951,77 @@ def stats_ks_test(spark, sf_dir):
         F.max("na").alias("n_a"),
         F.max("nb").alias("n_b"),
     )
+
+
+@query(
+    "profile_ks_source_matrix",
+    oracle="""
+    WITH vals AS (
+      SELECT DISTINCT n_chars AS v FROM documents
+    ), srcs AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), cnt AS (
+      SELECT source, n_chars AS v, count(*) AS c FROM documents
+      GROUP BY source, n_chars
+    ), grid AS (
+      SELECT s.source, s.n, g.v, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN vals g
+      LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+    ), e AS (
+      SELECT source, n, v,
+             sum(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM grid
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(max(abs(a.cum / CAST(a.n AS DOUBLE)
+                         - b.cum / CAST(b.n AS DOUBLE))), 6) AS ks_d
+    FROM e a JOIN e b ON a.v = b.v AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def profile_ks_source_matrix(spark, sf_dir):
+    """Pairwise two-sample KS D between every pair of sources over the
+    document-length distribution — the NONPARAMETRIC drift matrix next
+    to profile_jsd_source_matrix (JSD needs the categorical lang
+    column; KS ranks continuous columns with no binning choice), the
+    per-ingest screen for "which feeds changed shape".
+
+    Scale shape: ECDFs for ALL sources are evaluated on the shared
+    distinct-value grid in ONE window pass partitioned by source (the
+    union grid is what makes the pairwise supremum well-defined at
+    absent values), so the pair join runs over |distinct values| ×
+    |source pairs| rows — dimension-sized, never fact-sized.  Counts
+    divide as exact BIGINTs; both engines build identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        srcs.crossJoin(vals)
+        .join(cnt, ["source", "v"], "left")
+        .select("source", "n", "v", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = grid.select("source", "n", "v", F.sum("c").over(w).alias("cum"))
+    a = e.select(
+        F.col("source").alias("src_a"),
+        F.col("v").alias("va"),
+        (F.col("cum") / F.col("n").cast("double")).alias("fa"),
+    )
+    b = e.select(
+        F.col("source").alias("src_b"),
+        F.col("v").alias("vb"),
+        (F.col("cum") / F.col("n").cast("double")).alias("fb"),
+    )
+    return (
+        a.join(b, (a["va"] == b["vb"]) & (a["src_a"] < b["src_b"]))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"))
+    )
