@@ -3025,3 +3025,83 @@ def profile_ks_source_matrix(spark, sf_dir):
         .groupBy("src_a", "src_b")
         .agg(F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"))
     )
+
+
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), r AS (
+      SELECT v, ca, cb, ca + cb AS c,
+             coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+      FROM g
+    ), t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(sum(ca * (2 * k + c + 1)) AS BIGINT) AS ra2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT CAST(ra2 - na * (na + 1) AS BIGINT) AS u2,
+           round(((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                 * ((na + nb + 1) - ties
+                    / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6) AS z,
+           na AS n_a, nb AS n_b
+    FROM t
+    """,
+)
+def stats_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) for click vs purchase values
+    — the rank-based "did the distribution shift?" test beside
+    stats_ks_test (KS sees shape, U sees stochastic dominance), with
+    the tie-corrected normal approximation.
+
+    Scale shape: the pooled samples collapse to per-distinct-value
+    (ca, cb) counts in one hash aggregate; ONE exclusive running-sum
+    window over the |distinct| grid yields every tie block's average
+    rank — carried as the INTEGER 2·rank = 2k+c+1, so the rank sum,
+    U (emitted doubled: u2 = 2·U), and the tie term Σ(c³−c) are all
+    exact BIGINTs and the z-score is one identical double expression
+    on both engines.  Same two-phase-scan generalization note as
+    stats_ks_test for a huge value domain."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias("k"),
+    )
+    t = r.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("k") + F.col("c") + 1))
+        .cast("long")
+        .alias("ra2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties"),
+    )
+    na, nb, ra2, ties = F.col("na"), F.col("nb"), F.col("ra2"), F.col("ties")
+    n = na + nb
+    z = ((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0) / F.sqrt(
+        na * nb / 12.0 * ((n + 1) - ties / (n.cast("double") * (n - 1)))
+    )
+    return t.select(
+        (ra2 - na * (na + 1)).cast("long").alias("u2"),
+        F.round(z, 6).alias("z"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+    )
