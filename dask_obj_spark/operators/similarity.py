@@ -2595,3 +2595,42 @@ def sim_recall_curve_lsh_q(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_probes"),
         F.round(F.avg("r"), 6).alias("mean_recall"),
     )
+
+
+@query(
+    "graph_effective_diameter",
+    oracle=f"""
+    WITH bfs AS ({_duck_bfs_oracle(4, 5, 10, 50)})
+    SELECT round(quantile_cont(CASE WHEN dist >= 0 THEN dist END, 0.9), 6)
+             AS eff_diameter_p90,
+           CAST(sum(CASE WHEN dist >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           CAST(sum(CASE WHEN dist < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unreached
+    FROM bfs
+    """,
+)
+def graph_effective_diameter_q(spark, sf_dir):
+    """Effective diameter (90th-percentile hop distance among reached
+    vertices) of the kNN graph from the 1-in-50 seed set, plus the
+    reached/unreached census — the one-number connectivity summary
+    (small-world check, diffusion-radius estimate) built directly on
+    the `bfs_hops` primitive.  `quantile_cont` ≡ Spark `F.percentile`
+    exactly (verify-notes contract), and the inputs are exact BIGINT
+    hop counts, so the interpolated percentile is engine-stable.  The
+    unreached count is reported rather than silently dropped (a
+    truncated 4-hop exploration undercounts distances; the census
+    makes that visible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
+    d = bfs_hops(vertices, edges, seeds, rounds=4)
+    return d.agg(
+        F.round(
+            F.expr("percentile(CASE WHEN dist >= 0 THEN dist END, 0.9)"), 6
+        ).alias("eff_diameter_p90"),
+        F.sum((F.col("dist") >= 0).cast("long")).alias("n_reached"),
+        F.sum((F.col("dist") < 0).cast("long")).alias("n_unreached"),
+    )
