@@ -984,3 +984,65 @@ def ts_ewma_exact_q(spark, sf_dir):
     user, the same as the rows-only query.)"""
     ev = load_table(spark, sf_dir, "events")
     return ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.3)
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key:
+    level l_t = a·x_t + (1-a)·(l_{t-1} + b_{t-1}), trend
+    b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}, initialized l_1 = x_1,
+    b_1 = 0 — the one-step-ahead forecaster (l + b) for trending
+    series that a flat EWMA lags behind.
+
+    Like `ewma`, each key group is one Arrow batch; the two mutually
+    recursive accumulators have no vectorized pandas form, so the
+    batch walks a plain Python loop over the in-memory arrays — still
+    one applyInPandas call per key group, never a per-row UDF round
+    trip, and at scale the work parallelizes across keys exactly as
+    the EWMA does.  Rows-only registration: DuckDB 1.0's struct-state
+    list_reduce lambdas mis-evaluate (probed during round 4), so the
+    two-accumulator recurrence is pinned by the hand-computed unit
+    test instead of a SQL oracle."""
+
+    def _holt_group(pdf):
+        pdf = pdf.sort_values([ts_col, order_tiebreak])
+        xs = pdf[value_col].to_list()
+        levels, trends, fc = [], [], []
+        lvl, tr = 0.0, 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                lvl, tr = float(x), 0.0
+            else:
+                new_lvl = alpha * float(x) + (1.0 - alpha) * (lvl + tr)
+                tr = beta * (new_lvl - lvl) + (1.0 - beta) * tr
+                lvl = new_lvl
+            levels.append(round(lvl, 6))
+            trends.append(round(tr, 6))
+            fc.append(round(lvl + tr, 6))
+        return pdf.assign(level=levels, trend=trends, fc_next=fc)[
+            [key_col, order_tiebreak, "level", "trend", "fc_next"]
+        ]
+
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        f"{key_col} {in_types[key_col]}, "
+        f"{order_tiebreak} {in_types[order_tiebreak]}, "
+        "level double, trend double, fc_next double"
+    )
+    return df.groupBy(key_col).applyInPandas(_holt_group, schema=schema)
+
+
+@query("ts_holt_rowsonly")
+def ts_holt_rowsonly_q(spark, sf_dir):
+    """Per-user Holt linear-trend smoothing (alpha=0.3, beta=0.1) with
+    the one-step forecast — rows-only (two-accumulator recurrence; see
+    holt_linear docstring), pinned by the hand-computed series test."""
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(ev, "user_id", "ts", "event_id", "value")

@@ -113,3 +113,29 @@ def test_sessionize_islands_splits_on_gap(spark):
         for r in sessionize_islands(df, "user_id", "ts", "event_id", 1800).collect()
     }
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_holt_linear_matches_hand_computed(spark):
+    """Level/trend/forecast must replay the recurrence exactly on a
+    small trending series, per key, in (ts, tiebreak) order."""
+    from dask_obj_spark.operators.timeseries import holt_linear
+
+    xs = [10.0, 12.0, 14.0, 17.0]
+    rows = [(1, i, float(i), x) for i, x in enumerate(xs)]
+    rows += [(2, 0, 0.0, 5.0), (2, 1, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "i", "ts", "x"])
+    got = {
+        (r.k, r.i): (r.level, r.trend, r.fc_next)
+        for r in holt_linear(df, "k", "ts", "i", "x", alpha=0.3, beta=0.1).collect()
+    }
+    lvl, tr = 10.0, 0.0
+    want = [(round(lvl, 6), 0.0, round(lvl, 6))]
+    for x in xs[1:]:
+        new = 0.3 * x + 0.7 * (lvl + tr)
+        tr = 0.1 * (new - lvl) + 0.9 * tr
+        lvl = new
+        want.append((round(lvl, 6), round(tr, 6), round(lvl + tr, 6)))
+    for i in range(4):
+        assert got[(1, i)] == want[i], (i, got[(1, i)], want[i])
+    # constant series: level sticks, trend stays 0
+    assert got[(2, 1)] == (5.0, 0.0, 5.0)
