@@ -743,11 +743,7 @@ def sim_norms_q(spark, sf_dir):
     )
 
 
-@query(
-    "sim_knn_triangles",
-    oracle=_duck_base(50)
-    + _duck_topk_ctes()
-    + """
+_DUCK_TRI_CTES = """
     , knn AS (
       SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
       FROM ranked WHERE rank <= 10
@@ -770,7 +766,15 @@ def sim_norms_q(spark, sf_dir):
     ), tri AS (
       SELECT wd.u, wd.y, wd.z
       FROM wedges wd JOIN orient c ON c.u = wd.y AND c.w = wd.z
-    )
+    )"""
+
+
+@query(
+    "sim_knn_triangles",
+    oracle=_duck_base(50)
+    + _duck_topk_ctes()
+    + _DUCK_TRI_CTES
+    + """
     SELECT v, CAST(count(*) AS BIGINT) AS n_tri
     FROM (
       SELECT u AS v FROM tri
@@ -2633,4 +2637,68 @@ def graph_effective_diameter_q(spark, sf_dir):
         ).alias("eff_diameter_p90"),
         F.sum((F.col("dist") >= 0).cast("long")).alias("n_reached"),
         F.sum((F.col("dist") < 0).cast("long")).alias("n_unreached"),
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=_duck_base(50)
+    + _duck_topk_ctes()
+    + _DUCK_TRI_CTES
+    + """
+    , tcount AS (
+      SELECT v, count(*) AS n_tri FROM (
+        SELECT u AS v FROM tri
+        UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT d.v AS id, CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           round(2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1)), 6) AS coeff
+    FROM deg d LEFT JOIN tcount t ON t.v = d.v
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coeff_q(spark, sf_dir):
+    """Local clustering coefficient per vertex of the kNN graph —
+    2·triangles / (degree·(degree−1)), the how-clique-like-is-my-
+    neighborhood signal that separates tight similarity communities
+    (coeff → 1) from hub-and-spoke noise (coeff → 0).  Vertices with
+    degree ≥ 2 and ZERO triangles are kept at coefficient 0 via the
+    left join (a triangle-only census silently drops them and skews
+    any average upward); coefficients are exact small-integer ratios,
+    identical on both engines.  Plan cost = the degree-ordered
+    triangle count (`triangle_counts`, hub-proof) + one left join of
+    two vertex-sized tables."""
+    from dask_obj_spark.operators.corpus import triangle_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    e = (
+        knn.select(
+            F.least("id1", "id2").alias("a"), F.greatest("id1", "id2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = triangle_counts(knn.select("id1", "id2"), "id1", "id2")
+    return (
+        deg.join(tri, "v", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("v").alias("id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("coeff"),
+        )
     )
