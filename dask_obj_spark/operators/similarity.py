@@ -2702,3 +2702,16 @@ def graph_clustering_coeff_q(spark, sf_dir):
             ).alias("coeff"),
         )
     )
+
+
+@query("sim_pq_trained_rowsonly")
+def sim_pq_trained_rowsonly_q(spark, sf_dir):
+    """The PRODUCTION PQ path end-to-end through the engine: pq_fit
+    trains 4 per-subspace k-means codebooks (k=8, 2 Lloyd rounds) on
+    the corpus, pq_encode assigns codes by broadcast argmin — rows-only
+    (trained float centroids aren't SQL-replayable; the numpy-parity
+    unit test pins assignment correctness, and the modular-codebook
+    twins sim_pq_encode / sim_pq_adc_topk carry the hash contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, "vec_id", "embedding", m=PQ_M, k=8, iters=2)
+    return pq_encode(emb, "vec_id", "embedding", books)
