@@ -190,6 +190,52 @@ def ewma(
     return df.groupBy(key_col).applyInPandas(_ewma_group, schema=schema)
 
 
+def ewma_quantized(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """EWMA with the fold state floor-quantized to integer micro-units
+    every step: s_t = floor(alpha·1e6·x_t + (1-alpha)·s_{t-1}),
+    s_1 = floor(1e6·x_1), emitted as BIGINT ``ewma_u``.  The state is
+    always an integer-valued double (exact below 2^53), so every step
+    is two IEEE multiplies + one add + one floor — deterministic and
+    engine-portable with NO rounding-tie hazard, unlike a round(raw, 6)
+    readout of the raw fold (Spark HALF_UP vs DuckDB half-even cracks
+    on boundary ulps at scale).  Same plan shape as `ewma`: one Arrow
+    batch per key group, a short numpy loop inside (the floor breaks
+    the linearity pandas' ewm exploits, so the recurrence is walked
+    explicitly — still per-GROUP batches, never per-row UDF calls)."""
+    a6 = alpha * 1e6
+    b = 1.0 - alpha
+
+    def _ewma_q_group(pdf):
+        import math
+
+        import numpy as np
+
+        pdf = pdf.sort_values([ts_col, order_tiebreak])
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(vals), dtype=np.int64)
+        if len(vals):
+            s = math.floor(vals[0] * 1e6)
+            out[0] = s
+            for i in range(1, len(vals)):
+                s = math.floor(a6 * vals[i] + b * s)
+                out[i] = s
+        return pdf.assign(ewma_u=out)[[key_col, order_tiebreak, "ewma_u"]]
+
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (
+        f"{key_col} {in_types[key_col]}, "
+        f"{order_tiebreak} {in_types[order_tiebreak]}, ewma_u bigint"
+    )
+    return df.groupBy(key_col).applyInPandas(_ewma_q_group, schema=schema)
+
+
 @query("ts_ewma_rowsonly")
 def ts_ewma_rowsonly_q(spark, sf_dir):
     """Per-user EWMA (alpha=0.3) — sequential recurrence via one
@@ -966,24 +1012,33 @@ def ts_burst_detection_q(spark, sf_dir):
       FROM ordered
     )
     SELECT user_id, l_e[i] AS event_id,
-           round(list_reduce(l_v[1:i],
-                 (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma
+           CAST(list_reduce(
+                 list_prepend(floor(l_v[1] * 1000000.0), l_v[2:i]),
+                 (acc, x) -> floor((0.3::DOUBLE * 1000000.0::DOUBLE) * x
+                                   + 0.7::DOUBLE * acc)) AS BIGINT)
+             AS ewma_u
     FROM idx
     """,
 )
 def ts_ewma_exact_q(spark, sf_dir):
-    """Per-user EWMA (alpha=0.3), ORACLE-PAIRED: the sequential
-    recurrence s_t = 0.3·x_t + 0.7·s_{t-1} folds left in DuckDB's
-    list_reduce over the identically-ordered value list, and IEEE
-    addition of the two products is commutative EXACTLY, so pandas'
-    ewm(adjust=False) inside the applyInPandas batch produces
-    bit-identical doubles — upgrading the recurrence class that
-    ts_ewma_rowsonly could only row-count-check to a full hash match.
-    (Oracle cost is the per-user prefix re-fold, O(rows·avg-group) —
-    an oracle-side price only; the Spark plan is one Arrow batch per
-    user, the same as the rows-only query.)"""
+    """Per-user EWMA (alpha=0.3), ORACLE-PAIRED, carried in integer
+    MICRO-UNITS: the fold state is floor-quantized every step
+    (s_t = floor(0.3e6·x_t + 0.7·s_{t-1}), s_1 = floor(1e6·x_1)), so
+    the state is always an integer-valued double — each step is two
+    IEEE multiplies, one add, and a floor, identical on both engines,
+    and the emitted BIGINT hashes exactly.  This replaces the round-6
+    readout of the raw double fold, whose "bit-identical" claim
+    survived 10k rows but cracked on one rounding-boundary ulp in
+    ~105k rows at sf0.1 (round() tie semantics: Spark HALF_UP vs
+    DuckDB half-even) — the repo's standing floor-quantize rule,
+    applied to the fold state itself.  DuckDB replays the recurrence
+    with list_reduce over the identically-ordered value list, the
+    first element pre-quantized via list_prepend so acc starts at
+    s_1.  (Oracle cost is the per-user prefix re-fold, O(rows·
+    avg-group) — an oracle-side price only; the Spark plan is one
+    Arrow batch per user, the same as the rows-only query.)"""
     ev = load_table(spark, sf_dir, "events")
-    return ewma(ev, "user_id", "ts", "event_id", "value", alpha=0.3)
+    return ewma_quantized(ev, "user_id", "ts", "event_id", "value", alpha=0.3)
 
 
 def holt_linear(

@@ -1534,52 +1534,94 @@ def incremental_agg_merge(spark, sf_dir):
 def incremental_agg_minmax(spark, sf_dir):
     """Incremental maintenance of the NON-additive aggregate family:
     min/max (semilattice merge), exact distinct-users (set-union merge),
-    and an HLL sketch (DataSketches register-max merge).  The corpus is
+    and an HLL register sketch (per-register max merge).  The corpus is
     split into a standing partition and a delta, partial states are
     computed independently and MERGED, and the oracle certifies the
     merged result against a full recompute.
 
-    The sketch leg proves merge-invariance inside the query itself:
-    ``hll_union_agg`` over the two partial sketches must estimate
-    EXACTLY what a single-pass ``hll_sketch_agg`` over the whole table
-    estimates (register merge is per-register max, so
-    merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B) bit-for-bit) — the
-    returned boolean is compared against the oracle's ``true``.  At
-    100 TB the standing state is a stored table of (min, max, sketch)
-    per key and each delta folds in as one tiny merge; the exact
-    ``collect_set`` leg is the demonstration-scale analog whose scale
-    path IS the sketch column beside it."""
+    The sketch leg proves merge-invariance inside the query itself,
+    in EXACT INTEGER algebra: the per-event_type HLL register tables
+    of the two partials, max-merged, must carry the identical scaled
+    indicator sum Σ 2^(53-M_j) (exact BIGINT) and nonzero count as a
+    single pass over the whole table — the sketch_hll_distinct
+    technique.  (The earlier DataSketches ``hll_union_agg`` version
+    compared double-typed ESTIMATES, and the library's single-pass
+    estimator (HIP) differs from its post-union estimator (composite)
+    — the flag flipped at sf0.1.  Register state itself IS
+    merge-invariant; comparing it as exact integers is engine- and
+    scale-stable.)  At 100 TB the standing state is a stored table of
+    (min, max, 256 registers) per key and each delta folds in as one
+    tiny merge; the exact ``collect_set`` leg is the
+    demonstration-scale analog whose scale path IS the register
+    column beside it."""
+    from dask_obj_spark.functions.hashing import porthash
+    from dask_obj_spark.operators.scale import _HLL_M, _hll_rho
+
     ev = load_table(spark, sf_dir, "events")
+
+    def regs(df):
+        h = porthash(F.col("user_id").cast("string"), "hll")
+        rows = df.select(
+            "event_type", (h % _HLL_M).alias("bucket"), h.alias("h")
+        ).select(
+            "event_type", "bucket", F.expr(f"CAST(h div {_HLL_M} AS BIGINT)").alias("w")
+        )
+        return (
+            rows.select("event_type", "bucket", _hll_rho(F.col("w")).alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    def reg_state(r, zs_name, nz_name):
+        # empty registers contribute 2^53 each; only non-empty rows exist
+        return r.groupBy("event_type").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+                + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 53)
+            ).alias(zs_name),
+            F.count(F.lit(1)).alias(nz_name),
+        )
+
+    base_pred = F.col("event_id") % 10 < 8
+    merged_regs = (
+        regs(ev.filter(base_pred))
+        .unionByName(regs(ev.filter(~base_pred)))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    merged_state = reg_state(merged_regs, "zs_m", "nz_m")
+    single_state = reg_state(regs(ev), "zs_s", "nz_s")
 
     def partial(df):
         return df.groupBy("event_type").agg(
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
             F.collect_set("user_id").alias("us"),
-            F.hll_sketch_agg("user_id").alias("hs"),
         )
 
-    base = partial(ev.filter(F.col("event_id") % 10 < 8))
-    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
     merged = (
-        base.unionByName(delta)
+        partial(ev.filter(base_pred))
+        .unionByName(partial(ev.filter(~base_pred)))
         .groupBy("event_type")
         .agg(
             F.round(F.min("mn"), 6).alias("min_value"),
             F.round(F.max("mx"), 6).alias("max_value"),
             F.size(F.array_distinct(F.flatten(F.collect_list("us")))).alias("n_users"),
-            F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("est_merged"),
         )
     )
-    single_pass = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_full")
-    )
-    return merged.join(F.broadcast(single_pass), "event_type").select(
-        "event_type",
-        "min_value",
-        "max_value",
-        F.col("n_users").cast("long").alias("n_users"),
-        (F.col("est_merged") == F.col("est_full")).alias("sketch_merge_consistent"),
+    # event_type is an enum-bounded dimension (constant-bounded side)
+    return (
+        merged.join(F.broadcast(merged_state), "event_type")
+        .join(F.broadcast(single_state), "event_type")
+        .select(
+            "event_type",
+            "min_value",
+            "max_value",
+            F.col("n_users").cast("long").alias("n_users"),
+            (
+                (F.col("zs_m") == F.col("zs_s")) & (F.col("nz_m") == F.col("nz_s"))
+            ).alias("sketch_merge_consistent"),
+        )
     )
 
 

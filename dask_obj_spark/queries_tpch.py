@@ -61,7 +61,7 @@ def _t(spark, sf_dir, name):
       FROM offers GROUP BY l_partkey
     )
     SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name,
-           round(o.unit_price, 4) AS best_price
+           CAST(floor(o.unit_price * 10000.0) AS BIGINT) AS best_price_x10k
     FROM offers o
       JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
       JOIN part p ON p.p_partkey = o.l_partkey
@@ -77,9 +77,12 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     the part↔supplier offer relation is derived from lineitem unit
     prices (min l_extendedprice/l_quantity per pair); division is a
     single IEEE op, bit-identical on both engines, so the min-equality
-    join is deterministic.  Scale: the offers aggregate shuffles on
-    (partkey, suppkey) with map-side partials; part and the EU supplier
-    dim broadcast; no sort anywhere."""
+    join is deterministic.  The readout is floor-quantized to
+    basis-point units (floor(x·1e4) BIGINT, the repo's standing rule)
+    — round(x, 4) cracked at sf0.1 on a tie landing on the Spark
+    HALF_UP / DuckDB half-even divergence.  Scale: the offers
+    aggregate shuffles on (partkey, suppkey) with map-side partials;
+    part and the EU supplier dim broadcast; no sort anywhere."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -109,7 +112,9 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "p_partkey", "p_brand", "s_name", "n_name",
-            F.round("unit_price", 4).alias("best_price"),
+            F.floor(F.col("unit_price") * 10000.0)
+            .cast("bigint")
+            .alias("best_price_x10k"),
         )
     )
 
