@@ -1576,7 +1576,9 @@ def source_overlap_matrix(
             .filter(F.col("nf") > max_shingle_freq)
             .select("sh")
         )
-        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+        # hot set grows with the corpus (occurrences/threshold) — no
+        # broadcast hint; AQE decides (broadcast at demo scale only)
+        inv = inv.join(hot, "sh", "left_anti")
     a = inv.select(F.col("src").alias("src_a"), "sh")
     b = inv.select(F.col("src").alias("src_b"), "sh")
     return (

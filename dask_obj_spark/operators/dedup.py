@@ -190,7 +190,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # hot set is bounded by total_shingles/threshold — linear in the
+        # corpus, NOT constant-bounded, so no broadcast hint: AQE picks
+        # broadcast at demo scale, shuffled anti-join at 100 TB
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -747,11 +750,15 @@ def prefix_jaccard_pairs(
     — `fuzzy_name_pairs` — or shingle inverting needs an explicit
     frequency cap).
 
-    Plan: global token document-frequencies (vocab-sized, broadcast) →
-    per-doc rarity ranking (one doc_id window) → prefix-token
-    equi-join for candidates → exact Jaccard verification via one
-    shared-token groupBy.  Verification is candidate-bounded; the
-    prefix guarantees no true pair is lost (sound, not heuristic)."""
+    Plan: global token document-frequencies → per-doc rarity ranking
+    (one doc_id window) → prefix-token equi-join for candidates →
+    exact Jaccard verification via one shared-token groupBy.  The
+    document-frequency lookup is a PLAIN equi-join on the token: the
+    vocabulary grows with the corpus (Heaps' law — billions of terms
+    at 100 TB), so it must never carry a broadcast hint; AQE still
+    broadcasts it at demo scale on its own.  Verification is
+    candidate-bounded; the prefix guarantees no true pair is lost
+    (sound, not heuristic)."""
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode_outer(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("w"))
         .distinct()
@@ -760,7 +767,7 @@ def prefix_jaccard_pairs(
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
     ranked = (
-        toks.join(F.broadcast(dfreq), "w")
+        toks.join(dfreq, "w")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1122,7 +1129,10 @@ def containment_pairs(
             .filter(F.col("df_") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # hot set is bounded by total_shingles/threshold — linear in the
+        # corpus, NOT constant-bounded, so no broadcast hint: AQE picks
+        # broadcast at demo scale, shuffled anti-join at 100 TB
+        sh = sh.join(hot, "shingle", "left_anti")
     sh = sh.localCheckpoint(eager=True)  # sizes + both join legs
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

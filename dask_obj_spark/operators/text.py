@@ -549,13 +549,14 @@ def remove_boilerplate_segments(
     document comes back as ''.
 
     Shape: posexplode segments → distinct (doc, segment) → algebraic
-    groupBy(count) for document frequency → broadcast anti-join of the
-    hot set → order-safe rebuild (array_sort of (pos, seg) structs, then
-    join — collect_list order is never trusted).  At 100 TB the hot-set
-    join keys on a segment HASH (8-byte shuffle instead of strings) and
-    the hot set itself stays broadcast-sized by construction (it is the
-    head of a Zipf curve); the string form here keeps the DuckDB oracle
-    replayable verbatim."""
+    groupBy(count) for document frequency → anti-join of the hot set →
+    order-safe rebuild (array_sort of (pos, seg) structs, then join —
+    collect_list order is never trusted).  At 100 TB the hot-set join
+    keys on a segment HASH (8-byte shuffle instead of strings); the hot
+    set is the head of a Zipf curve but its SIZE is occurrences/max_df —
+    linear in the corpus — so it carries no broadcast hint (AQE
+    broadcasts at demo scale, shuffles the anti-join beyond); the
+    string form here keeps the DuckDB oracle replayable verbatim."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     nseg = F.floor((F.size(words) - 1) / seg_words) + 1
     segs = F.transform(
@@ -573,7 +574,9 @@ def remove_boilerplate_segments(
         .filter(F.col("df_") > max_df)
         .select("seg")
     )
-    kept = exploded.join(F.broadcast(hot), "seg", "left_anti")
+    # hot set grows with the corpus (occurrences/max_df) — no broadcast
+    # hint; AQE decides (broadcast at demo scale, shuffle at 100 TB)
+    kept = exploded.join(hot, "seg", "left_anti")
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("ps"))
@@ -728,10 +731,12 @@ def pmi_bigrams(
 
     Shape: ONE token explode shuffled on doc_id feeds both the bigram
     pairing (window lead — no token self-join) and the unigram counts;
-    bigram/unigram count tables then reduce to vocabulary size, so the
-    two lookup joins are broadcasts and the 1-row totals ride along as
-    broadcast literals.  The shuffles carry (term, count) pairs — never
-    raw token streams — which is what survives a 100 TB corpus.
+    bigram/unigram count tables reduce to vocabulary size — which still
+    grows with the corpus (Heaps' law), so the two unigram lookup joins
+    are PLAIN equi-joins (AQE broadcasts them at demo scale; no hint)
+    and only the 1-row totals ride along as broadcast literals.  The
+    shuffles carry (term, count) pairs — never raw token streams —
+    which is what survives a 100 TB corpus.
     Probabilities are composed as double divisions (not integer cross
     products), so the arithmetic cannot overflow however large the
     corpus gets."""
@@ -762,14 +767,11 @@ def pmi_bigrams(
     t_total = uni.agg(F.sum("n_uni").alias("t_total"))
     j = (
         big.filter(F.col("nxy") >= min_count)
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_uni").alias("nx"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_uni").alias("ny"))),
-            "w2",
-        )
+        # unigram counts are vocabulary-sized (Heaps' law: unbounded at
+        # 100 TB) — plain equi-joins, never a broadcast hint; AQE still
+        # broadcasts at demo scale on its own
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_uni").alias("nx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_uni").alias("ny")), "w2")
         .crossJoin(F.broadcast(b_total))
         .crossJoin(F.broadcast(t_total))
     )
@@ -1096,7 +1098,9 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle, no window); the model tables are two hash aggregates of the
     corpus; scoring re-joins the doc bigrams to the bigram table keyed
     on (w1, w2) — at 100 TB that join is the big exchange and is
-    bucket-able; V and the unigram table broadcast."""
+    bucket-able; the 1-row V broadcasts, while the unigram table is
+    vocabulary-sized (unbounded under Heaps' law) and joins PLAIN —
+    AQE broadcasts it at demo scale without a hint."""
     toks = df.select(
         F.col(id_col),
         F.transform(ws_tokens(F.col(text_col)), lambda w: F.lower(w)).alias("ws"),
@@ -1118,7 +1122,8 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).agg(F.countDistinct("w").alias("v"))
     scored = (
         bigrams.join(big_counts, ["w1", "w2"])
-        .join(F.broadcast(uni_counts), "w1")
+        # vocabulary-sized side: plain equi-join (no broadcast hint)
+        .join(uni_counts, "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nlp", -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
