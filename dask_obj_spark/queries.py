@@ -35,64 +35,53 @@ def query(name: str, oracle: str | None = None):
 # registration order is part of the contract.  The window is a CURATED
 # ROTATION: every row that already has a green official record in a prior
 # CORRECTNESS_r{N}.json can yield its slot to a query that has never had
-# a driver row.  Round-4 rotation: the round-2-failure rows and most of
-# the streaming surface went green in CORRECTNESS_r03, so ~15 slots move
-# to the wave-3/4 operators (graph/timeseries/profile/incremental/skew)
-# the driver has never officially checked.  Everything outside the window
-# is still hash-verified by tests/test_oracle_parity.py and the judge's
-# full sweep.
+# a driver row.  Round-5 rotation: ALL 50 round-4 window rows went green
+# in CORRECTNESS_r04, so the entire window turns over to never-driven
+# queries — the r4 verdict's named flagships (HLL, SSSP, rank stats,
+# in-engine ML, Gram matrix, entity resolution, PQ, bootstrap, funnel /
+# cohort), the 15 TPC-H shapes without an official row (completing the
+# 22-query suite on the record), the three r1 rows-only entries the
+# verdict asked to re-drive, and family representatives across
+# graph/sim/dedup/stats/sketch.  Everything outside the window is still
+# hash-verified by tests/test_oracle_parity.py and the judge's full
+# sweep.
 _WINDOW_50 = (
-    # HITS takes the smoke slot: counts_event_type holds green
-    # records from rounds 1-3
-    "graph_hits_fixed",
-    # round-4 second wave: new operators (first driver rows)
-    "text_bm25_topk", "text_bigram_perplexity", "graph_pagerank_fixed",
-    "layout_hilbert_keys", "stream_dedup_exact",
-    # round-4 second wave: TPC-H completion representatives (first driver
-    # rows; the other eight adapted shapes are judge/test-green)
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales",
-    # round-4 third wave: hybrid retrieval, graded ANN eval, SN dedup,
-    # bloom prefilter, BFS, MI, Spearman (first driver rows; every
-    # displaced row holds a green CORRECTNESS_r03 record)
-    "retrieval_rrf_hybrid", "sim_ndcg_ivf", "dedup_sorted_neighborhood",
-    "join_bloom_prefilter", "graph_bfs_hops", "profile_mutual_information",
-    "stats_spearman_corr",
-    # dedup family (rows without a prior green record stay)
-    "dedup_prefix_jaccard", "dedup_fuzzy_names",
-    # similarity + graph family
-    "sim_label_propagation", "sim_knn_kcore",
-    # corpus pipeline
-    # round-4 sixth wave: link prediction, seasonal decomposition,
-    # perplexity buckets, temperature mix (first driver rows; the four
-    # displaced corpus_* rows hold green CORRECTNESS_r03 records)
-    "graph_link_prediction", "ts_seasonal_profile",
-    "text_perplexity_buckets", "corpus_mix_temperature",
-    "corpus_bpe_compression", "basket_item_pairs",
-    # round-4 fourth wave: MMR diversification, CUSUM changepoints,
-    # KL drift, DP release (first driver rows; the displaced text_*
-    # rows hold green CORRECTNESS_r03 records)
-    "sim_mmr_topk", "ts_changepoint_cusum", "profile_kl_drift",
-    "profile_dp_release",
-    # text analysis
-    "text_zipf_fit",
-    # round-4 fifth wave: estimator-error eval, Gini skew diagnostic,
-    # streaming windowed top-k (first driver rows; the displaced mm_* /
-    # pipeline_clean_corpus rows hold green CORRECTNESS_r03 records)
-    "dedup_minhash_est_error", "profile_key_skew_gini", "stream_window_topk",
-    # skew
-    "skew_salted_join",
-    # round-4 seventh wave: Count-Min sketch + JL projection (first
-    # driver rows; displaced skew_salted_counts / capstone hold green
-    # CORRECTNESS_r03 records)
-    "sketch_countmin_freq", "sim_random_projection",
-    # timeseries / profiling / incremental maintenance (first driver rows)
-    "ts_trend_per_user", "ts_user_entropy", "ts_resample_interpolate",
-    "profile_equidepth_histogram", "profile_table_checksum",
-    "incremental_agg_merge", "window_sliding_distinct_users",
-    # round-4 first wave (first driver rows)
-    "sim_pca_topk", "stream_late_data_drop", "incremental_agg_minmax",
+    # smoke slot: the register-HLL flagship with its in-plan
+    # merge-invariance proof
+    "sketch_hll_distinct",
+    # verdict-named flagships (first driver rows)
+    "graph_weighted_sssp", "stats_ks_test", "stats_mannwhitney_u",
+    "ml_logreg_gd", "ml_ols_normal_equations", "sim_gram_matrix",
+    "er_canonical_entities", "stream_hll_hourly_users",
+    "sim_pq_encode", "sim_pq_adc_topk", "stats_bootstrap_ci",
+    "funnel_conversion_lag", "events_cohort_ltv",
+    # TPC-H: the 15 shapes never officially driven — with these, all 22
+    # queries hold driver records
+    "tpch_q3_shipping", "tpch_q4_order_priority", "tpch_q5_local_volume",
+    "tpch_q6_forecast", "tpch_q7_volume_shipping", "tpch_q9_product_profit",
+    "tpch_q10_returns", "tpch_q11_important_parts",
+    "tpch_q12_shipmode_lateness", "tpch_q14_promo", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_promotion_suppliers",
+    # the three r1 rows-only entries (verdict item 7: put a fresh
+    # executing record on file; the driver records them as no_oracle)
+    "random_sample_rowsonly", "approx_distinct_rowsonly",
+    "approx_percentile_rowsonly",
+    # the round-5 numerics fix, certified at its new exact-integer output
+    "ts_ewma_exact",
+    # sketch / graph family representatives (first driver rows)
+    "sketch_hll_sliding_users", "graph_effective_diameter",
+    "graph_clustering_coeff", "graph_assortativity",
+    "graph_label_modularity",
+    # similarity family (first driver rows)
+    "sim_pq_recall", "sim_knn_triangles", "sim_triplet_mining",
+    "sim_knn_outlier_scores", "sim_recall_curve_lsh",
+    # dedup family (first driver rows)
+    "dedup_containment_pairs", "dedup_lsh_precision_recall",
+    "dedup_corpus_report",
+    # stats / ml (first driver rows)
+    "stats_chi2_independence", "stats_mad_outliers",
+    "ml_calibration_bins", "ml_nearest_centroid_confusion",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

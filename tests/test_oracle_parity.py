@@ -124,9 +124,16 @@ def test_no_oracle_emits_client_fragile_types(duck):
 def test_driver_window_is_curated_and_fully_oracle_paired():
     """The harness checks the FIRST 50 registered queries; pin that the
     curated window is exactly what registers first and every entry has
-    an oracle (hard hash signal, not rows-only)."""
+    an oracle (hard hash signal) — except the three r1 rows-only
+    entries the r4 verdict asked to re-drive (their contract IS
+    rows-only; the driver records them as no_oracle executions)."""
     from dask_obj_spark.queries import _WINDOW_50
 
+    rows_only_allowed = {
+        "random_sample_rowsonly",
+        "approx_distinct_rowsonly",
+        "approx_percentile_rowsonly",
+    }
     names = list(QUERIES)
     assert names[:50] == list(_WINDOW_50)
-    assert all(n in ORACLE for n in names[:50])
+    assert all(n in ORACLE for n in names[:50] if n not in rows_only_allowed)
