@@ -81,7 +81,10 @@ _WINDOW_50 = (
     "dedup_corpus_report",
     # stats / ml (first driver rows)
     "stats_chi2_independence", "stats_mad_outliers",
-    "ml_calibration_bins", "ml_nearest_centroid_confusion",
+    "ml_calibration_bins",
+    # round-5 new operator: watermarked stream-stream LEFT OUTER join
+    # with null-side emission after watermark expiry (verdict item 8)
+    "stream_outer_join_late",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

@@ -129,6 +129,45 @@ def test_stream_stream_join_matches_batch(spark, oracle_sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_outer_join_emits_null_side_after_watermark(spark, oracle_sf_dir):
+    """Left-outer stream-stream join: unmatched clicks must emit exactly
+    once with a null purchase side once the watermark passes their match
+    horizon (driven by the sentinel watermark-pusher files inside the
+    query), and the multiset must equal the batch left join."""
+    import __spark_entry__ as entrymod
+
+    st = entrymod.queries()["stream_outer_join_late"](spark, oracle_sf_dir)
+    got = sorted(tuple(r) for r in st.collect())
+    ev = load_table(spark, oracle_sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("eid").alias("event_id"),
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("c_ts").alias("click_ts"),
+        F.coalesce(F.unix_timestamp("p_ts"), F.lit(-1))
+        .cast("bigint")
+        .alias("purchase_ts"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) > 0
+    # the null-side rows are the point: some clicks must be unconverted
+    assert any(not r[4] for r in got)
+
+
 def test_dedup_within_watermark_matches_batch_distinct(spark, oracle_sf_dir):
     from dask_obj_spark.streaming.windows import stream_dedup_within_watermark
 
