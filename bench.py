@@ -58,6 +58,8 @@ WORKLOAD = {
     "b24_sorted_neighborhood": "dedup_sorted_neighborhood",
     "b25_bfs_hops": "graph_bfs_hops",
     "b26_bloom_semijoin": "join_bloom_prefilter",
+    # round-5 operators
+    "b27_bfs_ann": "graph_bfs_ann",
 }
 
 WARMUP_RUNS = 1

@@ -333,6 +333,77 @@ def cosine_topk_ivf(
     )
 
 
+def knn_graph_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    probe_mod: int = 1,
+    centroid_mod: int = CENTROID_MOD,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Approximate kNN GRAPH construction — the library path for every
+    graph operator (bfs_hops / k_core / triangle counting / label
+    propagation) whose input is "the kNN graph of the corpus".
+
+    Unlike `cosine_topk_ivf` (few probes, probe side broadcast), here
+    the probe side is the corpus itself (every vertex needs neighbors),
+    so candidates come from a PLAIN equi-join on the IVF cell id: each
+    vector probes its `nprobe` nearest cells, candidate volume is
+    Σ_cells |cell|·|probes touching the cell| — bounded by cell sizes,
+    never the |V|² all-pairs surface that brute-force scoring scans.
+    Exact cosine re-ranks the candidates, so every emitted edge score
+    is exact; only RECALL is approximate (standard ANN-graph trade —
+    recall@10 vs the brute graph is pinned in tests/test_scale.py).
+
+    This closes the BASELINE.md §5 b25 caveat: ~60% of the brute-built
+    BFS bench was kNN-graph construction; the oracle-paired graph
+    queries keep the brute builder (their fixed-unroll oracles replay
+    it), while this is the builder a 100 TB job uses.  Centroids are
+    broadcast (constant-k k-means in production; deterministic
+    vid % centroid_mod here so the DuckDB oracle replays the index)."""
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", l2_norm(F.col("v")))
+    cents = base.filter(F.col("vid") % centroid_mod == 1).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
+    assign = (
+        base.join(F.broadcast(cents))
+        .select("vid", "v", "vn", "cid", sim.alias("cs"))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    # one pass over the corpus computes both legs; materialize it so the
+    # cells/pcells branches don't re-score the assignment twice
+    assign = assign.localCheckpoint(eager=True)
+    cells = assign.filter(F.col("rn") == 1).select("vid", "v", "vn", "cid")
+    pcells = assign.filter(
+        (F.col("rn") <= nprobe) & (F.col("vid") % probe_mod == 0)
+    ).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv"),
+        F.col("vn").alias("pn"), "cid",
+    )
+    cand = (
+        cells.join(pcells, "cid")  # plain equi-join: both sides corpus-sized
+        .filter(F.col("pid") != F.col("vid"))
+        .select("pid", "pv", "pn", "vid", "v", "vn")
+        .distinct()
+    )
+    scored = cand.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
 # -- mini k-means (iterative; feeds production IVF) ---------------------------
 
 
@@ -651,6 +722,112 @@ def sim_cosine_topk_ivf_q(spark, sf_dir):
     second scale path next to hyperplane LSH, oracle-checked exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(emb, "vec_id", "embedding", probe_mod=50, k=10)
+
+
+def _duck_ivf_knn_ctes(probe_mod: int, k: int) -> str:
+    """IVF candidate CTE chain ending in rank2 — the oracle replay of
+    `knn_graph_ann` (deterministic centroids, nprobe cells, exact
+    re-rank).  Starts after a `base` CTE; caller appends the SELECT."""
+    return f"""
+    , cents AS (
+      SELECT vid AS cid, v AS cv FROM base WHERE vid % {CENTROID_MOD} = 1
+    ), assign AS (
+      SELECT b.vid, b.v, c.cid,
+             {duck_cosine("b.v", "c.cv", DIM)} AS cs
+      FROM base b, cents c
+    ), ranked_assign AS (
+      SELECT vid, v, cid, cs,
+             row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cid) AS rn
+      FROM assign
+    ), cells AS MATERIALIZED (
+      SELECT vid, v, cid FROM ranked_assign WHERE rn = 1
+    ), pcells AS MATERIALIZED (
+      SELECT vid AS pid, v AS pv, cid
+      FROM ranked_assign WHERE rn <= {NPROBE} AND vid % {probe_mod} = 0
+    ), cand AS (
+      SELECT DISTINCT p.pid, p.pv, c.vid, c.v
+      FROM pcells p JOIN cells c ON p.cid = c.cid AND p.pid <> c.vid
+    ), scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine("pv", "v", DIM)} AS cos_raw
+      FROM cand
+    ), rank2 AS (
+      SELECT id1, id2, cos_raw,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM scored
+      QUALIFY rank <= {k}
+    )"""
+
+
+@query(
+    "graph_knn_ann_edges",
+    oracle=_duck_base(5)
+    + _duck_ivf_knn_ctes(5, 10)
+    + """
+    SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
+    FROM rank2
+    """,
+)
+def graph_knn_ann_edges_q(spark, sf_dir):
+    """The ANN kNN-GRAPH builder, oracle-checked exactly: every 1-in-5
+    vertex gets its top-10 neighbors from IVF candidates (nprobe=2
+    cells, plain cell equi-join — no probe broadcast, because here the
+    probe side IS the corpus) with exact cosine re-rank.  This is the
+    edge list the graph family consumes at 100 TB in place of the
+    brute-force builder (BASELINE.md §5 b25 caveat)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5)
+
+
+def _duck_bfs_ann_oracle(rounds: int, probe_mod: int, k: int, seed_mod: int) -> str:
+    """Unrolled BFS oracle over the IVF-built kNN graph: the
+    `_duck_bfs_oracle` min-merge rounds fed by `_duck_ivf_knn_ctes`
+    instead of the brute-force ranked CTE."""
+    ctes = [
+        _duck_base(probe_mod).replace("WITH ", "").strip(),
+        _duck_ivf_knn_ctes(probe_mod, k).strip().lstrip(",").strip(),
+        f"""knn AS MATERIALIZED (
+      SELECT DISTINCT least(id1, id2) AS u, greatest(id1, id2) AS v
+      FROM rank2
+    ), ed AS MATERIALIZED (
+      SELECT u, v FROM knn UNION ALL SELECT v, u FROM knn
+    ), d0 AS MATERIALIZED (
+      SELECT vec_id AS id, 0 AS dist FROM embeddings WHERE vec_id % {seed_mod} = 0
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{r-1}
+        UNION ALL
+        SELECT e.v AS id, d.dist + 1 AS dist
+        FROM ed e JOIN d{r-1} d ON d.id = e.u
+      ) GROUP BY id
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.vid AS id, CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+    FROM base b LEFT JOIN d{rounds} d ON d.id = b.vid
+    """
+    )
+
+
+@query("graph_bfs_ann", oracle=_duck_bfs_ann_oracle(4, 5, 10, 50))
+def graph_bfs_ann_q(spark, sf_dir):
+    """Frontier BFS over the ANN-BUILT kNN graph (same seeds, hops and
+    probe set as graph_bfs_hops, but edges from `knn_graph_ann` instead
+    of brute-force scoring) — certifying the library's production graph
+    path end-to-end: IVF candidate generation, exact re-rank, and the
+    frontier iteration all hash-match the unrolled oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5)
+    edges = knn.select(
+        F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+    ).distinct()
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("id"))
+    return bfs_hops(vertices, edges, seeds, rounds=4)
 
 
 def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
@@ -1338,7 +1515,13 @@ def bfs_hops(
     is consumed by every round, and without materialization each round
     re-executes the full upstream edge construction (for a kNN graph
     the entire brute-force scoring — measured ~4x the whole query at
-    bench scale before this pin)."""
+    bench scale before this pin).
+
+    Graph construction: when the input is "the kNN graph of the
+    corpus", build edges with `knn_graph_ann` (IVF candidates + exact
+    re-rank — the 100 TB path, certified by graph_bfs_ann); the brute
+    builder stays only inside oracle-paired queries whose fixed-unroll
+    DuckDB replay needs it."""
     sym = (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

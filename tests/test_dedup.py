@@ -163,6 +163,27 @@ def test_ivf_recall_vs_brute(spark, oracle_sf_dir):
     assert recall > 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_knn_graph_ann_recall_vs_brute(spark, oracle_sf_dir):
+    """The ANN kNN-graph builder must recover a real fraction of the
+    brute-force graph's edges (recall is the only approximate part —
+    every emitted score is exact and checked by the oracle row)."""
+    from dask_obj_spark.operators.similarity import cosine_topk_brute, knn_graph_ann
+    from dask_obj_spark.sources import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    brute = {
+        (r.id1, r.id2)
+        for r in cosine_topk_brute(emb, "vec_id", "embedding", 5, 10).collect()
+    }
+    ann = {
+        (r.id1, r.id2)
+        for r in knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5).collect()
+    }
+    assert len(ann) > 0
+    recall = len(brute & ann) / len(brute)
+    assert recall > 0.2, f"ANN graph recall collapsed: {recall}"
+
+
 def test_numpy_brute_matches_exact_pairs(spark, oracle_sf_dir):
     from dask_obj_spark.operators.similarity import (
         cosine_topk_brute,
