@@ -2211,6 +2211,134 @@ def sim_pq_recall_q(spark, sf_dir):
     return r_adc.join(r_rr, "probe_id")
 
 
+def pq_adc_trained_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    probe_mod: int,
+    k: int = 10,
+    shortlist: int = 50,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ-ADC top-k with TRAINED codebooks + shortlist re-rank — the
+    tuned production read path the round-5 recall sweep selected
+    (PLANS.md "PQ recall engineering"): codebooks are constant
+    m·k model floats (a size-safe broadcast by construction, unlike
+    the corpus-growing modular codeword table of the oracle-replayable
+    twin `pq_adc_ranked`), ADC assembles approximate distances from m
+    code lookups, the best `shortlist` candidates per probe get exact
+    cosine re-ranks against raw floats, and the final top-k is emitted
+    with exact scores.
+
+    Vectors are unit-normalized first (euclidean on the sphere = cosine
+    ordering).  At 100 TB: encode is corpus × (m·k) broadcast argmin
+    written ONCE as a standing m-codes table; a probe batch ships one
+    m·k distance table; per-candidate cost is m lookups + an m-term
+    add; only `shortlist` raw vectors per probe are ever touched."""
+    m = len(books)
+    sub = dim // m
+    spark = df.sparkSession
+    raw = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    base = raw.select(
+        "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v")
+    )
+    cw_rows = [
+        (s, cid, [float(x) for x in cv])
+        for s, book in enumerate(books)
+        for cid, cv in enumerate(book)
+    ]
+    cw = F.broadcast(spark.createDataFrame(cw_rows, ["s", "cid", "cv"]))
+    ssq = sqdist(F.slice(F.col("v"), F.col("s") * sub + 1, sub), F.col("cv"))
+    enc = (
+        base.join(cw)
+        .select("vid", "s", "cid", ssq.alias("dist"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
+    )
+    pt = (
+        base.filter(F.col("vid") % probe_mod == 0)
+        .join(cw)
+        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
+    )
+    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
+    for s in range(1, m):
+        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
+    scored = (
+        enc.join(
+            F.broadcast(pt),
+            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
+        )
+        .filter(F.col("pid") != F.col("vid"))
+        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
+        .agg(adc.alias("adc"))
+    )
+    slw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
+    sl = (
+        scored.withColumn("slrank", F.row_number().over(slw))
+        .filter(F.col("slrank") <= shortlist)
+        .select("id1", "id2")
+    )
+    nraw = raw.withColumn("vn", l2_norm(F.col("v")))
+    p = nraw.select(
+        F.col("vid").alias("pvid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
+    )
+    b = nraw.select(
+        F.col("vid").alias("bvid"), F.col("v").alias("bv"), F.col("vn").alias("bn")
+    )
+    re_scored = (
+        sl.join(p, sl["id1"] == p["pvid"])
+        .join(b, sl["id2"] == b["bvid"])
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("pv"), F.col("bv")) / (F.col("pn") * F.col("bn"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    rw = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        re_scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+@query("sim_pq_tuned_recall_rowsonly")
+def sim_pq_tuned_recall_rowsonly_q(spark, sf_dir):
+    """Per-probe recall@10 of the TUNED trained-PQ read path (m=8, k=64
+    codewords, shortlist=100 → exact re-rank) against brute-force
+    ground truth — the configuration the round-5 sweep selected for
+    recall@10 ≥ 0.7 (measured 0.775 at sf0.1; full cost curve in
+    PLANS.md).  Rows-only: trained float centroids aren't
+    SQL-replayable; the modular-codebook twins (sim_pq_adc_topk /
+    sim_pq_recall) carry the hash contract, and the ≥ 0.6 recall floor
+    is pinned in tests/test_dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("nv"),
+    )
+    books = pq_fit(norm, "vec_id", "nv", m=8, k=64, iters=3)
+    tuned = pq_adc_trained_topk(
+        emb, "vec_id", "embedding", books, probe_mod=50, k=10, shortlist=100
+    )
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return ann_recall(truth, tuned, 10)
+
+
 # -- link prediction ----------------------------------------------------------
 
 

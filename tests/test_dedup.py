@@ -184,6 +184,22 @@ def test_knn_graph_ann_recall_vs_brute(spark, oracle_sf_dir):
     assert recall > 0.2, f"ANN graph recall collapsed: {recall}"
 
 
+def test_pq_tuned_recall_floor(spark, oracle_sf_dir):
+    """The tuned trained-PQ read path (m=8, k=64, shortlist=100 — the
+    round-5 sweep's pick, PLANS.md cost curve) must hold a mean
+    recall@10 well above the raw-ADC 0.19 of the untrained modular
+    config; 0.6 floor leaves headroom for corpus-draw variance (0.763
+    measured at sf0.1, 0.775 in the numpy sweep)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sim_pq_tuned_recall_rowsonly"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.6, f"tuned PQ recall collapsed: {mean}"
+
+
 def test_numpy_brute_matches_exact_pairs(spark, oracle_sf_dir):
     from dask_obj_spark.operators.similarity import (
         cosine_topk_brute,
