@@ -60,7 +60,13 @@ WORKLOAD = {
     "b26_bloom_semijoin": "join_bloom_prefilter",
     # round-5 operators
     "b27_bfs_ann": "graph_bfs_ann",
+    "b28_tree_reduction": "facade_tree_reduction",
 }
+
+# per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe
+# (~30 s/run is python-worker task launch, by design) — median of 3 with
+# one warmup keeps the bench total sane while still locking the row
+RUNS_OVERRIDE = {"b28_tree_reduction": (1, 3)}
 
 WARMUP_RUNS = 1
 # 5 timed runs (median): this host shows multi-second noise spikes under
@@ -83,10 +89,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for bench_name, qname in WORKLOAD.items():
         fn = QUERIES[qname]
-        for _ in range(WARMUP_RUNS):
+        warmups, timed = RUNS_OVERRIDE.get(bench_name, (WARMUP_RUNS, TIMED_RUNS))
+        for _ in range(warmups):
             materialize(fn(spark, sf_dir))
         runs = []
-        for _ in range(TIMED_RUNS):
+        for _ in range(timed):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)

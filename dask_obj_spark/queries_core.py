@@ -108,3 +108,35 @@ def map_computed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     e = Expr("o_totalprice") * 1.1
     return orders.select("o_orderkey", compile_expr(e).alias("gross"))
+
+
+@query(
+    "facade_tree_reduction",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_elements,
+           4096 AS n_partitions,
+           8 AS driver_fanin
+    FROM events
+    """,
+)
+def facade_tree_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 ``reduction`` at HIGH partition count — the r4-verdict lock
+    on the executor-side tree combine (core.py): events spread over
+    4096 partitions, perpartition = len, aggregate = sum, split_every=8,
+    tree=True.  The combine rounds run as tiny keyed shuffles
+    (treeAggregate-style, 4096 → 512 → 64 → 8), so the driver receives
+    EXACTLY 8 partials — emitted as a column and checked by the oracle
+    (the ceil-chain is deterministic), alongside the exact element
+    count.  This is the registered face of the 10k-partition unit test
+    and bench row b28: at 100k+ partitions the driver collect would
+    otherwise become the reduction's bottleneck."""
+    ev = load_table(spark, sf_dir, "events").select("event_id").repartition(4096)
+    of = ObjectFrame(ev)
+    total = of.reduction(
+        lambda items: len(items), sum, split_every=8, tree=True
+    )
+    fanin = of._last_reduction_driver_fanin
+    return spark.createDataFrame(
+        [(int(total), 4096, int(fanin))],
+        "n_elements bigint, n_partitions int, driver_fanin int",
+    )

@@ -172,6 +172,26 @@ def test_reduction_tree_combine_many_partitions(spark):
     assert of.reduction(sum, sum, split_every=4, tree=False) == 19900
 
 
+def test_reduction_tree_driver_fanin_bounded_at_high_partition_count(spark):
+    """The r4-verdict lock on the executor-side tree combine: above the
+    auto-trigger threshold the driver must receive <= split_every
+    partials (the keyed-shuffle combine rounds ran on the executors,
+    treeAggregate-style — NOT a narrow coalesce chain, which Spark
+    fuses into one stage of split_every tasks and which measured 6x
+    slower at 2048 partitions), and the result is exact.  10k-partition
+    behavior is locked by bench row b28 / facade_tree_reduction (the
+    ceil chain 4096->512->64->8 is asserted by its oracle)."""
+    per = lambda items: sum(r[0] for r in items)  # noqa: E731 (rows → partial)
+    of = ObjectFrame(spark.range(100_000).repartition(4096))
+    assert of.reduction(per, sum, split_every=8, tree=True) == 4_999_950_000
+    assert of._last_reduction_driver_fanin == 8  # 4096→512→64→8, exact
+    # driver-combine path sees one partial per non-empty partition —
+    # the contrast that makes the bound meaningful (cheaper at 512)
+    of2 = ObjectFrame(spark.range(100_000).repartition(512))
+    assert of2.reduction(per, sum, split_every=8, tree=False) == 4_999_950_000
+    assert of2._last_reduction_driver_fanin == 512
+
+
 def test_counts_returns_counter(nums):
     c = nums.counts()
     assert isinstance(c, Counter)
