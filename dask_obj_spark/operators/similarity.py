@@ -109,11 +109,24 @@ def cosine_ranked_raw(
     and the weighted-graph builders, which need `cos_raw` so derived
     integer edge weights can floor-quantize it without a round() in
     between (round's tie semantics differ across engines; floor on the
-    identical double does not)."""
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("vn", l2_norm(F.col("v")))
+    identical double does not).
+
+    Explicit fan-out (the PLANS.md compute-bound-stage rule): the
+    scoring is an interpreted HOF nested-loop whose parallelism would
+    otherwise be the PARQUET SPLIT COUNT of the embeddings table — a
+    small table is one file, so the whole |probes|·|corpus| stage ran
+    on ONE core (found in the round-5 sf1 spot-check: 66 s of the 69 s
+    MMR row was this stage single-threaded).  repartition() is
+    row-preserving, so values and oracle hashes are unchanged."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .repartition(ncores)
+        .withColumn("vn", l2_norm(F.col("v")))
+    )
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
     )
