@@ -604,15 +604,22 @@ class ObjectFrame:
         ``tree=True`` (or automatically above ``_TREE_COMBINE_THRESHOLD``
         partitions) runs the combine rounds on the executors instead,
         the way RDD ``treeAggregate`` does: each round keys partial i by
-        ``i % n`` and shuffles into ``n = ceil(prev/split_every)``
-        reducers that each aggregate their ≤ ``split_every`` partials.
-        The per-round shuffle carries only tiny partials, and — unlike a
-        narrow ``coalesce`` chain, which Spark fuses into ONE stage of
-        ``split_every`` tasks, silently collapsing the map phase's
-        parallelism to the final fan-in (measured 6x slower at 2048
-        partitions) — the stage break keeps ``perpartition`` running at
-        full cluster width.  The driver only ever sees the final
-        ≤ ``split_every`` partials.
+        ``i // split_every`` — CONTIGUOUS groups — and shuffles into
+        ``n = ceil(prev/split_every)`` reducers that each aggregate
+        their ≤ ``split_every`` partials.  Every partial carries its
+        original partition index through the shuffle and each group
+        sorts by index before calling ``aggregate``, so the combine
+        sees partials in deterministic partition order regardless of
+        shuffle-fetch order — order-sensitive aggregates (fold with a
+        non-commutative combine, float sums) give the same answer as
+        the driver path.  The per-round shuffle carries only tiny
+        partials, and — unlike a narrow ``coalesce`` chain, which Spark
+        fuses into ONE stage of ``split_every`` tasks, silently
+        collapsing the map phase's parallelism to the final fan-in
+        (measured 6x slower at 2048 partitions) — the stage break keeps
+        ``perpartition`` running at full cluster width.  The driver
+        only ever sees the final ≤ ``split_every`` partials, sorted by
+        group index before the driver-side combine.
         """
         def _per(it):
             items = list(it)
@@ -624,16 +631,29 @@ class ObjectFrame:
             tree = rdd.getNumPartitions() > self._TREE_COMBINE_THRESHOLD
         if tree:
             n = rdd.getNumPartitions()
+            # (index, partial) pairs: the index rides the shuffle so each
+            # round can restore deterministic partition order (empty
+            # partitions leave gaps; // keying keeps groups contiguous)
+            indexed = rdd.mapPartitionsWithIndex(
+                lambda i, it: ((i, p) for p in it)
+            )
             while n > fan_in:
                 n = -(-n // fan_in)  # ceil
-                rdd = (
-                    rdd.mapPartitionsWithIndex(
-                        lambda i, it, _n=n: ((i % _n, p) for p in it)
-                    )
+                indexed = (
+                    indexed.map(lambda kv, _f=fan_in: (kv[0] // _f, kv))
                     .groupByKey(numPartitions=n)
-                    .map(lambda kv: aggregate(list(kv[1])))
+                    .map(
+                        lambda kv: (
+                            kv[0],
+                            aggregate(
+                                [p for _, p in sorted(kv[1], key=lambda x: x[0])]
+                            ),
+                        )
+                    )
                 )
-        partials = rdd.collect()
+            partials = [p for _, p in sorted(indexed.collect())]
+        else:
+            partials = rdd.collect()
         # observable contract: with tree=True the driver fan-in is
         # bounded by split_every however many partitions fed the job
         # (asserted in tests/test_core.py and the b28 bench probe)

@@ -172,6 +172,20 @@ def test_reduction_tree_combine_many_partitions(spark):
     assert of.reduction(sum, sum, split_every=4, tree=False) == 19900
 
 
+def test_reduction_tree_combine_order_deterministic(spark):
+    """Combine rounds see partials in original partition order: each
+    partial carries its partition index through the keyed shuffle and
+    groups sort by index before calling aggregate, so an order-sensitive
+    (non-commutative) aggregate gives the same answer as the driver
+    path — shuffle-fetch order must not leak into results."""
+    of = ObjectFrame(list(range(64)), spark, npartitions=64)
+    per = lambda items: ",".join(str(i) for i in items)  # noqa: E731
+    agg = lambda ps: "|".join(ps)  # noqa: E731 (associative, NOT commutative)
+    want = of.reduction(per, agg, split_every=4, tree=False)
+    for _ in range(3):
+        assert of.reduction(per, agg, split_every=4, tree=True) == want
+
+
 def test_reduction_tree_driver_fanin_bounded_at_high_partition_count(spark):
     """The r4-verdict lock on the executor-side tree combine: above the
     auto-trigger threshold the driver must receive <= split_every
