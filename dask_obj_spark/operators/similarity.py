@@ -98,6 +98,30 @@ def cosine_topk_brute(
     )
 
 
+MAX_PROBES = 4096
+"""Hard cap on any brute-harness probe set.
+
+The exact-oracle harnesses select probes as ``vid % probe_mod == 0`` —
+N/probe_mod rows, LINEAR in the corpus — so a scale-up could silently
+quadratic-ize a "bounded" harness query.  The guard fails loudly
+instead of truncating (the no-silent-caps rule): more than MAX_PROBES
+probes means you want the ANN library path (cosine_topk_ivf /
+knn_graph_ann) or a larger probe_mod."""
+
+
+def _checked_probe_rows(probes: DataFrame, what: str) -> list:
+    """Collect a probe frame under the MAX_PROBES contract (collects at
+    most MAX_PROBES+1 rows, so the failure path is cheap too)."""
+    rows = probes.limit(MAX_PROBES + 1).collect()
+    if len(rows) > MAX_PROBES:
+        raise ValueError(
+            f"{what}: probe set exceeds MAX_PROBES={MAX_PROBES} "
+            "(exact-oracle harness contract) — raise probe_mod or use "
+            "the ANN library path (cosine_topk_ivf / knn_graph_ann)"
+        )
+    return rows
+
+
 def cosine_ranked_raw(
     df: DataFrame,
     id_col: str,
@@ -117,19 +141,33 @@ def cosine_ranked_raw(
     small table is one file, so the whole |probes|·|corpus| stage ran
     on ONE core (found in the round-5 sf1 spot-check: 66 s of the 69 s
     MMR row was this stage single-threaded).  repartition() is
-    row-preserving, so values and oracle hashes are unchanged."""
+    row-preserving, so values and oracle hashes are unchanged.
+
+    The probe side derives from the UN-repartitioned scan (its values
+    are identical expressions, so bit-identical) — broadcasting it must
+    not drag the corpus repartition exchange into the probe branch —
+    and is bounded by the MAX_PROBES contract (fails loudly when
+    N/probe_mod outgrows it; see MAX_PROBES)."""
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .repartition(ncores)
+    raw0 = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    base = raw0.repartition(ncores).withColumn("vn", l2_norm(F.col("v")))
+    probes = (
+        raw0.filter(F.col("vid") % probe_mod == 0)
         .withColumn("vn", l2_norm(F.col("v")))
+        .select(
+            F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
+        )
     )
-    probes = base.filter(F.col("vid") % probe_mod == 0).select(
-        F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
-    )
+    n_probes = probes.limit(MAX_PROBES + 1).count()
+    if n_probes > MAX_PROBES:
+        raise ValueError(
+            f"cosine_ranked_raw: probe set exceeds MAX_PROBES={MAX_PROBES} "
+            "(exact-oracle harness contract) — raise probe_mod or use "
+            "the ANN library path (cosine_topk_ivf / knn_graph_ann)"
+        )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
     scored = pairs.select(
         F.col("pid").alias("id1"),
@@ -164,10 +202,15 @@ def cosine_topk_brute_numpy(
     # cores (and AQE would coalesce it further; compute-bound stages get
     # an explicit partition count, see PLANS.md)
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
+    raw0 = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).repartition(ncores)
-    probe_rows = base.filter(F.col("vid") % probe_mod == 0).collect()
+    )
+    base = raw0.repartition(ncores)
+    # probe matrix collected from the un-repartitioned scan (no corpus
+    # exchange in the probe branch) under the MAX_PROBES contract
+    probe_rows = _checked_probe_rows(
+        raw0.filter(F.col("vid") % probe_mod == 0), "cosine_topk_brute_numpy"
+    )
     pids = [r.vid for r in probe_rows]
     pmat = [list(r.v) for r in probe_rows]
 
@@ -352,8 +395,12 @@ def knn_graph_ann(
     vec_col: str,
     k: int = 10,
     probe_mod: int = 1,
-    centroid_mod: int = CENTROID_MOD,
+    centroids: list[list[float]] | None = None,
     nprobe: int = NPROBE,
+    centroid_mod: int | None = None,
+    kmeans_k: int = 16,
+    kmeans_iters: int = 2,
+    raw: bool = False,
 ) -> DataFrame:
     """Approximate kNN GRAPH construction — the library path for every
     graph operator (bfs_hops / k_core / triangle counting / label
@@ -367,37 +414,69 @@ def knn_graph_ann(
     never the |V|² all-pairs surface that brute-force scoring scans.
     Exact cosine re-ranks the candidates, so every emitted edge score
     is exact; only RECALL is approximate (standard ANN-graph trade —
-    recall@10 vs the brute graph is pinned in tests/test_scale.py).
+    recall@10 vs the brute graph is pinned in tests/test_dedup.py).
 
     This closes the BASELINE.md §5 b25 caveat: ~60% of the brute-built
     BFS bench was kNN-graph construction; the oracle-paired graph
     queries keep the brute builder (their fixed-unroll oracles replay
-    it), while this is the builder a 100 TB job uses.  Centroids are
-    broadcast (constant-k k-means in production; deterministic
-    vid % centroid_mod here so the DuckDB oracle replays the index)."""
+    it), while this is the builder a 100 TB job uses.
+
+    Centroid source — the DEFAULT is the scale-safe path: `centroids`
+    (a constant-size k×dim list, e.g. from a prior :func:`kmeans_fit`),
+    or, when None, centroids trained in-call with
+    ``kmeans_fit(k=kmeans_k, iters=kmeans_iters)``.  Either way the
+    model is k·dim driver floats compiled into a per-row literal-array
+    argmin (:func:`_nearest_cells`) — assignment is LINEAR in the
+    corpus with a constant-size plan, no broadcast that grows with the
+    data.  Tune ``kmeans_k`` toward √N per the usual IVF sizing so cell
+    sizes (and with them candidate volume) stay bounded.  Passing
+    ``centroid_mod`` instead selects the ORACLE-REPLAY variant used
+    only by the `graph_knn_ann_edges` / `graph_bfs_ann` query wrappers:
+    the centroid set is the vectors with vid ≡ 1 (mod centroid_mod) —
+    corpus-fraction sized, so its broadcast and its N²/centroid_mod
+    assignment cost are a replayability price, NOT a design property;
+    never use it as a library call at scale."""
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", l2_norm(F.col("v")))
-    cents = base.filter(F.col("vid") % centroid_mod == 1).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-    )
-    sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
-    aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
-    assign = (
-        base.join(F.broadcast(cents))
-        .select("vid", "v", "vn", "cid", sim.alias("cs"))
-        .withColumn("rn", F.row_number().over(aw))
-    )
-    # one pass over the corpus computes both legs; materialize it so the
-    # cells/pcells branches don't re-score the assignment twice
-    assign = assign.localCheckpoint(eager=True)
-    cells = assign.filter(F.col("rn") == 1).select("vid", "v", "vn", "cid")
-    pcells = assign.filter(
-        (F.col("rn") <= nprobe) & (F.col("vid") % probe_mod == 0)
-    ).select(
-        F.col("vid").alias("pid"), F.col("v").alias("pv"),
-        F.col("vn").alias("pn"), "cid",
-    )
+    if centroid_mod is not None:
+        # oracle-replay path (quadratic; see docstring)
+        cents = base.filter(F.col("vid") % centroid_mod == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+        )
+        sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
+        assign = (
+            base.join(F.broadcast(cents))
+            .select("vid", "v", "vn", "cid", sim.alias("cs"))
+            .withColumn("rn", F.row_number().over(aw))
+        )
+        # one pass over the corpus computes both legs; materialize it so
+        # the cells/pcells branches don't re-score the assignment twice
+        assign = assign.localCheckpoint(eager=True)
+        cells = assign.filter(F.col("rn") == 1).select("vid", "v", "vn", "cid")
+        pcells = assign.filter(
+            (F.col("rn") <= nprobe) & (F.col("vid") % probe_mod == 0)
+        ).select(
+            F.col("vid").alias("pid"), F.col("v").alias("pv"),
+            F.col("vn").alias("pn"), "cid",
+        )
+    else:
+        if centroids is None:
+            centroids, _ = kmeans_fit(
+                df, id_col, vec_col, k=kmeans_k, iters=kmeans_iters
+            )
+        # constant-k model state → per-row literal argmin, both legs
+        # computed narrowly from the same scan (no join, no window)
+        cells = base.select(
+            "vid", "v", "vn",
+            _nearest_cells(F.col("v"), centroids, 1).getItem(0).alias("cid"),
+        )
+        pcells = base.filter(F.col("vid") % probe_mod == 0).select(
+            F.col("vid").alias("pid"), F.col("v").alias("pv"),
+            F.col("vn").alias("pn"),
+            F.explode(_nearest_cells(F.col("v"), centroids, nprobe)).alias("cid"),
+        )
     cand = (
         cells.join(pcells, "cid")  # plain equi-join: both sides corpus-sized
         .filter(F.col("pid") != F.col("vid"))
@@ -410,10 +489,17 @@ def knn_graph_ann(
         (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if raw:
+        # unrounded scores for callers with their own quantization
+        # contract (the oracle wrapper floor-quantizes — round()'s tie
+        # semantics differ across engines: Spark HALF_UP, DuckDB
+        # half-even)
+        return ranked.select("id1", "id2", "cos_raw", "rank")
+    return ranked.select(
+        "id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank"
     )
 
 
@@ -776,7 +862,7 @@ def _duck_ivf_knn_ctes(probe_mod: int, k: int) -> str:
     oracle=_duck_base(5)
     + _duck_ivf_knn_ctes(5, 10)
     + """
-    SELECT id1, id2, round(cos_raw, 6) AS cosine, rank
+    SELECT id1, id2, CAST(floor(cos_raw * 1000000) AS BIGINT) AS cosine_x1m, rank
     FROM rank2
     """,
 )
@@ -786,9 +872,23 @@ def graph_knn_ann_edges_q(spark, sf_dir):
     cells, plain cell equi-join — no probe broadcast, because here the
     probe side IS the corpus) with exact cosine re-rank.  This is the
     edge list the graph family consumes at 100 TB in place of the
-    brute-force builder (BASELINE.md §5 b25 caveat)."""
+    brute-force builder (BASELINE.md §5 b25 caveat).  Scores are
+    floor-quantized to integer micro-units on the bit-identical raw
+    double (the repo's standing rule — round()'s tie semantics differ
+    across engines).  Centroids here are the modular oracle-replay set
+    (explicit ``centroid_mod``); the library DEFAULT trains constant-k
+    k-means."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5)
+    knn = knn_graph_ann(
+        emb, "vec_id", "embedding", k=10, probe_mod=5,
+        centroid_mod=CENTROID_MOD, raw=True,
+    )
+    return knn.select(
+        "id1",
+        "id2",
+        F.floor(F.col("cos_raw") * 1000000).cast("long").alias("cosine_x1m"),
+        "rank",
+    )
 
 
 def _duck_bfs_ann_oracle(rounds: int, probe_mod: int, k: int, seed_mod: int) -> str:
@@ -834,7 +934,9 @@ def graph_bfs_ann_q(spark, sf_dir):
     path end-to-end: IVF candidate generation, exact re-rank, and the
     frontier iteration all hash-match the unrolled oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5)
+    knn = knn_graph_ann(
+        emb, "vec_id", "embedding", k=10, probe_mod=5, centroid_mod=CENTROID_MOD
+    )
     edges = knn.select(
         F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
     ).distinct()
@@ -1823,44 +1925,48 @@ def pq_encode(
 ) -> DataFrame:
     """Assign every vector its per-subspace nearest codeword →
     (id, code0..code{m-1}, err_micro).  Codebooks are driver-held model
-    state compiled into tiny broadcast frames; assignment is a narrow
-    broadcast nested-loop + per-(id, subspace) argmin — no corpus
-    shuffle until the final m-way pivot groupBy on the id.
+    state compiled into the plan as LITERAL arrays (the kmeans_fit
+    assignment pattern): per row, each subspace evaluates k
+    struct(dist, cid) terms and ``array_min`` takes the (dist, cid)
+    argmin — a fully NARROW map over the corpus with ZERO joins, ZERO
+    windows, and ZERO shuffles (asserted in tests/test_scale.py).  At
+    100 TB encode-once is the whole cost of standing up a PQ index, so
+    the encode plan must be a pure scan→project.  (The previous form —
+    broadcast-join against an (s, cid, cv) frame + a row_number window
+    over (vid, s) — exchanged an m·k·|corpus| intermediate; the argmin
+    is the same, the plan was not.)
 
     ``err_micro`` is the total squared reconstruction error
     floor-quantized to integer micro-units (the cross-engine-stable
     quantization contract shared with weighted_sssp)."""
     m = len(books)
     sub = dim // m
-    spark = df.sparkSession
-    rows = [
-        (s, cid, [float(x) for x in cv])
-        for s, book in enumerate(books)
-        for cid, cv in enumerate(book)
-    ]
-    cw = F.broadcast(spark.createDataFrame(rows, ["s", "cid", "cv"]))
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    d = base.join(cw).select(
-        "vid",
-        "s",
-        "cid",
-        sqdist(F.slice(F.col("v"), F.col("s") * sub + 1, sub), F.col("cv")).alias(
-            "dist"
-        ),
-    )
-    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
-    best = d.withColumn("rn", F.row_number().over(aw)).filter(F.col("rn") == 1)
-    code_cols = [
-        F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code{s}")
-        for s in range(m)
-    ]
-    err = F.max(F.when(F.col("s") == 0, F.col("dist")))
+    bests = []
+    for s, book in enumerate(books):
+        sv = F.slice(F.col("v"), s * sub + 1, sub)
+        pairs = F.array(
+            *[
+                F.struct(
+                    sqdist(sv, F.array(*[F.lit(float(x)) for x in cv])).alias(
+                        "dist"
+                    ),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in enumerate(book)
+            ]
+        )
+        bests.append(F.array_min(pairs).alias(f"best{s}"))
+    enc = base.select("vid", *bests)
+    err = F.col("best0").getField("dist")
     for s in range(1, m):
-        err = err + F.max(F.when(F.col("s") == s, F.col("dist")))
-    return best.groupBy("vid").agg(
-        *code_cols, F.floor(err * 1000000).cast("long").alias("err_micro")
+        err = err + F.col(f"best{s}").getField("dist")
+    return enc.select(
+        "vid",
+        *[F.col(f"best{s}").getField("cid").alias(f"code{s}") for s in range(m)],
+        F.floor(err * 1000000).cast("long").alias("err_micro"),
     )
 
 
@@ -1918,32 +2024,44 @@ def sim_pq_encode_q(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("v"),
     )
     sub = DIM // PQ_M
-    cw = F.broadcast(
-        base.filter(F.col("vid") % PQ_MOD == 1).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv")
-        )
+    # the modular codeword set collapses to ONE row holding a sorted
+    # struct array, broadcast onto the corpus — per-row HOF argmin per
+    # subspace, so the corpus side never exchanges (same zero-shuffle
+    # contract as the trained-books pq_encode; the only aggregation in
+    # the plan is the tiny codeword-side collect_list)
+    cws = F.broadcast(
+        base.filter(F.col("vid") % PQ_MOD == 1)
+        .select(F.struct(F.col("vid").alias("cid"), F.col("v").alias("cv")).alias("c"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cws"))
     )
-    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
-    d = base.join(cw).join(F.broadcast(subspaces)).select(
-        "vid",
-        "s",
-        "cid",
-        sqdist(
-            F.slice(F.col("v"), F.col("s") * sub + 1, sub),
-            F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
-        ).alias("dist"),
-    )
-    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
-    best = d.withColumn("rn", F.row_number().over(aw)).filter(F.col("rn") == 1)
-    code_cols = [
-        F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code{s}")
-        for s in range(PQ_M)
-    ]
-    err = F.max(F.when(F.col("s") == 0, F.col("dist")))
+    # NB: the transform lambda must take exactly ONE argument — pyspark
+    # interprets a second parameter as the (element, index) form, so the
+    # subspace offset is captured via this factory, not a default arg
+    def _subspace_best(s: int):
+        def _term(c):
+            return F.struct(
+                sqdist(
+                    F.slice(F.col("v"), s * sub + 1, sub),
+                    F.slice(c["cv"], s * sub + 1, sub),
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_min(F.transform(F.col("cws"), _term)).alias(f"best{s}")
+
+    bests = [_subspace_best(s) for s in range(PQ_M)]
+    enc = base.join(cws).select("vid", *bests)
+    err = F.col("best0").getField("dist")
     for s in range(1, PQ_M):
-        err = err + F.max(F.when(F.col("s") == s, F.col("dist")))
-    return best.groupBy("vid").agg(
-        *code_cols, F.floor(err * 1000000).cast("long").alias("err_micro")
+        err = err + F.col(f"best{s}").getField("dist")
+    return enc.select(
+        "vid",
+        *[
+            F.col(f"best{s}").getField("cid").alias(f"code{s}")
+            for s in range(PQ_M)
+        ],
+        F.floor(err * 1000000).cast("long").alias("err_micro"),
     )
 
 
@@ -2050,37 +2168,75 @@ def pq_adc_ranked(
         F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
     )
     sub = dim // m
-    cw = F.broadcast(
-        base.filter(F.col("vid") % mod == 1).select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv")
+    # the modular codeword set collapses to ONE sorted struct-array row,
+    # broadcast onto the corpus; the per-subspace argmin is a per-row
+    # HOF over that array (same zero-corpus-exchange encode plan as
+    # pq_encode — the old broadcast-join + row_number window exchanged
+    # an m·|cw|·|corpus| intermediate), then posexplode melts the m
+    # codes for the ADC code-lookup join
+    cwsf = F.broadcast(
+        base.filter(F.col("vid") % mod == 1)
+        .select(
+            F.struct(F.col("vid").alias("cid"), F.col("v").alias("cv")).alias("c")
         )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("c")).alias("cws"))
     )
-    subspaces = F.broadcast(
-        df.sparkSession.range(m).select(F.col("id").cast("int").alias("s"))
+
+    def _subspace_code(s: int):
+        def _term(c):
+            return F.struct(
+                sqdist(
+                    F.slice(F.col("v"), s * sub + 1, sub),
+                    F.slice(c["cv"], s * sub + 1, sub),
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            )
+
+        return F.array_min(F.transform(F.col("cws"), _term)).getField("cid")
+
+    enc = base.join(cwsf).select(
+        "vid",
+        F.posexplode(
+            F.array(*[_subspace_code(s) for s in range(m)])
+        ).alias("es", "code"),
     )
-    ssq = sqdist(
-        F.slice(F.col("v"), F.col("s") * sub + 1, sub),
-        F.slice(F.col("cv"), F.col("s") * sub + 1, sub),
-    )
-    d = base.join(cw).join(subspaces).select("vid", "s", "cid", ssq.alias("dist"))
-    aw = Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
-    enc = (
-        d.withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
-    )
+
+    def _probe_dist(c):
+        # (s, cid, pd) terms for every subspace×codeword pair, computed
+        # per probe row against the broadcast codeword array
+        return F.struct(
+            F.col("s"),
+            c["cid"].alias("cid"),
+            sqdist(
+                F.slice(F.col("v"), F.col("s") * sub + 1, sub),
+                F.slice(c["cv"], F.col("s") * sub + 1, sub),
+            ).alias("pd"),
+        )
+
     pt = (
         base.filter(F.col("vid") % probe_mod == 0)
-        .join(cw)
-        .join(subspaces)
-        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
+        .join(cwsf)
+        .join(
+            F.broadcast(
+                df.sparkSession.range(m).select(F.col("id").cast("int").alias("s"))
+            )
+        )
+        .select(
+            F.col("vid").alias("pid"),
+            F.explode(F.transform(F.col("cws"), _probe_dist)).alias("e"),
+        )
+        .select("pid", "e.s", "e.cid", "e.pd")
     )
     adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
     for s in range(1, m):
         adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
     scored = (
+        # no broadcast hint on pt: its size is |probes|·m·|cw| — AQE
+        # picks the strategy at demo scale; production ships bounded
+        # probe batches (PLANS.md broadcast-audit rule)
         enc.join(
-            F.broadcast(pt),
+            pt,
             (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
         )
         .filter(F.col("pid") != F.col("vid"))
@@ -2245,49 +2401,73 @@ def pq_adc_trained_topk(
     with exact scores.
 
     Vectors are unit-normalized first (euclidean on the sphere = cosine
-    ordering).  At 100 TB: encode is corpus × (m·k) broadcast argmin
-    written ONCE as a standing m-codes table; a probe batch ships one
-    m·k distance table; per-candidate cost is m lookups + an m-term
-    add; only `shortlist` raw vectors per probe are ever touched."""
+    ordering).  At 100 TB: encode is a fully NARROW per-row
+    literal-codebook argmin (zero joins, zero shuffles — the
+    pq_encode plan) written ONCE as a standing m-codes table; a probe
+    batch computes one m·k distance table; per-candidate cost is m
+    lookups + an m-term add; only `shortlist` raw vectors per probe
+    are ever touched."""
     m = len(books)
     sub = dim // m
-    spark = df.sparkSession
     raw = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     base = raw.select(
         "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v")
     )
-    cw_rows = [
-        (s, cid, [float(x) for x in cv])
-        for s, book in enumerate(books)
-        for cid, cv in enumerate(book)
-    ]
-    cw = F.broadcast(spark.createDataFrame(cw_rows, ["s", "cid", "cv"]))
-    ssq = sqdist(F.slice(F.col("v"), F.col("s") * sub + 1, sub), F.col("cv"))
-    enc = (
-        base.join(cw)
-        .select("vid", "s", "cid", ssq.alias("dist"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vid", "s").orderBy(F.asc("dist"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vid", F.col("s").alias("es"), F.col("cid").alias("code"))
+
+    def _subspace_best(s: int, book) -> Column:
+        sv = F.slice(F.col("v"), s * sub + 1, sub)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(
+                            sv, F.array(*[F.lit(float(x)) for x in cv])
+                        ).alias("dist"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in enumerate(book)
+                ]
+            )
+        ).getField("cid")
+
+    enc = base.select(
+        "vid",
+        F.posexplode(
+            F.array(*[_subspace_best(s, book) for s, book in enumerate(books)])
+        ).alias("es", "code"),
     )
-    pt = (
-        base.filter(F.col("vid") % probe_mod == 0)
-        .join(cw)
-        .select(F.col("vid").alias("pid"), "s", "cid", ssq.alias("pd"))
-    )
+    # each probe row expands into its own m·k literal-codebook distance
+    # table — no codeword join; pd is the same sqdist the encode used
+    pt = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.lit(cid).alias("cid"),
+                        sqdist(
+                            F.slice(F.col("v"), s * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                        ).alias("pd"),
+                    )
+                    for s, book in enumerate(books)
+                    for cid, cv in enumerate(book)
+                ]
+            )
+        ).alias("e"),
+    ).select("pid", "e.s", "e.cid", "e.pd")
     adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
     for s in range(1, m):
         adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
     scored = (
+        # no broadcast hint on pt: |probes|·m·k rows is linear in the
+        # probe batch, which is bounded by contract but not constant —
+        # AQE picks the join strategy (PLANS.md broadcast-audit rule)
         enc.join(
-            F.broadcast(pt),
+            pt,
             (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
         )
         .filter(F.col("pid") != F.col("vid"))

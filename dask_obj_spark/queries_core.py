@@ -143,3 +143,29 @@ def facade_tree_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(total), 4096, bool(fanin <= 8))],
         "n_elements bigint, n_partitions int, fanin_within_bound boolean",
     )
+
+
+@query("delayed_map_fleet_rowsonly")
+def delayed_map_fleet_rowsonly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-B facade under the driver (the only tier with no query-level
+    official record until round 6): a 25-task ``DelayedObjects`` fleet —
+    one eager per-item task per nation row (B1/B4) — maps item-first
+    (B2), drains in COMPLETION order via ``__iter__`` (B6), then
+    re-computes in original order (B3); ``len`` is B7.  Emits the fleet
+    size, result count, an order-insensitive checksum, and a flag that
+    the completion-order drain saw exactly the ordered results as a
+    multiset.  Rows-only: thread-pool task execution has no SQL form;
+    the operator-dunder/broadcast surface (B5/B8) is pinned by
+    tests/test_delayed.py."""
+    from dask_obj_spark.delayed import DelayedObjects
+
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    fleet = DelayedObjects(rows, eager=True)
+    lengths = fleet.map(lambda r: len(r.n_name) * (r.n_regionkey + 1))
+    drained = sorted(lengths)  # completion-order iteration (B6)
+    ordered = lengths.compute()  # original submission order (B3)
+    ok = sorted(ordered) == drained
+    return spark.createDataFrame(
+        [(len(fleet), len(ordered), int(sum(ordered)), bool(ok))],
+        "n_tasks int, n_results int, len_checksum int, completion_matches boolean",
+    )

@@ -367,3 +367,51 @@ def test_hll_accuracy_and_merge(spark):
     whole = {r.bucket: r.m for r in regs.collect()}
     got = {r.bucket: r.m for r in merged.collect()}
     assert got == whole
+
+
+def test_pq_encode_plan_is_narrow(spark, sf_dir):
+    """The r5-verdict encode fix: trained-codebook PQ encode must be a
+    pure scan→project — literal-array argmin per subspace, NO join, NO
+    window, NO Exchange anywhere (the old broadcast-join + row_number
+    form exchanged an m·k·|corpus| intermediate; at 100 TB encode-once
+    is the whole cost of standing up the index)."""
+    from dask_obj_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, "vec_id", "embedding", m=4, k=4, iters=1)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert enc.count() == emb.count()
+
+
+def test_sim_pq_encode_query_no_corpus_exchange(spark, oracle_sf_dir):
+    """The oracle-paired modular twin keeps the same plan contract on
+    the CORPUS side: its only exchanges are the tiny codeword-side
+    SinglePartition collect_list + its broadcast — never a
+    hashpartitioning shuffle or a window over corpus rows."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sim_pq_encode"](spark, oracle_sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_knn_graph_ann_default_is_constant_k(spark, oracle_sf_dir):
+    """The r5-verdict default fix: a bare knn_graph_ann() call must use
+    trained constant-k centroids (literal-argmin assignment — linear,
+    constant-size plan), NOT the corpus-fraction modular set; the
+    quadratic oracle-replay path now requires an explicit
+    centroid_mod."""
+    from dask_obj_spark.operators.similarity import knn_graph_ann
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    g = knn_graph_ann(emb, "vec_id", "embedding", k=5, probe_mod=10, kmeans_k=8)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    # trained path: no join against a centroid FRAME at all — model is
+    # literal arrays; the only join is the cell equi-join (sort-merge or
+    # shuffled hash on cid), so no BroadcastNestedLoopJoin may appear
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert g.count() > 0
