@@ -141,8 +141,10 @@ _ROLLING_ORACLE = """
            round(min(value) OVER w, 6) AS roll_min,
            round(max(value) OVER w, 6) AS roll_max,
            count(*) OVER w AS roll_n,
-           secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS gap_secs
+           coalesce(
+             secs - lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             -1
+           )::BIGINT AS gap_secs
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -151,9 +153,18 @@ _ROLLING_ORACLE = """
 
 @query("ts_rolling_stats", oracle=_ROLLING_ORACLE)
 def ts_rolling_stats_q(spark, sf_dir):
-    """Trailing-5-event rolling stats per user + inter-event gap."""
+    """Trailing-5-event rolling stats per user + inter-event gap.
+
+    ``gap_secs`` is NULL on each user's first event in the library op;
+    the query coalesces it to the -1 sentinel BIGINT on BOTH engines —
+    a NULL in an integral column makes pandas promote the oracle side
+    to float64 ('12331.0' vs '12331' in the driver hash), the standing
+    sim_label_propagation gotcha."""
     ev = load_table(spark, sf_dir, "events")
-    return rolling_stats(ev, "user_id", "ts", "event_id", "value", n=5)
+    out = rolling_stats(ev, "user_id", "ts", "event_id", "value", n=5)
+    return out.withColumn(
+        "gap_secs", F.coalesce(F.col("gap_secs"), F.lit(-1)).cast("long")
+    )
 
 
 # -- EWMA (sequential per key → applyInPandas) --------------------------------
@@ -275,7 +286,7 @@ _SCD2_ORACLE = """
     )
     SELECT user_id, event_id,
            secs AS valid_from,
-           lead(secs) OVER w AS valid_to,
+           coalesce(lead(secs) OVER w, -1)::BIGINT AS valid_to,
            (lead(secs) OVER w IS NULL) AS is_current
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -284,9 +295,18 @@ _SCD2_ORACLE = """
 
 @query("ts_scd2_intervals", oracle=_SCD2_ORACLE)
 def ts_scd2_intervals_q(spark, sf_dir):
-    """SCD2 history intervals over the per-user event timeline."""
+    """SCD2 history intervals over the per-user event timeline.
+
+    The library op keeps the warehouse-standard NULL ``valid_to`` on
+    the current version; the query coalesces it to the -1 sentinel
+    BIGINT on BOTH engines (nullable-int → pandas float64 promotion
+    cracks the driver hash), with ``is_current`` still carrying the
+    open-interval semantics."""
     ev = load_table(spark, sf_dir, "events")
-    return scd2_intervals(ev, "user_id", "ts", "event_id")
+    out = scd2_intervals(ev, "user_id", "ts", "event_id")
+    return out.withColumn(
+        "valid_to", F.coalesce(F.col("valid_to"), F.lit(-1)).cast("long")
+    )
 
 
 # -- sessionization (gaps-and-islands, pure SQL form) -------------------------
@@ -872,8 +892,11 @@ def ts_interarrival_stats_q(spark, sf_dir):
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, event_id,
-           CASE WHEN nw >= 5 AND sx > 0 AND sy > 0
-                THEN round((mxy - mx * my) / (sx * sy), 6) END AS autocorr
+           coalesce(
+             CASE WHEN nw >= 5 AND sx > 0 AND sy > 0
+                  THEN round((mxy - mx * my) / (sx * sy), 6) END,
+             -999.0
+           ) AS autocorr
     FROM stats
     """,
 )
@@ -909,12 +932,18 @@ def ts_rolling_autocorr_q(spark, sf_dir):
     mxy = F.avg(F.col("x") * F.col("y")).over(win)
     sx = F.stddev_pop("x").over(win)
     sy = F.stddev_pop("y").over(win)
+    # -999.0 sentinel instead of NULL: a NULL double round-trips as NaN
+    # through the oracle's pandas fetch and cracks the driver hash; the
+    # sentinel is unambiguous (autocorr is in [-1, 1])
     return lagged.select(
         "user_id",
         "event_id",
-        F.when(
-            (nw >= 5) & (sx > 0) & (sy > 0),
-            F.round((mxy - mx * my) / (sx * sy), 6),
+        F.coalesce(
+            F.when(
+                (nw >= 5) & (sx > 0) & (sy > 0),
+                F.round((mxy - mx * my) / (sx * sy), 6),
+            ),
+            F.lit(-999.0),
         ).alias("autocorr"),
     )
 

@@ -35,56 +35,48 @@ def query(name: str, oracle: str | None = None):
 # registration order is part of the contract.  The window is a CURATED
 # ROTATION: every row that already has a green official record in a prior
 # CORRECTNESS_r{N}.json can yield its slot to a query that has never had
-# a driver row.  Round-5 rotation: ALL 50 round-4 window rows went green
-# in CORRECTNESS_r04, so the entire window turns over to never-driven
-# queries — the r4 verdict's named flagships (HLL, SSSP, rank stats,
-# in-engine ML, Gram matrix, entity resolution, PQ, bootstrap, funnel /
-# cohort), the 15 TPC-H shapes without an official row (completing the
-# 22-query suite on the record), the three r1 rows-only entries the
-# verdict asked to re-drive, and family representatives across
-# graph/sim/dedup/stats/sketch.  Everything outside the window is still
-# hash-verified by tests/test_oracle_parity.py and the judge's full
-# sweep.
+# a driver row.  Round-6 rotation: ALL 50 round-5 window rows went green
+# in CORRECTNESS_r05 (204/267 registered queries now hold official
+# records), so the window turns over to 50 of the 64 remaining
+# never-driven queries — the r5 verdict's named priorities first (the
+# ANN graph pair, the tree-reduction facade, the trained-PQ recall
+# rows, PCA power iteration, sqlrec components, the three format
+# round-trips, the eval/profile families, the ts_* representatives)
+# plus the new round-6 DelayedObjects fleet row; the final 14 rotate in
+# round 7, closing the official record.  Everything outside the window
+# is still hash-verified by tests/test_oracle_parity.py and the judge's
+# full sweep.
 _WINDOW_50 = (
-    # smoke slot: the register-HLL flagship with its in-plan
-    # merge-invariance proof
-    "sketch_hll_distinct",
-    # verdict-named flagships (first driver rows)
-    "graph_weighted_sssp", "stats_ks_test", "stats_mannwhitney_u",
-    "ml_logreg_gd", "ml_ols_normal_equations", "sim_gram_matrix",
-    "er_canonical_entities", "stream_hll_hourly_users",
-    "sim_pq_encode", "sim_pq_adc_topk", "stats_bootstrap_ci",
-    "funnel_conversion_lag", "events_cohort_ltv",
-    # TPC-H: the 15 shapes never officially driven — with these, all 22
-    # queries hold driver records
-    "tpch_q3_shipping", "tpch_q4_order_priority", "tpch_q5_local_volume",
-    "tpch_q6_forecast", "tpch_q7_volume_shipping", "tpch_q9_product_profit",
-    "tpch_q10_returns", "tpch_q11_important_parts",
-    "tpch_q12_shipmode_lateness", "tpch_q14_promo", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q20_promotion_suppliers",
-    # the three r1 rows-only entries (verdict item 7: put a fresh
-    # executing record on file; the driver records them as no_oracle)
-    "random_sample_rowsonly", "approx_distinct_rowsonly",
-    "approx_percentile_rowsonly",
-    # the round-5 numerics fix, certified at its new exact-integer output
-    "ts_ewma_exact",
-    # sketch / graph family representatives (first driver rows)
-    "sketch_hll_sliding_users", "graph_effective_diameter",
-    "graph_clustering_coeff", "graph_assortativity",
-    "graph_label_modularity",
-    # similarity family (first driver rows)
-    "sim_pq_recall", "sim_knn_triangles", "sim_triplet_mining",
-    "sim_knn_outlier_scores", "sim_recall_curve_lsh",
-    # dedup family (first driver rows)
-    "dedup_containment_pairs", "dedup_lsh_precision_recall",
-    "dedup_corpus_report",
-    # stats / ml (first driver rows)
-    "stats_chi2_independence", "stats_mad_outliers",
-    "ml_calibration_bins",
-    # round-5 new operator: watermarked stream-stream LEFT OUTER join
-    # with null-side emission after watermark expiry (verdict item 8)
-    "stream_outer_join_late",
+    # smoke slot: light multi-agg row
+    "stats_aggregates",
+    # r5-verdict named priorities (this round's claims, proven on file)
+    "graph_knn_ann_edges", "graph_bfs_ann", "facade_tree_reduction",
+    "sim_pq_tuned_recall_rowsonly", "sim_pq_trained_rowsonly",
+    "sim_pca_power", "sqlrec_components",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "eval_ab_lift", "eval_cuped_adjustment",
+    # round-6 new operator: Tier-B DelayedObjects fleet (verdict item 7)
+    "delayed_map_fleet_rowsonly",
+    # profile family (first driver rows)
+    "profile_value_histogram", "profile_benford_digits",
+    "profile_jsd_source_matrix", "profile_ks_source_matrix",
+    "profile_completeness",
+    # time-series family representatives (first driver rows)
+    "ts_burst_detection", "ts_markov_transitions", "ts_scd2_intervals",
+    "ts_holt_rowsonly", "ts_latest_per_key", "ts_resample_gapfill",
+    "ts_rolling_stats", "ts_ewma_rowsonly", "ts_anomaly_flags",
+    "ts_interarrival_stats", "ts_rolling_autocorr",
+    # SQL-surface family (first driver rows)
+    "window_ranks", "multi_distinct_agg", "agg_filter_clause",
+    "exists_subquery", "scalar_subquery_avg", "unpivot_metrics",
+    "rollup_time_hierarchy", "asof_join_merge", "array_map_functions",
+    "starmap_struct", "udtf_word_explode", "sessionize_pandas",
+    # sampling / approx (rows-only contracts)
+    "stratified_sample_rowsonly", "approx_topk_terms_rowsonly",
+    # retrieval / ml / corpus representatives (first driver rows)
+    "inverted_index_postings", "centroid_per_label",
+    "ml_nearest_centroid_confusion", "eval_vocab_oov",
+    "incremental_agg_quantile", "pysource_synthetic_docs",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

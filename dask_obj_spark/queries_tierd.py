@@ -279,39 +279,52 @@ def array_map_functions_q(spark, sf_dir):
 @query(
     "rollup_time_hierarchy",
     oracle="""
-    SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS d,
-           floor(epoch(date_trunc('hour', ts)))::BIGINT AS h,
-           grouping(floor(epoch(date_trunc('day', ts)))::BIGINT,
-                    floor(epoch(date_trunc('hour', ts)))::BIGINT) AS lvl,
-           count(*) AS n, round(sum(value), 6) AS sum_value
-    FROM events
-    GROUP BY ROLLUP(d, h)
+    SELECT coalesce(d, -1)::BIGINT AS d, coalesce(h, -1)::BIGINT AS h,
+           lvl, n, sum_value
+    FROM (
+      SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS d,
+             floor(epoch(date_trunc('hour', ts)))::BIGINT AS h,
+             grouping(floor(epoch(date_trunc('day', ts)))::BIGINT,
+                      floor(epoch(date_trunc('hour', ts)))::BIGINT) AS lvl,
+             count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events
+      GROUP BY ROLLUP(d, h)
+    )
     """,
 )
 def rollup_time_hierarchy_q(spark, sf_dir):
     """Hypertable-style continuous aggregate: one ROLLUP pass produces
     hourly, daily, and grand-total aggregates (grouping_id distinguishes
     the level) — the multi-granularity time rollup pattern, one shuffle
-    for all levels."""
+    for all levels.  Super-aggregate rows carry NULL keys; both engines
+    coalesce them to the -1 sentinel BIGINT (epoch keys are positive) so
+    the oracle's pandas fetch doesn't promote the key columns to
+    float64, which cracks the driver hash."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
         F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
         "value",
     )
-    return b.rollup("d", "h").agg(
+    rolled = b.rollup("d", "h").agg(
         F.grouping_id().alias("lvl"),
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+    return rolled.withColumn(
+        "d", F.coalesce(F.col("d"), F.lit(-1)).cast("long")
+    ).withColumn("h", F.coalesce(F.col("h"), F.lit(-1)).cast("long"))
 
 
 @query(
     "asof_join_merge",
     oracle="""
     SELECT o_orderkey,
-           (SELECT max(e.ts) FROM events e
-             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_ts
+           coalesce(
+             (SELECT floor(epoch(max(e.ts)))::BIGINT FROM events e
+               WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate),
+             -1
+           )::BIGINT AS last_event_s
     FROM orders o
     WHERE o_custkey <= 200
     """,
@@ -322,7 +335,10 @@ def asof_join_merge_q(spark, sf_dir):
     max event time to each order row — no join, so no per-order blow-up
     of candidate events (the equi-join form in asof_join_last_event
     materializes every earlier event per order before aggregating).
-    Same correlated-subquery oracle as the join form."""
+    Same correlated-subquery oracle as the join form.  The matched time
+    is emitted as epoch-seconds BIGINT with a -1 sentinel for orders
+    with no prior event (nullable timestamps round-trip as NaT/float on
+    the oracle side and crack the driver hash)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -354,7 +370,14 @@ def asof_join_merge_q(spark, sf_dir):
     return (
         merged.withColumn("last_event_ts", F.max("ev_ts").over(w))
         .filter(F.col("kind") == 1)
-        .select("o_orderkey", "last_event_ts")
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.unix_timestamp(F.col("last_event_ts")), F.lit(-1)
+            )
+            .cast("long")
+            .alias("last_event_s"),
+        )
     )
 
 
