@@ -398,7 +398,7 @@ def knn_graph_ann(
     centroids: list[list[float]] | None = None,
     nprobe: int = NPROBE,
     centroid_mod: int | None = None,
-    kmeans_k: int = 16,
+    kmeans_k: int | None = None,
     kmeans_iters: int = 2,
     raw: bool = False,
 ) -> DataFrame:
@@ -428,8 +428,10 @@ def knn_graph_ann(
     model is k·dim driver floats compiled into a per-row literal-array
     argmin (:func:`_nearest_cells`) — assignment is LINEAR in the
     corpus with a constant-size plan, no broadcast that grows with the
-    data.  Tune ``kmeans_k`` toward √N per the usual IVF sizing so cell
-    sizes (and with them candidate volume) stay bounded.  Passing
+    data.  ``kmeans_k=None`` auto-sizes toward √N per the usual IVF
+    rule (capped at 64 — the literal plan carries one term per
+    centroid; beyond the cap use the bucketed standing index) so cell
+    sizes, and with them candidate volume, stay bounded.  Passing
     ``centroid_mod`` instead selects the ORACLE-REPLAY variant used
     only by the `graph_knn_ann_edges` / `graph_bfs_ann` query wrappers:
     the centroid set is the vectors with vid ≡ 1 (mod centroid_mod) —
@@ -463,6 +465,18 @@ def knn_graph_ann(
         )
     else:
         if centroids is None:
+            if kmeans_k is None:
+                # IVF sizing rule, applied so a bare call is
+                # scale-correct without the caller knowing it: cells ~
+                # √N keeps candidate volume ~N^1.5·nprobe/√N = linear
+                # per probe in cell size; capped at 64 because the
+                # literal-argmin plan carries one struct term per
+                # centroid (beyond that, use the bucketed standing
+                # index build_ann_index/query_ann_index).  The count is
+                # one cheap bounded job; sf1 measured ~40% faster than
+                # a fixed k=16 at 10× data (BASELINE.md §6 round-6).
+                n = df.count()
+                kmeans_k = max(8, min(64, int(n ** 0.5 / 4)))
             centroids, _ = kmeans_fit(
                 df, id_col, vec_col, k=kmeans_k, iters=kmeans_iters
             )
