@@ -2520,6 +2520,168 @@ def pq_adc_trained_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    codebook_k: int = 64,
+    shortlist: int = 100,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    kmeans_k: int | None = None,
+    iters: int = 2,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ top-k — the composed Faiss-style read path (Jégou et al.,
+    TPAMI 2011) and the canonical 100 TB ANN plan: coarse k-means cells
+    restrict WHICH candidates are touched (IVF), product-quantization
+    codes decide their order without reading raw floats (ADC), and only
+    the per-probe ``shortlist`` survivors get exact cosine re-ranks.
+
+    Plan shape, stage by stage:
+    - **index build** (encode-once at scale): one narrow scan emits per
+      vector its cell id (literal-centroid argmin, `_nearest_cells`)
+      and its m-code ARRAY (literal-codebook argmin — the zero-exchange
+      pq_encode plan).  No joins, no windows, no shuffles.
+    - **probe expansion**: each probe row computes, narrowly, its
+      ``nprobe`` nearest cells and its own m×k ADC distance table as an
+      array-of-arrays column — model state is plan literals, so nothing
+      joins and nothing grows with the corpus.
+    - **candidate generation**: ONE equi-join on the cell id (the IVF
+      bound: candidate volume is cell-sized, never all-pairs).
+    - **ADC scoring**: per candidate row, ``adc = Σ_s pt[s][code_s]`` —
+      m `element_at` lookups + a left-assoc m-term add, fully narrow
+      (no melt, no pivot groupBy — this improves on pq_adc_trained's
+      melted-code join).  The only exchanges after the cell join are
+      the two per-probe top-N windows (shortlist, then final k).
+    - **re-rank**: exact cosine on unit-normalized vectors for the
+      shortlist only.
+
+    Trained model state (centroids + codebooks) is constant-size driver
+    floats; ``kmeans_k=None`` auto-sizes cells toward √N (knn_graph_ann
+    rule).  Rows-only registration (`sim_ivfpq_recall_rowsonly`):
+    trained float models aren't SQL-replayable; the modular-deterministic
+    twins (sim_ivf_recall / sim_pq_recall) carry the hash contract, and
+    the recall floor is pinned in tests/test_dedup.py."""
+    raw = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    base = raw.select(
+        "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("nv")
+    )
+    if centroids is None:
+        if kmeans_k is None:
+            n = df.count()
+            kmeans_k = max(8, min(64, int(n**0.5 / 4)))
+        centroids, _ = kmeans_fit(base, "vid", "nv", k=kmeans_k, iters=iters)
+    if books is None:
+        books = pq_fit(base, "vid", "nv", m=m, k=codebook_k, iters=iters, dim=dim)
+    m = len(books)
+    sub = dim // m
+
+    def _code(s: int, book) -> Column:
+        sv = F.slice(F.col("nv"), s * sub + 1, sub)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sqdist(sv, F.array(*[F.lit(float(x)) for x in cv])).alias(
+                            "dist"
+                        ),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cv in enumerate(book)
+                ]
+            )
+        ).getField("cid")
+
+    cells = base.select(
+        "vid",
+        "nv",
+        _nearest_cells(F.col("nv"), centroids, 1).getItem(0).alias("cell"),
+        F.array(*[_code(s, book) for s, book in enumerate(books)]).alias("codes"),
+    )
+    # per-probe ADC table: pt[s][cid] = ||probe_sub_s - codeword||²,
+    # an array-of-arrays computed from literal codebooks — narrow
+    pt = F.array(
+        *[
+            F.array(
+                *[
+                    sqdist(
+                        F.slice(F.col("nv"), s * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                    )
+                    for _, cv in enumerate(book)
+                ]
+            )
+            for s, book in enumerate(books)
+        ]
+    )
+    pcells = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"),
+        F.col("nv").alias("pnv"),
+        pt.alias("pt"),
+        F.explode(_nearest_cells(F.col("nv"), centroids, nprobe)).alias("cell"),
+    )
+    cand = cells.join(pcells, "cell").filter(F.col("pid") != F.col("vid"))
+    adc = F.element_at(F.col("pt").getItem(0), F.col("codes").getItem(0) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.col("pt").getItem(s), F.col("codes").getItem(s) + 1
+        )
+    scored = cand.select("pid", "vid", "pnv", "nv", adc.alias("adc")).dropDuplicates(
+        ["pid", "vid"]
+    )
+    slw = Window.partitionBy("pid").orderBy(F.asc("adc"), F.asc("vid"))
+    sl = scored.withColumn("slrank", F.row_number().over(slw)).filter(
+        F.col("slrank") <= shortlist
+    )
+    rescored = sl.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        dot(F.col("pnv"), F.col("nv")).alias("cos_raw"),
+    )
+    rw = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("id1", "id2", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+@query("sim_ivfpq_recall_rowsonly")
+def sim_ivfpq_recall_rowsonly_q(spark, sf_dir):
+    """Per-probe recall@10 of the full IVF-PQ read path (trained cells
+    auto-sized toward √N, trained m=8/k=64 codebooks, ADC
+    shortlist=100, exact re-rank) against brute-force ground truth —
+    the end-to-end certificate for the composed 100 TB index
+    (`ivfpq_topk`).  Rows-only: trained float models have no SQL
+    replay; floors pinned in tests/test_dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfpq_topk(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return ann_recall(truth, approx, 10)
+
+
+@query("graph_knn_ann_trained_rowsonly")
+def graph_knn_ann_trained_rowsonly_q(spark, sf_dir):
+    """The PRODUCTION kNN-graph builder under the driver: a bare
+    `knn_graph_ann()` call (trained auto-√N centroids, literal-argmin
+    assignment — the linear path a 100 TB job uses) builds every
+    1-in-5 vertex's top-10 edges; emitted per probe as edge count +
+    recall vs the brute graph.  Rows-only: trained centroids aren't
+    SQL-replayable — the modular twins (`graph_knn_ann_edges`,
+    `graph_bfs_ann`) carry the hash contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = knn_graph_ann(emb, "vec_id", "embedding", k=10, probe_mod=5)
+    truth = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=5, k=10)
+    return ann_recall(truth, ann, 10)
+
+
 @query("sim_pq_tuned_recall_rowsonly")
 def sim_pq_tuned_recall_rowsonly_q(spark, sf_dir):
     """Per-probe recall@10 of the TUNED trained-PQ read path (m=8, k=64

@@ -366,3 +366,34 @@ def test_weighted_sssp_converges_past_fixed_rounds(spark):
     seeds2 = spark.createDataFrame([(1,), (7,)], ["id"])
     conv2 = {r.id: r.dist_micro for r in weighted_sssp(verts, e, seeds2).collect()}
     assert conv2[6] == 1 and conv2[7] == 0 and conv2[4] == 3
+
+
+def test_ivfpq_topk_recall_floor(spark, oracle_sf_dir):
+    """The composed IVF-PQ read path (trained auto-sized cells + m=8
+    codebooks, ADC shortlist, exact re-rank) must recover a real
+    fraction of brute-force truth end-to-end; 0.3 floor leaves headroom
+    under corpus-draw variance (0.52 measured at sf0.01).  Also pins
+    the scoring contract: every emitted score is an exact cosine."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sim_ivfpq_recall_rowsonly"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.3, f"IVF-PQ recall collapsed: {mean_recall}"
+
+
+def test_knn_graph_ann_trained_recall_floor(spark, oracle_sf_dir):
+    """The production (bare-call, trained auto-√N centroids) kNN-graph
+    builder holds a recall floor vs the brute graph — the library
+    default must stay usable, not just the oracle-replay wrappers
+    (0.50 measured at sf0.01)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["graph_knn_ann_trained_rowsonly"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert len(rows) > 0
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.3, f"trained kNN graph recall collapsed: {mean_recall}"
