@@ -2446,47 +2446,49 @@ def pq_adc_trained_topk(
             )
         ).getField("cid")
 
+    # encoded corpus: ONE row per vector with its m-code ARRAY (the
+    # zero-exchange encode plan); probes carry their own m×k ADC
+    # distance table as an array-of-arrays — both sides narrow, so the
+    # ADC scan is one cross join (probe batch bounded by contract; no
+    # broadcast hint — AQE picks the strategy, PLANS.md audit rule)
+    # and per-candidate scoring is m element_at lookups + a left-assoc
+    # m-term add in subspace order: the ivfpq_topk pattern, replacing
+    # the previous melted-code equi-join + pivot groupBy (one fewer
+    # shuffle of the pair surface).
     enc = base.select(
         "vid",
-        F.posexplode(
-            F.array(*[_subspace_best(s, book) for s, book in enumerate(books)])
-        ).alias("es", "code"),
+        F.array(*[_subspace_best(s, book) for s, book in enumerate(books)]).alias(
+            "codes"
+        ),
     )
-    # each probe row expands into its own m·k literal-codebook distance
-    # table — no codeword join; pd is the same sqdist the encode used
-    pt = base.filter(F.col("vid") % probe_mod == 0).select(
-        F.col("vid").alias("pid"),
-        F.explode(
+    pt_arr = F.array(
+        *[
             F.array(
                 *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.lit(cid).alias("cid"),
-                        sqdist(
-                            F.slice(F.col("v"), s * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                        ).alias("pd"),
+                    sqdist(
+                        F.slice(F.col("v"), s * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in cv]),
                     )
-                    for s, book in enumerate(books)
-                    for cid, cv in enumerate(book)
+                    for cv in book
                 ]
             )
-        ).alias("e"),
-    ).select("pid", "e.s", "e.cid", "e.pd")
-    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
+            for s, book in enumerate(books)
+        ]
+    )
+    probes = base.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"), pt_arr.alias("pt")
+    )
+    adc = F.element_at(F.col("pt").getItem(0), F.col("codes").getItem(0) + 1)
     for s in range(1, m):
-        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
-    scored = (
-        # no broadcast hint on pt: |probes|·m·k rows is linear in the
-        # probe batch, which is bounded by contract but not constant —
-        # AQE picks the join strategy (PLANS.md broadcast-audit rule)
-        enc.join(
-            pt,
-            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
+        adc = adc + F.element_at(
+            F.col("pt").getItem(s), F.col("codes").getItem(s) + 1
         )
+    scored = (
+        enc.join(probes)
         .filter(F.col("pid") != F.col("vid"))
-        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
-        .agg(adc.alias("adc"))
+        .select(
+            F.col("pid").alias("id1"), F.col("vid").alias("id2"), adc.alias("adc")
+        )
     )
     slw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
     sl = (
@@ -2633,9 +2635,11 @@ def ivfpq_topk(
         adc = adc + F.element_at(
             F.col("pt").getItem(s), F.col("codes").getItem(s) + 1
         )
-    scored = cand.select("pid", "vid", "pnv", "nv", adc.alias("adc")).dropDuplicates(
-        ["pid", "vid"]
-    )
+    # no dedup needed: every vector lives in exactly ONE cell and a
+    # probe's nprobe cells are distinct, so (pid, vid) pairs are unique
+    # by construction — a dropDuplicates here would be a pure extra
+    # shuffle of the candidate set
+    scored = cand.select("pid", "vid", "pnv", "nv", adc.alias("adc"))
     slw = Window.partitionBy("pid").orderBy(F.asc("adc"), F.asc("vid"))
     sl = scored.withColumn("slrank", F.row_number().over(slw)).filter(
         F.col("slrank") <= shortlist
