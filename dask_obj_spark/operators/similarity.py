@@ -465,20 +465,27 @@ def knn_graph_ann(
         )
     else:
         if centroids is None:
+            # IVF sizing rule, applied so a bare call is scale-correct
+            # without the caller knowing it: cells ~ √N keeps candidate
+            # volume ~N^1.5·nprobe/√N = linear per probe in cell size;
+            # capped at 64 because the literal-argmin plan carries one
+            # struct term per centroid (beyond that, use the bucketed
+            # standing index build_ann_index/query_ann_index).  The
+            # count is one cheap bounded job; sf1 measured ~40% faster
+            # than a fixed k=16 at 10× data (BASELINE.md §6 round-6).
+            # Training runs on a bounded deterministic modular sample —
+            # the Faiss practice; the full corpus only flows through
+            # the narrow assignment scan.
+            n = df.count()
             if kmeans_k is None:
-                # IVF sizing rule, applied so a bare call is
-                # scale-correct without the caller knowing it: cells ~
-                # √N keeps candidate volume ~N^1.5·nprobe/√N = linear
-                # per probe in cell size; capped at 64 because the
-                # literal-argmin plan carries one struct term per
-                # centroid (beyond that, use the bucketed standing
-                # index build_ann_index/query_ann_index).  The count is
-                # one cheap bounded job; sf1 measured ~40% faster than
-                # a fixed k=16 at 10× data (BASELINE.md §6 round-6).
-                n = df.count()
                 kmeans_k = max(8, min(64, int(n ** 0.5 / 4)))
+            train = df
+            if n > 100_000:
+                train = df.filter(
+                    F.col(id_col) % int(-(-n // 100_000)) == 0
+                )
             centroids, _ = kmeans_fit(
-                df, id_col, vec_col, k=kmeans_k, iters=kmeans_iters
+                train, id_col, vec_col, k=kmeans_k, iters=kmeans_iters
             )
         # constant-k model state → per-row literal argmin, both legs
         # computed narrowly from the same scan (no join, no window)
@@ -2537,6 +2544,7 @@ def ivfpq_topk(
     kmeans_k: int | None = None,
     iters: int = 2,
     dim: int = DIM,
+    train_sample: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ top-k — the composed Faiss-style read path (Jégou et al.,
     TPAMI 2011) and the canonical 100 TB ANN plan: coarse k-means cells
@@ -2565,23 +2573,38 @@ def ivfpq_topk(
 
     Trained model state (centroids + codebooks) is constant-size driver
     floats; ``kmeans_k=None`` auto-sizes cells toward √N (knn_graph_ann
-    rule).  Rows-only registration (`sim_ivfpq_recall_rowsonly`):
-    trained float models aren't SQL-replayable; the modular-deterministic
-    twins (sim_ivf_recall / sim_pq_recall) carry the hash contract, and
-    the recall floor is pinned in tests/test_dedup.py."""
+    rule), and both fits train on a BOUNDED deterministic sample
+    (``train_sample`` rows via modular id selection — Faiss practice:
+    a 100 TB corpus never streams through Lloyd's loop; the models see
+    a representative slice and the full corpus only flows through the
+    narrow encode/assign scan).  Rows-only registration
+    (`sim_ivfpq_recall_rowsonly`): trained float models aren't
+    SQL-replayable; the modular-deterministic twins (sim_ivf_recall /
+    sim_pq_recall) carry the hash contract, and the recall floor is
+    pinned in tests/test_dedup.py."""
     raw = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     base = raw.select(
         "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("nv")
     )
-    if centroids is None:
+    if centroids is None or books is None:
+        n = df.count()
         if kmeans_k is None:
-            n = df.count()
             kmeans_k = max(8, min(64, int(n**0.5 / 4)))
-        centroids, _ = kmeans_fit(base, "vid", "nv", k=kmeans_k, iters=iters)
-    if books is None:
-        books = pq_fit(base, "vid", "nv", m=m, k=codebook_k, iters=iters, dim=dim)
+        train = base
+        if n > train_sample:
+            # deterministic modular sample: ~train_sample rows, no
+            # shuffle, replayable across runs (unlike limit())
+            train = base.filter(
+                F.col("vid") % int(-(-n // train_sample)) == 0
+            )
+        if centroids is None:
+            centroids, _ = kmeans_fit(train, "vid", "nv", k=kmeans_k, iters=iters)
+        if books is None:
+            books = pq_fit(
+                train, "vid", "nv", m=m, k=codebook_k, iters=iters, dim=dim
+            )
     m = len(books)
     sub = dim // m
 
