@@ -2205,64 +2205,65 @@ def pq_adc_ranked(
     )
 
     def _subspace_code(s: int):
-        def _term(c):
+        # argmin returns the POSITION in the sorted codeword array (the
+        # array is cid-sorted, so idx order == cid order and the
+        # dist-then-idx tie-break matches the old dist-then-cid one);
+        # positions feed the element_at ADC lookups below
+        def _term(c, i):
             return F.struct(
                 sqdist(
                     F.slice(F.col("v"), s * sub + 1, sub),
                     F.slice(c["cv"], s * sub + 1, sub),
                 ).alias("dist"),
-                c["cid"].alias("cid"),
+                i.alias("idx"),
             )
 
-        return F.array_min(F.transform(F.col("cws"), _term)).getField("cid")
+        return F.array_min(F.transform(F.col("cws"), _term)).getField("idx")
 
+    # encoded corpus: ONE row per vector with its m-code ARRAY, and each
+    # probe row carries its own m×|cw| ADC distance table as an
+    # array-of-arrays — the same narrow plan as pq_adc_trained_topk /
+    # ivfpq_topk: per-candidate scoring is m element_at lookups + a
+    # left-assoc m-term add, so the pair surface is never exchanged
+    # (the old melted-code equi-join + pivot groupBy shuffled
+    # |probes|·|corpus|·m rows)
     enc = base.join(cwsf).select(
         "vid",
-        F.posexplode(
-            F.array(*[_subspace_code(s) for s in range(m)])
-        ).alias("es", "code"),
+        F.array(*[_subspace_code(s) for s in range(m)]).alias("codes"),
     )
 
-    def _probe_dist(c):
-        # (s, cid, pd) terms for every subspace×codeword pair, computed
-        # per probe row against the broadcast codeword array
-        return F.struct(
-            F.col("s"),
-            c["cid"].alias("cid"),
-            sqdist(
-                F.slice(F.col("v"), F.col("s") * sub + 1, sub),
-                F.slice(c["cv"], F.col("s") * sub + 1, sub),
-            ).alias("pd"),
+    def _subspace_dists(s: int):
+        return F.transform(
+            F.col("cws"),
+            lambda c: sqdist(
+                F.slice(F.col("v"), s * sub + 1, sub),
+                F.slice(c["cv"], s * sub + 1, sub),
+            ),
         )
 
-    pt = (
+    probes = (
         base.filter(F.col("vid") % probe_mod == 0)
         .join(cwsf)
-        .join(
-            F.broadcast(
-                df.sparkSession.range(m).select(F.col("id").cast("int").alias("s"))
-            )
-        )
         .select(
             F.col("vid").alias("pid"),
-            F.explode(F.transform(F.col("cws"), _probe_dist)).alias("e"),
+            F.array(*[_subspace_dists(s) for s in range(m)]).alias("pt"),
         )
-        .select("pid", "e.s", "e.cid", "e.pd")
     )
-    adc = F.max(F.when(F.col("s") == 0, F.col("pd")))
+    adc = F.element_at(F.col("pt").getItem(0), F.col("codes").getItem(0) + 1)
     for s in range(1, m):
-        adc = adc + F.max(F.when(F.col("s") == s, F.col("pd")))
-    scored = (
-        # no broadcast hint on pt: its size is |probes|·m·|cw| — AQE
-        # picks the strategy at demo scale; production ships bounded
-        # probe batches (PLANS.md broadcast-audit rule)
-        enc.join(
-            pt,
-            (F.col("es") == F.col("s")) & (F.col("code") == F.col("cid")),
+        adc = adc + F.element_at(
+            F.col("pt").getItem(s), F.col("codes").getItem(s) + 1
         )
+    scored = (
+        # no broadcast hint on probes: each row is m·|cw| doubles and
+        # |cw| here is the corpus-growing modular codeword set (oracle
+        # variant) — AQE picks the strategy at demo scale; production
+        # is the constant-k trained path (PLANS.md broadcast-audit rule)
+        enc.join(probes)
         .filter(F.col("pid") != F.col("vid"))
-        .groupBy(F.col("pid").alias("id1"), F.col("vid").alias("id2"))
-        .agg(adc.alias("adc"))
+        .select(
+            F.col("pid").alias("id1"), F.col("vid").alias("id2"), adc.alias("adc")
+        )
     )
     rw = Window.partitionBy("id1").orderBy(F.asc("adc"), F.asc("id2"))
     return scored.withColumn("rank", F.row_number().over(rw))
@@ -2279,20 +2280,21 @@ def sim_pq_adc_topk_q(spark, sf_dir):
 
     Scale shape at 100 TB: the encoded corpus is m BIGINTs per vector
     (a standing dataset — pq_encode writes it once), probes never see
-    raw corpus floats, and the per-candidate work is m table lookups +
-    an m-term add.  The groupBy carries (probe, vid, partials); the
-    m partial distances recombine by PIVOTED when-arms with explicit
-    left-assoc addition, never an unordered float sum().  Codebooks
+    raw corpus floats, and the per-candidate work is m element_at
+    lookups into the probe's own m×k distance table + an explicit
+    left-assoc m-term add (never an unordered float sum()) — the pair
+    surface is projected narrow inside codegen, not shuffled.  Codebooks
     here are the deterministic modular ones (oracle replays the index);
     production swaps in pq_fit's k-means books unchanged.
 
     Broadcast-audit note (PLANS.md rule — hints only on
-    constant-bounded sides): the modular codeword table and the probe
-    distance table here grow with the corpus (N/11 and N/50 rows), so
-    their hints are justified only for this oracle-replayable variant
-    at test/bench scale; the production path is pq_fit's CONSTANT-k
-    codebooks (k·d model floats) with probes arriving in bounded
-    batches, where the same hints are size-safe by construction."""
+    constant-bounded sides): the modular codeword table grows with the
+    corpus (N/11 rows), so its hint is justified only for this
+    oracle-replayable variant at test/bench scale; the probe side
+    carries no hint (AQE decides).  The production path is pq_fit's
+    CONSTANT-k codebooks (k·d model floats) with probes arriving in
+    bounded batches, where the broadcast is size-safe by
+    construction."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         pq_adc_ranked(emb, "vec_id", "embedding", probe_mod=50)

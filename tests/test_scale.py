@@ -399,6 +399,22 @@ def test_sim_pq_encode_query_no_corpus_exchange(spark, oracle_sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_pq_adc_ranked_scoring_is_narrow(spark, sf_dir):
+    """The narrow-ADC refactor on the modular oracle path: candidate
+    scoring is m element_at lookups into the probe's own distance
+    table, so the ONLY hashpartitioning exchange in the whole query is
+    the per-probe rank window — the pair surface itself is projected
+    (id1, id2, adc) inside codegen, never shuffled (the old
+    melted-code equi-join + pivot groupBy exchanged an
+    m·|probes|·|corpus| intermediate)."""
+    from dask_obj_spark.operators.similarity import pq_adc_ranked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = pq_adc_ranked(emb, "vec_id", "embedding", probe_mod=50)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_knn_graph_ann_default_is_constant_k(spark, oracle_sf_dir):
     """The r5-verdict default fix: a bare knn_graph_ann() call must use
     trained constant-k centroids (literal-argmin assignment — linear,
