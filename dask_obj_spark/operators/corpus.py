@@ -1822,3 +1822,137 @@ def graph_hits_fixed_q(spark, sf_dir):
         (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
     ).distinct()
     return hits_scores(pairs, "src", "dst", n_iter=4)
+
+
+# -- DSIR importance resampling ----------------------------------------------
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    buckets: int = 64,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    each RAW document by its importance ratio between a small TARGET
+    domain and the raw pool, using hashed-n-gram bag-of-words features.
+
+    Model: unigram+bigram features hash into `buckets` buckets; the
+    target and raw corpora each induce an add-alpha-smoothed multinomial
+    (p, q) over buckets; a raw doc's log importance weight is
+    sum over its grams of ln p(bucket) - ln q(bucket).  High weight =
+    "looks like the target domain" = keep for training.
+
+    Engine-portable numerics: per-bucket log-ratios are floor-quantized
+    to integer micro-units ONCE (64 values), so the per-doc score is an
+    exact integer SUM — order-independent under any shuffle/partitioning,
+    bit-identical on any engine (the repo's standing floor-quantize
+    rule; an unordered float sum would be partition-order-dependent).
+
+    Scale shape at 100 TB: gram explosion is a narrow flatMap; bucket
+    counts are ONE hash aggregate onto `buckets` rows (map-side partial
+    combine does the heavy lifting); the ratio table is constant-bounded
+    (`buckets` rows — broadcast hint justified per the PLANS.md audit
+    rule); scoring is one corpus-keyed groupBy.  Nothing all-pairs, no
+    driver loop, no UDF.  Columns: (doc_id, n_grams, logw_x1m).
+
+    Absent in the reference (core.py:3-10 imports only dask/toolz);
+    Tier-E training-data-pipeline surface.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"), target.alias("tgt")
+    )
+    grams = base.select(
+        "doc_id",
+        "tgt",
+        F.explode(
+            F.concat(word_ngrams(F.col("t"), 1), word_ngrams(F.col("t"), 2))
+        ).alias("g"),
+    )
+    bg = grams.select(
+        "doc_id", "tgt", F.pmod(porthash(F.col("g")), F.lit(buckets)).alias("bucket")
+    )
+    bc = bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rr"))
+    ab = float(alpha) * buckets
+    ratio = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                1000000.0
+                * (
+                    F.log((F.col("ct") + float(alpha)) / (F.col("tt") + ab))
+                    - F.log((F.col("cr") + float(alpha)) / (F.col("rr") + ab))
+                )
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        bg.filter(~F.col("tgt"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_micro").cast("bigint").alias("logw_x1m"),
+        )
+    )
+
+
+_DSIR_TGT = "('src1', 'src2', 'src3')"
+
+
+@query(
+    "corpus_dsir_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, (source IN {_DSIR_TGT}) AS tgt FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt,
+             unnest(list_concat({duck_word_ngrams('text', 1)},
+                                {duck_word_ngrams('text', 2)})) AS g
+      FROM docs
+    ), bg AS (
+      SELECT doc_id, tgt, {duck_porthash('g')} % 64 AS bucket FROM grams
+    ), bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+      FROM bg GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS rr FROM bc
+    ), ratio AS (
+      SELECT bucket,
+             CAST(floor(1000000.0 * (ln((ct + 1.0) / (tt + 64.0))
+                                     - ln((cr + 1.0) / (rr + 64.0)))) AS BIGINT)
+               AS lr_micro
+      FROM bc CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(r.lr_micro) AS BIGINT) AS logw_x1m
+    FROM bg b JOIN ratio r USING (bucket)
+    WHERE NOT b.tgt
+    GROUP BY b.doc_id
+    ORDER BY logw_x1m DESC, doc_id
+    LIMIT 20
+    """,
+)
+def corpus_dsir_topk_q(spark, sf_dir):
+    """DSIR importance resampling: the 20 raw documents that look most
+    like the src1-src3 target domain under hashed unigram+bigram
+    importance ratios — the data-selection step that upweights
+    domain-relevant text before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        docs, "doc_id", "text", F.col("source").isin("src1", "src2", "src3")
+    )
+    return w.orderBy(F.desc("logw_x1m"), F.asc("doc_id")).limit(20)
