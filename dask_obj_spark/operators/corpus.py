@@ -1875,9 +1875,16 @@ def dsir_importance_weights(
     bg = grams.select(
         "doc_id", "tgt", F.pmod(porthash(F.col("g")), F.lit(buckets)).alias("bucket")
     )
-    bc = bg.groupBy("bucket").agg(
-        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+    # the bucket-count table is `buckets` rows — materialize it once so
+    # the totals aggregate and the ratio table both read 64 rows instead
+    # of re-running the gram explode + aggregate (one fewer corpus scan)
+    bc = (
+        bg.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("tgt"), 1).otherwise(0)).alias("cr"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rr"))
     ab = float(alpha) * buckets
