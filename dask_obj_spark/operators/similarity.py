@@ -70,6 +70,18 @@ def duck_cosine(a: str, b: str, dim: int) -> str:
     )
 
 
+def duck_sqdist(a: str, b: str, dim: int) -> str:
+    """DuckDB expression for :func:`sqdist`'s left-assoc squared-distance
+    fold — ``0.0 + (a1-b1)*(a1-b1) + ...``, bit-identical to Spark's."""
+    return (
+        "(0.0 + "
+        + " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
 # -- brute-force top-k --------------------------------------------------------
 
 
@@ -3424,3 +3436,101 @@ def sim_pq_trained_rowsonly_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_fit(emb, "vec_id", "embedding", m=PQ_M, k=8, iters=2)
     return pq_encode(emb, "vec_id", "embedding", books)
+
+
+# -- k-center coreset selection ----------------------------------------------
+
+
+def kcenter_coreset(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 6
+) -> DataFrame:
+    """Greedy k-center coreset selection over an embedding column — the
+    farthest-point-first diversity heuristic (Gonzalez 1985; 2-approx
+    for the k-center radius), the standard "pick a maximally diverse
+    seed set" step in corpus curation / active-learning pipelines.
+
+    Round 1 seeds with the min-id vector; each later round picks the
+    point FARTHEST from the already-chosen set (min over centers of the
+    exact squared euclidean distance, max over points, ties by id) and
+    reports that distance — the coverage radius at pick time.
+
+    Scale shape at 100 TB: the kmeans_fit template — centers circulate
+    as k·dim literal floats, each round is ONE corpus scan with a
+    per-row least() chain over the center literals into a global
+    TakeOrdered(1) (no shuffle of corpus rows, no N-sized state, no
+    all-pairs); driver state is k rows.  Total work k scans — for the
+    coreset sizes this heuristic is used at (seed sets, not
+    clusterings), the scan count is the constant k of the query.
+
+    Numerics: sqdist is the shared left-assoc fold, least() chains in
+    pick order, and the reported radius is floor-quantized to integer
+    micro-units — every pick decision and output value replays
+    bit-for-bit on the DuckDB oracle's identically-unrolled rounds.
+    """
+    import math
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    first = base.orderBy(F.asc("vid")).limit(1).collect()[0]
+    centers: list[tuple[int, list[float], float]] = [
+        (first["vid"], list(first["v"]), 0.0)
+    ]
+    for _ in range(1, k):
+        mind = None
+        for _, vec, _ in centers:
+            d = sqdist(F.col("v"), F.array(*[F.lit(float(x)) for x in vec]))
+            mind = d if mind is None else F.least(mind, d)
+        pick = (
+            base.select("vid", "v", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((pick["vid"], list(pick["v"]), pick["mind"]))
+    rows = [
+        (r + 1, int(vid), int(math.floor(1000000.0 * d)))
+        for r, (vid, _, d) in enumerate(centers)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "round int, vid bigint, dist_x1m bigint"
+    )
+
+
+def _duck_kcenter_sql(k: int, dim: int) -> str:
+    """Identically-unrolled greedy k-center rounds (MATERIALIZED CTEs:
+    DuckDB would otherwise inline each round's chain exponentially)."""
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    )""",
+        "p1 AS MATERIALIZED (SELECT vid, v FROM base ORDER BY vid LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        mind = duck_sqdist("b.v", "p1.v", dim)
+        for j in range(2, r):
+            mind = f"least({mind}, {duck_sqdist('b.v', f'p{j}.v', dim)})"
+        froms = ", ".join(["base b"] + [f"p{j}" for j in range(1, r)])
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT b.vid AS vid, b.v AS v, {mind} AS mind
+      FROM {froms}
+      ORDER BY mind DESC, b.vid LIMIT 1
+    )"""
+        )
+    selects = [
+        "SELECT CAST(1 AS INTEGER) AS round, vid, CAST(0 AS BIGINT) AS dist_x1m FROM p1"
+    ] + [
+        f"SELECT CAST({r} AS INTEGER), vid, CAST(floor(1000000.0 * mind) AS BIGINT) FROM p{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("sim_kcenter_coreset", oracle=_duck_kcenter_sql(6, DIM))
+def sim_kcenter_coreset_q(spark, sf_dir):
+    """Greedy k-center coreset (6 picks) over the embeddings table:
+    each round's pick and its coverage radius, oracle-replayed through
+    identically-unrolled farthest-point rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", k=6)
