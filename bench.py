@@ -61,12 +61,23 @@ WORKLOAD = {
     # round-5 operators
     "b27_bfs_ann": "graph_bfs_ann",
     "b28_tree_reduction": "facade_tree_reduction",
+    # round-6 operators
+    "b29_dsir_topk": "corpus_dsir_topk",
+    "b30_kcenter_coreset": "sim_kcenter_coreset",
+    "b31_stream_neardup": "stream_neardup_minhash",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe
 # (~30 s/run is python-worker task launch, by design) — median of 3 with
 # one warmup keeps the bench total sane while still locking the row
-RUNS_OVERRIDE = {"b28_tree_reduction": (1, 3)}
+RUNS_OVERRIDE = {
+    "b28_tree_reduction": (1, 3),
+    # b31 stands up a fresh two-batch streaming pipeline (scratch files +
+    # checkpoint + foreachBatch upserts) per run — end-to-end cost is
+    # dominated by the fixed streaming-job machinery, so 3 timed runs
+    # bound the bench total the same way b28's override does
+    "b31_stream_neardup": (1, 3),
+}
 
 WARMUP_RUNS = 1
 # 5 timed runs (median): this host shows multi-second noise spikes under

@@ -1862,9 +1862,14 @@ def dsir_importance_weights(
     Absent in the reference (core.py:3-10 imports only dask/toolz);
     Tier-E training-data-pipeline surface.
     """
+    # explicit fan-out (the PLANS.md compute-bound-stage rule): the gram
+    # explode runs interpreted HOF slicing per doc, and a small/1-file
+    # parquet scan would otherwise pin that whole stage to one core —
+    # repartition the narrow doc rows by id before the compute
+    ncores = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"), target.alias("tgt")
-    )
+    ).repartition(ncores, "doc_id")
     grams = base.select(
         "doc_id",
         "tgt",
