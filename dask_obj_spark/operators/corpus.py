@@ -1968,3 +1968,78 @@ def corpus_dsir_topk_q(spark, sf_dir):
         docs, "doc_id", "text", F.col("source").isin("src1", "src2", "src3")
     )
     return w.orderBy(F.desc("logw_x1m"), F.asc("doc_id")).limit(20)
+
+
+# -- weighted per-group sampling (Efraimidis-Spirakis) ------------------------
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsk",
+) -> DataFrame:
+    """Weighted random sample of k items PER GROUP without replacement —
+    Efraimidis & Spirakis (2006): draw u ~ U(0,1) per item and keep the
+    k largest u^(1/w) keys, which selects each item with probability
+    proportional to its weight.  The per-source counterpart of
+    `weighted_sample` (per-doc Bernoulli) and the weighted counterpart
+    of `sample_k_per_group` (uniform); the primitive behind
+    quality-weighted mixture drawing at a fixed per-source budget.
+
+    Ranking by u^(1/w) equals ranking by ln(u)/w (monotone for
+    u in (0,1), w > 0) — the division form avoids pow() and keeps one
+    arithmetic op after the log.  u derives from the portable salted
+    hash of the id, so the draw is reproducible across engines/runs and
+    re-sampleable by changing the salt.  One window per group — a
+    single shuffle on the group key, the same plan as any top-k.
+    Requires strictly positive weights (ln(u) < 0 flips under w <= 0);
+    callers clamp or filter first.
+    """
+    u = (
+        F.pmod(porthash(F.col(id_col).cast("string"), salt), F.lit(1000000)) + 0.5
+    ) / 1000000.0
+    scored = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        (F.log(u) / F.col(weight_col).cast("double")).alias("skey"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("skey"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            F.floor(1000000.0 * F.col("skey")).cast("bigint").alias("skey_x1m"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "corpus_weighted_sample_k",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             ln((({duck_porthash("CAST(doc_id AS VARCHAR)", "wsk")}) % 1000000 + 0.5)
+                / 1000000.0) / CAST(n_chars AS DOUBLE) AS skey
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, skey,
+             row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id)
+               AS rank
+      FROM scored
+    )
+    SELECT source, doc_id,
+           CAST(floor(1000000.0 * skey) AS BIGINT) AS skey_x1m, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def corpus_weighted_sample_k_q(spark, sf_dir):
+    """Length-weighted sample of 5 docs per source (Efraimidis-Spirakis
+    keys on the portable hash), reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k_per_group(docs, "source", "doc_id", "n_chars", k=5)
