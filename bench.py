@@ -91,11 +91,55 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class _StreamFailureGuard:
+    """Fail a bench row if ANY streaming query it started terminated with
+    an exception — a timed run whose stream died mid-flight must not let
+    the median silently cover it (round-6 verdict, harness hygiene).
+    The b31 trace BENCH_r06 captured turned out NOT to be a dying
+    stream: it was the first-batch `read.parquet(<bands history>)`
+    FileNotFoundException, logged with its full stack from inside the
+    MicroBatchExecution thread before the Python handler swallowed it
+    (now exists-guarded in streaming/windows._read_parquet_if_exists) —
+    but the guard stays, because with it a REAL stream death turns the
+    row into a loud failure instead of a logged curiosity."""
+
+    def __init__(self, spark):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        guard = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if event.exception is not None:
+                    guard.failures.append(str(event.exception))
+
+        self.failures: list[str] = []
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+
+    def check(self, bench_name: str) -> None:
+        if self.failures:
+            raise RuntimeError(
+                f"{bench_name}: streaming query terminated with exception "
+                f"during a bench run: {self.failures}"
+            )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="dask_obj_spark-bench")
     load_all_queries()
+    stream_guard = _StreamFailureGuard(spark)
 
     timings: dict[str, float] = {}
     for bench_name, qname in WORKLOAD.items():
@@ -108,6 +152,7 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        stream_guard.check(bench_name)
         timings[bench_name] = round(statistics.median(runs), 3)
         print(f"# {bench_name} ({qname}): {timings[bench_name]}s", file=sys.stderr)
 

@@ -413,6 +413,7 @@ def knn_graph_ann(
     kmeans_k: int | None = None,
     kmeans_iters: int = 2,
     raw: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate kNN GRAPH construction — the library path for every
     graph operator (bfs_hops / k_core / triangle counting / label
@@ -487,8 +488,10 @@ def knn_graph_ann(
             # than a fixed k=16 at 10× data (BASELINE.md §6 round-6).
             # Training runs on a bounded deterministic modular sample —
             # the Faiss practice; the full corpus only flows through
-            # the narrow assignment scan.
-            n = df.count()
+            # the narrow assignment scan.  On a 100 TB table even the
+            # count scan is real money — pass `n_rows` (catalog stats /
+            # known table size) and the bare call runs ZERO extra jobs.
+            n = n_rows if n_rows is not None else df.count()
             if kmeans_k is None:
                 kmeans_k = max(8, min(64, int(n ** 0.5 / 4)))
             train = df
@@ -2559,6 +2562,7 @@ def ivfpq_topk(
     iters: int = 2,
     dim: int = DIM,
     train_sample: int = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k — the composed Faiss-style read path (Jégou et al.,
     TPAMI 2011) and the canonical 100 TB ANN plan: coarse k-means cells
@@ -2603,7 +2607,10 @@ def ivfpq_topk(
         "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("nv")
     )
     if centroids is None or books is None:
-        n = df.count()
+        # auto-sizing needs a row count; accept a caller hint (catalog
+        # statistics / known table size) so a bare call on a 100 TB
+        # table doesn't pay a full count scan before every index build
+        n = n_rows if n_rows is not None else df.count()
         if kmeans_k is None:
             kmeans_k = max(8, min(64, int(n**0.5 / 4)))
         train = base
@@ -2638,9 +2645,11 @@ def ivfpq_topk(
             )
         ).getField("cid")
 
+    # index side carries ONLY (vid, cell, codes) — the raw/normalized
+    # floats never enter the candidate surface (the whole point of ADC);
+    # they are joined back for the shortlist survivors only
     cells = base.select(
         "vid",
-        "nv",
         _nearest_cells(F.col("nv"), centroids, 1).getItem(0).alias("cell"),
         F.array(*[_code(s, book) for s, book in enumerate(books)]).alias("codes"),
     )
@@ -2662,7 +2671,6 @@ def ivfpq_topk(
     )
     pcells = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"),
-        F.col("nv").alias("pnv"),
         pt.alias("pt"),
         F.explode(_nearest_cells(F.col("nv"), centroids, nprobe)).alias("cell"),
     )
@@ -2675,16 +2683,28 @@ def ivfpq_topk(
     # no dedup needed: every vector lives in exactly ONE cell and a
     # probe's nprobe cells are distinct, so (pid, vid) pairs are unique
     # by construction — a dropDuplicates here would be a pure extra
-    # shuffle of the candidate set
-    scored = cand.select("pid", "vid", "pnv", "nv", adc.alias("adc"))
+    # shuffle of the candidate set.  The per-probe ADC table `pt` (m·k
+    # doubles) rides the candidate rows — bounded by the model, not the
+    # corpus; candidate ordering itself is (pid, vid, adc) only, so the
+    # shortlist row_number exchange moves NO dim-sized arrays (the
+    # pq_adc_trained_topk join-back pattern).
+    scored = cand.select("pid", "vid", adc.alias("adc"))
     slw = Window.partitionBy("pid").orderBy(F.asc("adc"), F.asc("vid"))
-    sl = scored.withColumn("slrank", F.row_number().over(slw)).filter(
-        F.col("slrank") <= shortlist
+    sl = (
+        scored.withColumn("slrank", F.row_number().over(slw))
+        .filter(F.col("slrank") <= shortlist)
+        .select("pid", "vid")
     )
-    rescored = sl.select(
-        F.col("pid").alias("id1"),
-        F.col("vid").alias("id2"),
-        dot(F.col("pnv"), F.col("nv")).alias("cos_raw"),
+    p = base.select(F.col("vid").alias("pvid"), F.col("nv").alias("pnv"))
+    b = base.select(F.col("vid").alias("bvid"), F.col("nv").alias("bnv"))
+    rescored = (
+        sl.join(p, sl["pid"] == p["pvid"])
+        .join(b, sl["vid"] == b["bvid"])
+        .select(
+            F.col("pid").alias("id1"),
+            F.col("vid").alias("id2"),
+            dot(F.col("pnv"), F.col("bnv")).alias("cos_raw"),
+        )
     )
     rw = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     return (

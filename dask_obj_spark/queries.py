@@ -35,48 +35,55 @@ def query(name: str, oracle: str | None = None):
 # registration order is part of the contract.  The window is a CURATED
 # ROTATION: every row that already has a green official record in a prior
 # CORRECTNESS_r{N}.json can yield its slot to a query that has never had
-# a driver row.  Round-6 rotation: ALL 50 round-5 window rows went green
-# in CORRECTNESS_r05 (204/267 registered queries now hold official
-# records), so the window turns over to 50 of the 64 remaining
-# never-driven queries — the r5 verdict's named priorities first (the
-# ANN graph pair, the tree-reduction facade, the trained-PQ recall
-# rows, PCA power iteration, sqlrec components, the three format
-# round-trips, the eval/profile families, the ts_* representatives)
-# plus the new round-6 DelayedObjects fleet row; the final 14 rotate in
-# round 7, closing the official record.  Everything outside the window
-# is still hash-verified by tests/test_oracle_parity.py and the judge's
-# full sweep.
+# a driver row.  Round-7 rotation: all 50 round-6 window rows went green
+# in CORRECTNESS_r06 (254/274 registered queries now hold official
+# records).  The window takes the FINAL 20 never-driven queries — this
+# closes the official record at 274/274 — and back-fills the other 30
+# slots with re-drives of the highest-value flagships whose only green
+# record is old: the 8 rows whose r2 failure was re-driven green in r3,
+# TPC-H Q1/Q9, the whole streaming family, and 10 r3-era pipeline/dedup
+# flagships, so the cumulative record also gains recency.
+# ROUND-8+ POLICY (record now closed): the window becomes a rolling
+# re-certification — each round, take the 50 registered queries whose
+# latest official CORRECTNESS_r{N} record is OLDEST (ties broken by
+# registry order), so every query's official row stays at most ~3 rounds
+# stale.  Everything outside the window is still hash-verified every
+# round by tests/test_oracle_parity.py and the judge's full sweep.
 _WINDOW_50 = (
-    # smoke slot: light multi-agg row
-    "stats_aggregates",
-    # r5-verdict named priorities (this round's claims, proven on file)
-    "graph_knn_ann_edges", "graph_bfs_ann", "facade_tree_reduction",
-    "sim_pq_tuned_recall_rowsonly", "sim_pq_trained_rowsonly",
-    "sim_pca_power", "sqlrec_components",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "eval_ab_lift", "eval_cuped_adjustment",
-    # round-6 new operator: Tier-B DelayedObjects fleet (verdict item 7)
-    "delayed_map_fleet_rowsonly",
-    # profile family (first driver rows)
-    "profile_value_histogram", "profile_benford_digits",
-    "profile_jsd_source_matrix", "profile_ks_source_matrix",
-    "profile_completeness",
-    # time-series family representatives (first driver rows)
-    "ts_burst_detection", "ts_markov_transitions", "ts_scd2_intervals",
-    "ts_holt_rowsonly", "ts_latest_per_key", "ts_resample_gapfill",
-    "ts_rolling_stats", "ts_ewma_rowsonly", "ts_anomaly_flags",
-    "ts_interarrival_stats", "ts_rolling_autocorr",
-    # SQL-surface family (first driver rows)
-    "window_ranks", "multi_distinct_agg", "agg_filter_clause",
-    "exists_subquery", "scalar_subquery_avg", "unpivot_metrics",
-    "rollup_time_hierarchy", "asof_join_merge", "array_map_functions",
-    "starmap_struct", "udtf_word_explode", "sessionize_pandas",
-    # sampling / approx (rows-only contracts)
-    "stratified_sample_rowsonly", "approx_topk_terms_rowsonly",
-    # retrieval / ml / corpus representatives (first driver rows)
-    "inverted_index_postings", "centroid_per_label",
-    "ml_nearest_centroid_confusion", "eval_vocab_oov",
-    "incremental_agg_quantile", "pysource_synthetic_docs",
+    # smoke slot: light flagship (r3-era record regains recency)
+    "counts_event_type",
+    # ---- the final 20 never-driven queries (closes the record) ----
+    # r6 additions that prove round-6 claims, first
+    "corpus_dsir_topk", "sim_kcenter_coreset", "corpus_weighted_sample_k",
+    "stream_neardup_minhash", "sim_ivfpq_recall_rowsonly",
+    "graph_knn_ann_trained_rowsonly",
+    # multimodal / eval
+    "mm_clip_pairs", "eval_pair_quality_hist",
+    "mm_decode_checksum_rowsonly", "mm_resize_rowsonly",
+    # text family
+    "text_ngram_diversity", "text_ngram_novelty",
+    "text_tfidf_cosine_pairs", "text_vocab_growth_heaps",
+    # corpus / sim / graph remainder
+    "corpus_sample_k_per_source", "corpus_source_overlap",
+    "sim_standardize_dims", "sim_kmeans_cells_rowsonly",
+    "sim_cosine_topk_numpy_rowsonly", "graph_pagerank_rowsonly",
+    # ---- 30 recency re-drives (all hold green official records) ----
+    # the 8 rows whose only green record is the r3 re-drive of r2 fails
+    "corpus_pack_bins", "pipeline_pack_export", "corpus_pack_payload",
+    "corpus_quantize_int8", "text_repetition_ratio",
+    "window_tumbling_events", "window_sliding_events",
+    "stream_join_click_purchase",
+    # TPC-H flagships
+    "tpch_q1_agg", "tpch_q9_product_profit",
+    # streaming family (rest; records from r3-r5)
+    "window_session_events", "stream_sessionize", "stream_stateful_counts",
+    "stream_dedup_exact", "stream_late_data_drop", "stream_hll_hourly_users",
+    "stream_outer_join_late", "stream_window_topk", "pysource_stream_counts",
+    # r3-era pipeline/dedup/sim flagships
+    "join_lineitem_orders", "dedup_exact_groups", "dedup_minhash_pairs",
+    "dedup_semantic", "sim_cosine_topk_ivf", "corpus_bpe_merges",
+    "pipeline_clean_corpus", "capstone_semantic_chunk_pack",
+    "corpus_contamination", "text_gopher_filter",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

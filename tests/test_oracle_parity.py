@@ -145,15 +145,10 @@ def test_driver_window_is_curated_and_fully_oracle_paired():
     driver records those as no_oracle executions."""
     from dask_obj_spark.queries import _WINDOW_50
 
-    rows_only_allowed = {
-        "sim_pq_tuned_recall_rowsonly",
-        "sim_pq_trained_rowsonly",
-        "delayed_map_fleet_rowsonly",
-        "ts_holt_rowsonly",
-        "ts_ewma_rowsonly",
-        "stratified_sample_rowsonly",
-        "approx_topk_terms_rowsonly",
-    }
     names = list(QUERIES)
     assert names[:50] == list(_WINDOW_50)
-    assert all(n in ORACLE for n in names[:50] if n not in rows_only_allowed)
+    # rows-only contracts are marked by the _rowsonly suffix; every other
+    # window entry must carry the hard hash signal
+    assert all(
+        n in ORACLE for n in names[:50] if not n.endswith("_rowsonly")
+    )

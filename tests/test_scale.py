@@ -415,6 +415,38 @@ def test_pq_adc_ranked_scoring_is_narrow(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_ivfpq_shortlist_exchange_carries_no_arrays(spark, sf_dir):
+    """The r6-verdict payload fix: candidate ordering in the composed
+    IVF-PQ path is (pid, vid, adc) ONLY — the shortlist row_number
+    exchange must move no dim-sized arrays (nv/pnv/pt/codes); raw
+    vectors are joined back for the shortlist survivors, the
+    pq_adc_trained_topk pattern.  Shipping 2×dim×8 bytes per candidate
+    row through the shuffle forfeits the entire ADC win at 100 TB."""
+    from dask_obj_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivfpq_topk(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    # formatted explain lists each node's Input; find every shuffle
+    # exchange partitioned on the probe id (the shortlist window's) and
+    # assert its row payload is exactly the 3 scalar ordering columns
+    blocks = plan.split("\n\n")
+    shortlist_exchanges = [
+        b
+        for b in blocks
+        if ") Exchange" in b and "hashpartitioning(pid#" in b
+    ]
+    assert shortlist_exchanges, plan
+    for b in shortlist_exchanges:
+        inp = next(l for l in b.splitlines() if l.startswith("Input"))
+        assert inp.startswith("Input [3]"), b
+        for banned in ("nv#", "pnv#", "pt#", "codes#"):
+            assert banned not in inp, b
+
+
 def test_knn_graph_ann_default_is_constant_k(spark, oracle_sf_dir):
     """The r5-verdict default fix: a bare knn_graph_ann() call must use
     trained constant-k centroids (literal-argmin assignment — linear,

@@ -281,3 +281,75 @@ def test_checkpoint_resume_carries_state(spark, oracle_sf_dir, tmp_path):
     )
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_neardup_band_history_compaction_and_retention(spark, tmp_path):
+    """The round-6 verdict state-story fix, proven over 20 micro-batches:
+
+    - **bounded file count**: each batch appends one history file; with
+      ``compact_every=5`` the 20th batch's compaction must leave the
+      band history at ``compact_files`` part files, not O(batches).
+    - **watermark retention**: with ``retention_sec=50``, a doc whose
+      only near-dup arrived 100 event-seconds earlier must NOT be
+      flagged (its source's bands are evicted), while a dup 30 seconds
+      back IS flagged; the final compaction makes the eviction physical
+      (min et in the surviving history >= final watermark).
+    - **control**: the same corpus without retention flags both groups.
+
+    Corpus: ids 0..199 in 20 in-order batches of 10, et = doc_id;
+    ids 60..89 duplicate ids 30..59 (distance 30), ids 100..129
+    duplicate ids 0..29 (distance 100), everything else unique.
+    """
+    import os
+
+    from dask_obj_spark.streaming.windows import stream_neardup_minhash
+
+    def text_of(i: int) -> str:
+        if 100 <= i < 130:
+            i -= 100
+        elif 60 <= i < 90:
+            i -= 30
+        return " ".join(f"tok{i}x{j} filler{i}y{j}" for j in range(8))
+
+    rows = [(i, text_of(i), float(i)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts double")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    now = 1_700_000_000
+    for b in range(20):
+        part = docs.filter((F.col("doc_id") >= 10 * b) & (F.col("doc_id") < 10 * (b + 1)))
+        sub = str(tmp_path / f"b{b:02d}")
+        part.coalesce(1).write.parquet(sub)
+        (pf,) = [p for p in os.listdir(sub) if p.endswith(".parquet")]
+        dst = os.path.join(in_dir, f"{b:02d}.parquet")
+        os.rename(os.path.join(sub, pf), dst)
+        os.utime(dst, (now + 10 * b, now + 10 * b))
+
+    def run(target: str, **kw) -> set[int]:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream_neardup_minhash(
+            spark, stream, target, compact_every=5, compact_files=2, **kw
+        )
+        return {r.doc_id for r in spark.read.parquet(target).collect()}
+
+    near = set(range(60, 90))
+    far = set(range(100, 130))
+
+    control = run(str(tmp_path / "flags_ctl"))
+    assert control == near | far
+
+    flags = run(
+        str(tmp_path / "flags_ret"), event_time_col="ts", retention_sec=50.0
+    )
+    assert flags == near, sorted(flags ^ near)
+
+    bands_dir = str(tmp_path / "flags_ret_bands")
+    parts = [p for p in os.listdir(bands_dir) if p.endswith(".parquet")]
+    assert len(parts) <= 2, parts  # compacted, not O(batches)
+    hist = spark.read.parquet(bands_dir)
+    # final watermark = 199 - 50 = 149; eviction is physical
+    assert hist.agg(F.min("et")).collect()[0][0] >= 149.0
