@@ -408,7 +408,7 @@ def knn_graph_ann(
     k: int = 10,
     probe_mod: int = 1,
     centroids: list[list[float]] | None = None,
-    nprobe: int = NPROBE,
+    nprobe: int = 4,
     centroid_mod: int | None = None,
     kmeans_k: int | None = None,
     kmeans_iters: int = 2,
@@ -917,7 +917,7 @@ def graph_knn_ann_edges_q(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     knn = knn_graph_ann(
         emb, "vec_id", "embedding", k=10, probe_mod=5,
-        centroid_mod=CENTROID_MOD, raw=True,
+        centroid_mod=CENTROID_MOD, nprobe=NPROBE, raw=True,
     )
     return knn.select(
         "id1",
@@ -971,7 +971,8 @@ def graph_bfs_ann_q(spark, sf_dir):
     frontier iteration all hash-match the unrolled oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     knn = knn_graph_ann(
-        emb, "vec_id", "embedding", k=10, probe_mod=5, centroid_mod=CENTROID_MOD
+        emb, "vec_id", "embedding", k=10, probe_mod=5,
+        centroid_mod=CENTROID_MOD, nprobe=NPROBE,
     )
     edges = knn.select(
         F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
@@ -2552,7 +2553,7 @@ def ivfpq_topk(
     vec_col: str,
     probe_mod: int,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int = 4,
     m: int = 8,
     codebook_k: int = 64,
     shortlist: int = 100,

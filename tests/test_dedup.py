@@ -371,9 +371,11 @@ def test_weighted_sssp_converges_past_fixed_rounds(spark):
 def test_ivfpq_topk_recall_floor(spark, oracle_sf_dir):
     """The composed IVF-PQ read path (trained auto-sized cells + m=8
     codebooks, ADC shortlist, exact re-rank) must recover a real
-    fraction of brute-force truth end-to-end; 0.3 floor leaves headroom
-    under corpus-draw variance (0.52 measured at sf0.01).  Also pins
-    the scoring contract: every emitted score is an exact cosine."""
+    fraction of brute-force truth end-to-end; 0.5 floor leaves headroom
+    under corpus-draw variance (0.70 measured at sf0.01 with the
+    round-7 swept default nprobe=4 — PLANS.md "composed-path recall
+    engineering").  Also pins the scoring contract: every emitted score
+    is an exact cosine."""
     import __spark_entry__ as entrymod
 
     rows = entrymod.queries()["sim_ivfpq_recall_rowsonly"](
@@ -381,14 +383,15 @@ def test_ivfpq_topk_recall_floor(spark, oracle_sf_dir):
     ).collect()
     assert len(rows) > 0
     mean_recall = sum(r.recall for r in rows) / len(rows)
-    assert mean_recall >= 0.3, f"IVF-PQ recall collapsed: {mean_recall}"
+    assert mean_recall >= 0.5, f"IVF-PQ recall collapsed: {mean_recall}"
 
 
 def test_knn_graph_ann_trained_recall_floor(spark, oracle_sf_dir):
     """The production (bare-call, trained auto-√N centroids) kNN-graph
     builder holds a recall floor vs the brute graph — the library
     default must stay usable, not just the oracle-replay wrappers
-    (0.50 measured at sf0.01)."""
+    (0.74 measured at sf0.01 with the round-7 swept default nprobe=4 —
+    PLANS.md "composed-path recall engineering")."""
     import __spark_entry__ as entrymod
 
     rows = entrymod.queries()["graph_knn_ann_trained_rowsonly"](
@@ -396,4 +399,4 @@ def test_knn_graph_ann_trained_recall_floor(spark, oracle_sf_dir):
     ).collect()
     assert len(rows) > 0
     mean_recall = sum(r.recall for r in rows) / len(rows)
-    assert mean_recall >= 0.3, f"trained kNN graph recall collapsed: {mean_recall}"
+    assert mean_recall >= 0.5, f"trained kNN graph recall collapsed: {mean_recall}"
