@@ -3555,3 +3555,234 @@ def sim_kcenter_coreset_q(spark, sf_dir):
     identically-unrolled farthest-point rounds."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, "vec_id", "embedding", k=6)
+
+
+# -- binary quantization (sign-bit codes + Hamming shortlist) -----------------
+
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = DIM,
+    thresholds: list[int] | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Per-dimension sign-bit codes packed 32-to-a-BIGINT: the 32×
+    compression path of modern vector stores (binary quantization with
+    Hamming-distance candidate generation; see also SimHash,
+    operators/dedup.py — this is its *per-dimension threshold* cousin
+    for raw embedding columns rather than hyperplane projections).
+
+    Reference has no vector ops (SURVEY.md §2 Tier E) — Tier-E surface.
+
+    Bit rule, integer-exact on both engines: quantize each component to
+    micro-units ``q_j = floor(v_j · 1e6)`` (BIGINT, per-row, exact),
+    learn per-dimension totals ``T_j = Σ q_j`` (BIGINT sum — order-free,
+    no float-sum hazard), and set bit j iff ``q_j · n > T_j`` (strictly
+    above the dimension mean, compared in integers — no division, no
+    rounding ambiguity).  Packing adds ``bit << (j mod 32)`` into word
+    ``j div 32`` — non-negative powers of two, left-assoc, exact; 32
+    bits per 64-bit word so no sign-bit edge cases in either engine.
+
+    Plan shape (the pq_encode discipline): the threshold fit is ONE
+    explode + hash-agg over (dim) — d output rows, map-side combined —
+    collected as bounded model state (d BIGINTs); the encode itself is
+    a zero-exchange narrow scan against literal threshold arrays.  At
+    100 TB the fit is a single pass producing d rows and the encode
+    never shuffles; pass precomputed ``thresholds``/``n_rows`` (e.g.
+    from a saved model) to skip the fit entirely.
+
+    Overflow note: ``q_j · n`` stays in BIGINT for |v| ≤ ~1e3 up to
+    n ≈ 9e9 rows; beyond that scale, fit thresholds on a bounded
+    modular sample (the kmeans_fit/pq_fit train_sample pattern).
+
+    Returns (vid, words: array<bigint> of length ceil(dim/32)).
+    """
+    raw = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x * F.lit(1000000.0)).cast("bigint"))
+    if thresholds is None or n_rows is None:
+        fit = (
+            raw.select(F.posexplode(q).alias("j", "qv"))
+            .groupBy("j")
+            .agg(F.sum("qv").alias("t"), F.count("*").alias("c"))
+            .collect()
+        )
+        thresholds = [0] * dim
+        for r in fit:
+            thresholds[r["j"]] = int(r["t"])
+        n_rows = int(fit[0]["c"]) if fit else 0
+    tlit = F.array(*[F.lit(int(t)).cast("bigint") for t in thresholds])
+    n = F.lit(int(n_rows)).cast("bigint")
+    qcol = q
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.element_at(qcol, j + 1) * n > F.element_at(tlit, j + 1)).cast(
+            "bigint"
+        ),
+    )
+    nwords = (dim + 31) // 32
+
+    def _word(w: int) -> Column:
+        # unrolled 32-term integer add of literal powers of two —
+        # non-negative, exact, and order-free (so the oracle's grouped
+        # SUM over bit<<pos replays to the identical BIGINT)
+        acc = F.lit(0).cast("bigint")
+        for b in range(32):
+            j = w * 32 + b
+            if j >= dim:
+                break
+            acc = acc + F.when(
+                F.element_at(bits, j + 1) == 1, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    words = F.array(*[_word(w) for w in range(nwords)])
+    return raw.select("vid", F.col("v"), bits.alias("bits"), words.alias("words"))
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int,
+    k: int = 10,
+    shortlist: int = 100,
+    dim: int = DIM,
+    thresholds: list[int] | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Binary-quantized ANN read path: Hamming-distance candidate
+    generation over packed sign-bit words, exact cosine re-rank for the
+    per-probe ``shortlist`` survivors only.
+
+    The 100 TB plan: the standing index is (vid, words) — ceil(d/32)
+    BIGINTs per vector, 32× smaller than the float32 raws, so the
+    candidate surface streams ~2 words/row against a broadcast probe
+    table; ``hamming`` is a zip_with xor→popcount fold (pure integer,
+    whole-stage codegen).  Raw vectors enter ONLY for the shortlist
+    re-rank via join-back (the ivfpq_topk/pq_adc_trained_topk payload
+    discipline: no dim-sized arrays ride the shortlist exchange).
+
+    Cross-engine exactness: Hamming is integer (xor + bit_count), the
+    shortlist is (hamming asc, vid) row_number, and the re-rank orders
+    by ``floor(cosine·1e6)`` on the shared left-assoc double fold —
+    every comparison the query makes is on integers.
+
+    Probe side is bounded by the MAX_PROBES harness contract.
+    """
+    enc = binary_quantize(df, id_col, vec_col, dim, thresholds, n_rows)
+    index = enc.select("vid", "words")
+    probes = enc.filter(F.col("vid") % probe_mod == 0).select(
+        F.col("vid").alias("pid"), F.col("words").alias("pwords")
+    )
+    n_probes = probes.limit(MAX_PROBES + 1).count()
+    if n_probes > MAX_PROBES:
+        raise ValueError(
+            f"binary_hamming_topk: probe set exceeds MAX_PROBES={MAX_PROBES} "
+            "(exact-oracle harness contract) — raise probe_mod"
+        )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("pwords"), F.col("words"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    cand = (
+        index.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+        .select("pid", "vid", ham.alias("hamming"))
+    )
+    slw = Window.partitionBy("pid").orderBy(F.asc("hamming"), F.asc("vid"))
+    sl = (
+        cand.withColumn("slrank", F.row_number().over(slw))
+        .filter(F.col("slrank") <= shortlist)
+        .select("pid", "vid", "hamming")
+    )
+    raw = df.select(
+        F.col(id_col).alias("rvid"), F.col(vec_col).cast("array<double>").alias("rv")
+    )
+    p = raw.select(F.col("rvid").alias("pvid"), F.col("rv").alias("pv"))
+    rr = (
+        sl.join(p, sl["pid"] == p["pvid"])
+        .join(raw, sl["vid"] == raw["rvid"])
+        .select(
+            "pid",
+            "vid",
+            "hamming",
+            F.floor(
+                cosine_sim(F.col("pv"), F.col("rv")) * F.lit(1000000.0)
+            ).cast("bigint").alias("cos_x1m"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos_x1m"), F.asc("vid"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("pid").alias("id1"),
+            F.col("vid").alias("id2"),
+            "hamming",
+            "cos_x1m",
+            "rank",
+        )
+    )
+
+
+def _duck_binary_hamming_oracle(probe_mod: int, k: int, shortlist: int, dim: int) -> str:
+    nwords = (dim + 31) // 32
+    cos = duck_cosine("p.v", "c.v", dim)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+),
+qd AS MATERIALIZED (
+  SELECT vid, i, floor(v[i] * 1000000.0)::BIGINT AS q
+  FROM base, range(1, {dim + 1}) t(i)
+),
+fit AS (SELECT i, sum(q) AS t FROM qd GROUP BY i),
+nn AS (SELECT count(*)::BIGINT AS n FROM base),
+wordrows AS MATERIALIZED (
+  SELECT qd.vid, ((qd.i - 1) // 32)::INT AS w,
+         sum(CASE WHEN qd.q * nn.n > fit.t
+             THEN (1::BIGINT << ((qd.i - 1) % 32)) ELSE 0 END) AS word
+  FROM qd JOIN fit USING (i) CROSS JOIN nn
+  GROUP BY qd.vid, ((qd.i - 1) // 32)
+),
+ham AS MATERIALIZED (
+  SELECT p.vid AS pid, c.vid AS vid,
+         sum(bit_count(xor(p.word, c.word)))::BIGINT AS hamming
+  FROM wordrows p JOIN wordrows c USING (w)
+  WHERE p.vid % {probe_mod} = 0 AND p.vid <> c.vid
+  GROUP BY 1, 2
+),
+sl AS MATERIALIZED (
+  SELECT pid, vid, hamming,
+         row_number() OVER (PARTITION BY pid ORDER BY hamming ASC, vid ASC) AS slrank
+  FROM ham
+  QUALIFY slrank <= {shortlist}
+),
+rr AS (
+  SELECT sl.pid, sl.vid, sl.hamming,
+         floor({cos} * 1000000.0)::BIGINT AS cos_x1m
+  FROM sl JOIN base p ON sl.pid = p.vid JOIN base c ON sl.vid = c.vid
+)
+SELECT pid AS id1, vid AS id2, hamming, cos_x1m,
+       row_number() OVER (PARTITION BY pid ORDER BY cos_x1m DESC, vid ASC) AS rank
+FROM rr
+QUALIFY rank <= {k}
+"""
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle=_duck_binary_hamming_oracle(50, 10, 100, DIM),
+)
+def sim_binary_hamming_topk_q(spark, sf_dir):
+    """Binary-quantization ANN (packed sign bits + Hamming shortlist +
+    exact cosine re-rank) for probes vid % 50 == 0 over the embeddings
+    table — the 32×-compressed candidate-generation read path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, "vec_id", "embedding", probe_mod=50)

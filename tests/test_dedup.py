@@ -400,3 +400,49 @@ def test_knn_graph_ann_trained_recall_floor(spark, oracle_sf_dir):
     assert len(rows) > 0
     mean_recall = sum(r.recall for r in rows) / len(rows)
     assert mean_recall >= 0.5, f"trained kNN graph recall collapsed: {mean_recall}"
+
+
+def test_binary_hamming_recall_vs_brute(spark, oracle_sf_dir):
+    from dask_obj_spark.operators.similarity import (
+        binary_hamming_topk,
+        cosine_topk_brute,
+    )
+    from dask_obj_spark.sources import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    brute = {
+        (r.id1, r.id2)
+        for r in cosine_topk_brute(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    bq = {
+        (r.id1, r.id2)
+        for r in binary_hamming_topk(emb, "vec_id", "embedding", 50, 10).collect()
+    }
+    assert len(bq) > 0
+    # sf0.01 sweep (round 7): shortlist 50 → 0.68, 100 → 0.85, 150 → 0.90;
+    # default shortlist=100 — floor well below measured to absorb SF drift
+    recall = len(brute & bq) / len(brute)
+    assert recall > 0.5, f"binary-quantization recall collapsed: {recall}"
+
+
+def test_binary_quantize_words_pack_bits(spark):
+    """words must equal the 32-bit packing of the bit array (and bits
+    must be the strict above-mean rule, integer-exact)."""
+    from dask_obj_spark.operators.similarity import binary_quantize
+
+    rows = spark.createDataFrame(
+        [
+            (0, [1.0, -1.0, 0.5, 0.5]),
+            (1, [0.0, 1.0, 0.5, 0.5]),
+            (2, [-1.0, 0.0, 0.5, 0.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["vid"]: (list(r["bits"]), list(r["words"]))
+        for r in binary_quantize(rows, "vec_id", "embedding", dim=4).collect()
+    }
+    # dim means: (0, 0, 0.5, 0.5) — bit set iff strictly above
+    assert got[0] == ([1, 0, 0, 0], [0b0001])
+    assert got[1] == ([0, 1, 0, 0], [0b0010])
+    assert got[2] == ([0, 0, 0, 0], [0b0000])
