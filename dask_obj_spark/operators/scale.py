@@ -765,3 +765,110 @@ def sketch_hll_sliding_users_q(spark, sf_dir):
     return est.join(exact, est["hr"] == exact["wend"]).select(
         F.col("hr").alias("hour_end"), "est_x1000", "n_exact"
     )
+
+
+# -- exact heavy hitters (Misra-Gries candidates + exact second pass) ---------
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT φ=1/k heavy hitters with bounded per-partition state — the
+    classic two-pass plan for "top terms of a 100 TB token stream".
+
+    Pass 1 runs Misra-Gries summaries (``counters`` slots, default 2k)
+    per partition via Arrow-batched mapInPandas and unions the surviving
+    candidate items.  The MG pigeonhole guarantee makes the union a
+    SUPERSET of every item with global frequency ≥ n/k: such an item
+    has freq_p ≥ n_p/k in at least one partition (weighted average),
+    and an MG summary with ≥ k slots retains any item with
+    freq_p > n_p/(counters+1).  Candidate volume is ≤ counters per
+    partition — broadcast-sized — regardless of corpus size.
+
+    Pass 2 semi-joins the stream against the broadcast candidates and
+    counts EXACTLY, keeping ``cnt · k ≥ n``.  The output is therefore
+    fully deterministic (exact counts of a deterministic set) even
+    though MG's internal evictions are partition-order dependent —
+    which is what makes this sketch op oracle-pairable with a plain
+    ``GROUP BY … HAVING`` while never materializing the full-vocabulary
+    hash aggregate that a naive plan would shuffle.
+
+    The partition total ``n`` rides out of pass 1 as a sentinel row, so
+    the stream is scanned exactly twice and never fully aggregated.
+
+    Returns (term, cnt, share_x1m) — share in integer micro-units via
+    BIGINT division (exact on both engines).
+    """
+    if counters is None:
+        counters = 2 * k
+    src = items.select(F.col(item_col).cast("string").alias("term"))
+
+    def mg(batches):
+        # self-contained worker closure (cloudpickle ships it by value);
+        # mergeable-summaries form (Agarwal et al., TODS 2013): a batch's
+        # exact value_counts IS an MG summary of the batch, so merge-in
+        # then subtract the (counters+1)-th largest count from all slots
+        # and drop the non-positive — vectorized, same superset bound
+        import pandas as pd
+
+        slots: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            for term, c in pdf["term"].value_counts().items():
+                slots[term] = slots.get(term, 0) + int(c)
+            if len(slots) > counters:
+                cut = sorted(slots.values(), reverse=True)[counters]
+                slots = {t: v - cut for t, v in slots.items() if v > cut}
+        yield pd.DataFrame(
+            {"term": list(slots) + [None], "pn": [0] * len(slots) + [total]}
+        )
+
+    pass1 = src.mapInPandas(mg, "term string, pn long").persist()
+    n_total = pass1.agg(F.sum("pn")).collect()[0][0] or 0
+    cands = pass1.filter(F.col("term").isNotNull()).select("term").distinct()
+    out = (
+        src.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * F.lit(k) >= F.lit(int(n_total)))
+        .select(
+            "term",
+            "cnt",
+            # true BIGINT division (DIV), not double-divide-then-cast —
+            # FP rounding at an integer boundary would crack the oracle
+            F.expr(
+                f"cnt * CAST(1000000 AS BIGINT) DIV CAST({int(n_total)} AS BIGINT)"
+            ).alias("share_x1m"),
+        )
+    )
+    pass1.unpersist()
+    return out
+
+
+def _duck_heavy_hitters_oracle(k: int) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n FROM toks),
+c AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY term)
+SELECT term, cnt, ((cnt * 1000000) // (SELECT n FROM n))::BIGINT AS share_x1m
+FROM c WHERE cnt * {k} >= (SELECT n FROM n)
+"""
+
+
+@query("sketch_heavy_hitters", oracle=_duck_heavy_hitters_oracle(50))
+def sketch_heavy_hitters_q(spark, sf_dir):
+    """Exact 1/50-heavy-hitter terms over the documents token stream:
+    Misra-Gries bounded-state candidates, broadcast semi-join, exact
+    second-pass counts — never a full-vocabulary shuffle."""
+    from dask_obj_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ws_tokens("text")).alias("term"))
+    return heavy_hitters(toks, "term", k=50)

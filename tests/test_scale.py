@@ -463,3 +463,41 @@ def test_knn_graph_ann_default_is_constant_k(spark, oracle_sf_dir):
     # shuffled hash on cid), so no BroadcastNestedLoopJoin may appear
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert g.count() > 0
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    """Output must equal the exact GROUP BY ... HAVING answer (the MG
+    pass only proposes candidates), including under a skewed stream
+    split across many small partitions with few counters."""
+    from dask_obj_spark.operators.scale import heavy_hitters
+
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(400)]
+        + [("tepid",)] * 60
+    )
+    df = spark.createDataFrame(rows, ["term"]).repartition(16)
+    n = len(rows)  # 880
+    k = 10  # threshold 88
+    got = {r["term"]: (r["cnt"], r["share_x1m"]) for r in
+           heavy_hitters(df, "term", k=k, counters=12).collect()}
+    assert got == {
+        "hot": (300, 300 * 1000000 // n),
+        "warm": (120, 120 * 1000000 // n),
+    }
+
+
+def test_heavy_hitters_candidate_state_is_bounded(spark):
+    """The pass-1 summary must never exceed `counters` candidate rows
+    per partition (bounded state is the whole point at 100 TB)."""
+    from pyspark.sql import functions as F
+    from dask_obj_spark.operators.scale import heavy_hitters
+
+    # reuse the internals through a tiny run: many distinct items, few
+    # counters, single partition — candidates <= counters
+    rows = [(f"t{i % 97}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["term"]).coalesce(1)
+    out = heavy_hitters(df, "term", k=5, counters=8)
+    # with 97 uniform-ish items nothing reaches n/5 — exact answer: empty
+    assert out.count() == 0
