@@ -2043,3 +2043,133 @@ def corpus_weighted_sample_k_q(spark, sf_dir):
     keys on the portable hash), reproducible across engines."""
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample_k_per_group(docs, "source", "doc_id", "n_chars", k=5)
+
+
+# -- semantic contamination (embedding-level decontamination) -----------------
+
+
+def semantic_contamination(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_mod: int = 17,
+    eval_rem: int = 3,
+    tau_x1m: int = 300000,
+    cell_mod: int = 61,
+) -> DataFrame:
+    """Embedding-level decontamination: flag every TRAIN document whose
+    embedding has cosine ≥ τ to ANY eval-set embedding, reporting the
+    closest eval match — the semantic completion of the exact 8-gram
+    `contamination_check` above (a paraphrased benchmark prompt shares
+    no 8-gram but lands next to its source in embedding space).
+
+    Reference has no vector ops (SURVEY.md §2 Tier E) — Tier-E surface.
+
+    100 TB shape: identical to SemDeDup (operators/dedup.py:562) — the
+    pairwise surface is bounded by coarse-cell co-membership (an
+    equi-join on cell id, never train×eval all-pairs), and at
+    production scale the eval side (benchmark prompts, thousands of
+    rows) is broadcast while the train side streams through its
+    standing cell index.  Here the eval set is the deterministic
+    ``vid % eval_mod == eval_rem`` slice and cells are modular
+    (``vid % cell_mod == 1`` centroids) so the DuckDB oracle replays
+    the exact index; the trained-kmeans production path swaps in
+    `kmeans_fit` centroids unchanged.
+
+    τ is taken in integer micro-units and compared on
+    ``floor(cos·1e6)`` — every ordering/threshold decision is on
+    integers (no round(), no cross-engine tie hazard).
+
+    Returns (vid, eval_vid, cos_x1m): flagged train docs with their
+    single closest eval doc (ties by lowest eval id).
+    """
+    from dask_obj_spark.operators.similarity import dot, l2_norm
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", l2_norm(F.col("v")))
+    cents = base.filter(F.col("vid") % cell_mod == 1).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
+    cells = (
+        base.join(F.broadcast(cents))
+        .select(
+            "vid",
+            "v",
+            "vn",
+            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cs"),
+            "cid",
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vid", "v", "vn", F.col("cid").alias("cell"))
+    )
+    train = cells.filter(F.col("vid") % eval_mod != eval_rem)
+    evals = cells.filter(F.col("vid") % eval_mod == eval_rem).select(
+        F.col("cell"),
+        F.col("vid").alias("eval_vid"),
+        F.col("v").alias("ev"),
+        F.col("vn").alias("en"),
+    )
+    pairs = (
+        train.join(evals, "cell")
+        .select(
+            "vid",
+            "eval_vid",
+            F.floor(
+                (dot(F.col("v"), F.col("ev")) / (F.col("vn") * F.col("en")))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("cos_x1m"),
+        )
+        .filter(F.col("cos_x1m") >= F.lit(tau_x1m))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos_x1m"), F.asc("eval_vid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "eval_vid", "cos_x1m")
+    )
+
+
+def _semantic_contamination_oracle(
+    eval_mod: int, eval_rem: int, tau_x1m: int, cell_mod: int, dim: int
+) -> str:
+    from dask_obj_spark.operators.dedup import _semantic_cells_ctes
+    from dask_obj_spark.operators.similarity import duck_cosine
+
+    cos = duck_cosine("a.v", "b.v", dim)
+    return (
+        _semantic_cells_ctes(0.35, cell_mod, dim)
+        + f""", pairs AS (
+      SELECT a.vid AS vid, b.vid AS eval_vid,
+             floor(({cos}) * 1000000.0)::BIGINT AS cos_x1m
+      FROM cells a JOIN cells b ON a.cell = b.cell
+      WHERE a.vid % {eval_mod} <> {eval_rem} AND b.vid % {eval_mod} = {eval_rem}
+    )
+    SELECT vid, eval_vid, cos_x1m FROM (
+      SELECT vid, eval_vid, cos_x1m,
+             row_number() OVER (
+               PARTITION BY vid ORDER BY cos_x1m DESC, eval_vid ASC
+             ) AS rn
+      FROM pairs WHERE cos_x1m >= {tau_x1m}
+    ) WHERE rn = 1
+    """
+    )
+
+
+from dask_obj_spark.operators.similarity import DIM as _EMB_DIM
+
+
+@query(
+    "corpus_semantic_contamination",
+    oracle=_semantic_contamination_oracle(17, 3, 300000, 61, _EMB_DIM),
+)
+def corpus_semantic_contamination_q(spark, sf_dir):
+    """Semantic decontamination over the embeddings table: train docs
+    (vid % 17 != 3) flagged when cosine ≥ 0.30 to any eval-slice doc
+    within the same coarse cell, with the closest eval match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(emb, "vec_id", "embedding")

@@ -423,3 +423,26 @@ def test_triangle_counts_known_graphs(spark):
     assert (
         triangle_counts(spark.createDataFrame(path, ["a", "b"]), "a", "b").count() == 0
     )
+
+
+def test_semantic_contamination_flags_near_duplicate_of_eval(spark):
+    """A train vector nearly parallel to an eval vector must be flagged
+    with that eval id; an orthogonal one must not appear."""
+    from dask_obj_spark.operators.corpus import semantic_contamination
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # centroid (vid % 61 == 1)
+        (3, [1.0, 0.02, 0.0, 0.0]),  # eval (vid % 17 == 3)
+        (5, [1.0, 0.01, 0.0, 0.0]),  # train, near eval 3 -> flagged
+        (8, [0.0, 0.0, 1.0, 0.0]),   # train, orthogonal -> clean
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vid"]: (r["eval_vid"], r["cos_x1m"])
+        for r in semantic_contamination(
+            df, "vec_id", "embedding", eval_mod=17, eval_rem=3,
+            tau_x1m=900000, cell_mod=61,
+        ).collect()
+    }
+    assert set(got) == {1, 5}  # the centroid itself is also near eval 3
+    assert got[5][0] == 3 and got[5][1] >= 990000
