@@ -3786,3 +3786,100 @@ def sim_binary_hamming_topk_q(spark, sf_dir):
     table — the 32×-compressed candidate-generation read path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return binary_hamming_topk(emb, "vec_id", "embedding", probe_mod=50)
+
+
+# -- random projection (Johnson-Lindenstrauss dimensionality reduction) -------
+
+
+def _rp_signs(out_dim: int, dim: int, salt: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 sign matrix from md5 — computed once at plan
+    time, embedded as literals in BOTH engines, so the projection is a
+    fixed linear map with no cross-engine randomness to reconcile."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{i}_{j}#{salt}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+    dim: int = DIM,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim → out_dim via a
+    fixed ±1/√r sign matrix (Achlioptas 2003 database-friendly variant
+    — sign matrices preserve pairwise distances in expectation exactly
+    like Gaussian ones, and cost only adds/subtracts).
+
+    Reference has no vector ops (SURVEY.md §2 Tier E) — Tier-E surface.
+
+    The 100 TB story: projection is a ZERO-exchange narrow map — each
+    output coordinate is one literal-sign dot fold over the row's own
+    array; no model state circulates (the sign matrix is plan
+    literals), so this is the cheap front-end that shrinks 100 TB of
+    raw embeddings to out_dim/dim of their size before any pairwise
+    stage (LSH, kmeans, dedup) touches them.
+
+    Returns (vid, y: array<double> of length out_dim).
+    """
+    signs = _rp_signs(out_dim, dim)
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    raw = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ys = [
+        (dot(F.col("v"), F.array(*[F.lit(s) for s in row])) * F.lit(inv)).alias(
+            f"y{i}"
+        )
+        for i, row in enumerate(signs)
+    ]
+    return raw.select("vid", F.array(*[y for y in ys]).alias("y"))
+
+
+def _duck_random_projection_oracle(out_dim: int, dim: int) -> str:
+    import math
+
+    signs = _rp_signs(out_dim, dim)
+    inv = repr(1.0 / math.sqrt(out_dim))
+    chains = [
+        "(0.0 + "
+        + " + ".join(f"({row[j]!r})*v[{j + 1}]" for j in range(dim))
+        + ")"
+        for row in signs
+    ]
+    ys = ", ".join(f"(({c}) * {inv})" for c in chains)
+    return f"""
+WITH base AS (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+),
+proj AS (SELECT vid, [{ys}] AS y FROM base)
+SELECT vid, i - 1 AS j, floor(y[i] * 1000000.0)::BIGINT AS y_x1m
+FROM proj, range(1, {out_dim + 1}) t(i)
+"""
+
+
+@query("sim_random_projection", oracle=_duck_random_projection_oracle(16, DIM))
+def sim_random_projection_q(spark, sf_dir):
+    """JL random projection 64 → 16 over the embeddings table, emitted
+    as (vid, j, floor-quantized coordinate) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", out_dim=16)
+    return proj.select(
+        "vid",
+        F.posexplode("y").alias("j", "yv"),
+    ).select(
+        "vid",
+        "j",
+        F.floor(F.col("yv") * F.lit(1000000.0)).cast("bigint").alias("y_x1m"),
+    )

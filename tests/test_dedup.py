@@ -446,3 +446,34 @@ def test_binary_quantize_words_pack_bits(spark):
     assert got[0] == ([1, 0, 0, 0], [0b0001])
     assert got[1] == ([0, 1, 0, 0], [0b0010])
     assert got[2] == ([0, 0, 0, 0], [0b0000])
+
+
+def test_random_projection_preserves_pairwise_distances(spark, oracle_sf_dir):
+    """JL property: squared distances in the projected space track the
+    originals — mean relative distortion over sampled pairs stays well
+    under 1 (r=16 gives a loose but real bound)."""
+    import math
+
+    from dask_obj_spark.operators.similarity import random_projection
+    from dask_obj_spark.sources import load_table
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.limit(40).collect()}
+    proj = {
+        r["vid"]: list(r["y"])
+        for r in random_projection(emb, "vec_id", "embedding", out_dim=16)
+        .filter(F.col("vid").isin(*orig.keys()))
+        .collect()
+    }
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(orig)
+    dists = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        do, dp = sq(orig[a], orig[b]), sq(proj[a], proj[b])
+        if do > 0:
+            dists.append(abs(dp - do) / do)
+    assert dists and sum(dists) / len(dists) < 0.6, dists
