@@ -2173,3 +2173,147 @@ def corpus_semantic_contamination_q(spark, sf_dir):
     within the same coarse cell, with the closest eval match."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_contamination(emb, "vec_id", "embedding")
+
+
+# -- char-level BPE tokenizer: fit on a bounded sample, encode at scale -------
+
+
+def bpe_char_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 50,
+    vocab_cap: int = 5000,
+) -> list[tuple[str, str]]:
+    """Learn a character-level BPE merge table (Sennrich et al. 2016)
+    from the corpus word-frequency profile — the tokenizer-TRAINING
+    half of the pipeline, done the way production tokenizers are: the
+    model trains on a BOUNDED summary (top ``vocab_cap`` words by
+    frequency, one hash aggregate + TakeOrdered), never by streaming
+    the corpus through the merge loop.  At 100 TB the driver holds
+    ``vocab_cap`` (word, count) rows and the Python loop below — the
+    corpus itself is touched exactly once.
+
+    Deterministic end to end: word ranking ties break lexicographically
+    and merge-pair ties break (count desc, pair lex asc), so the same
+    corpus always yields the same merge table (the encode oracle story
+    depends on it).
+
+    Complements `bpe_learn_merges` above (word-symbol merges, fully
+    distributed + oracle-replayed): this one is the subword vocabulary
+    builder whose output feeds `bpe_char_encode`.
+    """
+    word_counts = (
+        df.select(F.explode(ws_tokens_corpus(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + ("</w>",): int(r["n"]) for r in word_counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+def bpe_char_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned char-BPE merge table to every document — the
+    tokenizer-APPLICATION half: rank-ordered greedy merging per word
+    (lowest-rank eligible pair first, the GPT-2/sentencepiece encode
+    rule), shipped as an Arrow-batched mapInPandas closure with the
+    merge table captured by value (bounded model state) and a per-task
+    word→tokens memo so hot words tokenize once per partition.
+
+    Returns (doc_id, n_words, n_chars, n_bpe_tokens) — the per-doc
+    token-budget numbers a packing/mixture stage consumes.  Rows-only
+    registration: greedy rank-ordered merging is an iterative
+    list-rewrite with no SQL form; unit tests pin the classic examples
+    and the concatenation/count invariants instead.
+    """
+    ranks = {tuple(m): r for r, m in enumerate(merges)}
+
+    def encode_part(batches):
+        # self-contained worker closure (no module-global references)
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word) + ["</w>"]
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks
+                ]
+                if not cand:
+                    break
+                _, i = min(cand)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            memo[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            words = pdf["text"].fillna("").str.strip().str.split()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": [len(ws) for ws in words],
+                    "n_chars": [sum(len(w) for w in ws) for ws in words],
+                    "n_bpe_tokens": [
+                        sum(n_tokens(w) for w in ws) for ws in words
+                    ],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(
+        encode_part, "doc_id long, n_words long, n_chars long, n_bpe_tokens long"
+    )
+
+
+@query("corpus_bpe_encode_rowsonly")
+def corpus_bpe_encode_rowsonly_q(spark, sf_dir):
+    """Char-BPE tokenizer fit (50 merges on the bounded word-frequency
+    profile) + encode applied to every document: per-doc word/char/BPE
+    token counts.  Rows-only (greedy rank-ordered merging has no SQL
+    form); invariants and classic examples pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_char_fit(docs, "doc_id", "text", n_merges=50)
+    return bpe_char_encode(docs, "doc_id", "text", merges)

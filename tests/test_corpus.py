@@ -446,3 +446,36 @@ def test_semantic_contamination_flags_near_duplicate_of_eval(spark):
     }
     assert set(got) == {1, 5}  # the centroid itself is also near eval 3
     assert got[5][0] == 3 and got[5][1] >= 990000
+
+
+def test_bpe_char_fit_classic_example(spark):
+    """Sennrich's running example: 'low'x5 'lower'x2 'newest'x6
+    'widest'x3 — first merges are (e,s), (es,t), (est,</w>)."""
+    from dask_obj_spark.operators.corpus import bpe_char_fit
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_char_fit(df, "doc_id", "text", n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+
+def test_bpe_char_encode_invariants(spark):
+    """Zero merges → every word costs len(word)+1 symbols; more merges
+    never increase any doc's token count; fully-merged hot word → 1."""
+    from dask_obj_spark.operators.corpus import bpe_char_encode, bpe_char_fit
+
+    rows = [(1, "aaab aaab aaab cd"), (2, "aaab xy"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    none = {r["doc_id"]: r for r in bpe_char_encode(df, "doc_id", "text", []).collect()}
+    assert none[1]["n_bpe_tokens"] == 3 * 5 + 3  # len+1 per word
+    assert none[1]["n_words"] == 4 and none[1]["n_chars"] == 14
+    assert none[3]["n_words"] == 0 and none[3]["n_bpe_tokens"] == 0
+
+    merges = bpe_char_fit(df, "doc_id", "text", n_merges=10)
+    enc = {r["doc_id"]: r for r in
+           bpe_char_encode(df, "doc_id", "text", merges).collect()}
+    for d in (1, 2):
+        assert enc[d]["n_bpe_tokens"] <= none[d]["n_bpe_tokens"]
+    # 'aaab' dominates the corpus: 10 merges fully fuse aaab</w> to one
+    # symbol, so doc 1 costs 3 (aaab x3) plus at most 3 for 'cd'
+    assert 3 + 1 <= enc[1]["n_bpe_tokens"] <= 3 + 3
