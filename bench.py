@@ -65,6 +65,11 @@ WORKLOAD = {
     "b29_dsir_topk": "corpus_dsir_topk",
     "b30_kcenter_coreset": "sim_kcenter_coreset",
     "b31_stream_neardup": "stream_neardup_minhash",
+    # round-7 operators
+    "b32_maxsim_rerank": "retrieval_maxsim_rerank",
+    "b33_binary_hamming": "sim_binary_hamming_topk",
+    "b34_heavy_hitters": "sketch_heavy_hitters",
+    "b35_bpe_encode": "corpus_bpe_encode_rowsonly",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe

@@ -355,3 +355,106 @@ def ml_nearest_centroid_confusion_q(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+# -- kNN majority-vote classification over the embedding space ----------------
+
+
+def knn_classify(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    probe_mod: int,
+    k: int = 10,
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification: each probe's
+    label is the modal label among its k exact cosine neighbors (ties
+    broken by smallest label — deterministic on both engines), reported
+    against the probe's true label.
+
+    Reference has no ML surface (SURVEY.md §2 Tier E) — Tier-E op next
+    to the nearest-centroid classifier above: centroid needs a model
+    fit, kNN needs none (the index IS the model), which is why it's the
+    standard first read on a freshly embedded corpus.
+
+    Plan: the pair surface reuses `cosine_ranked_raw` (broadcast
+    probes, MAX_PROBES-bounded, corpus repartitioned before the
+    interpreted fold); neighbor labels arrive by equi-join on the
+    neighbor id (labels project to 2 columns — never the vectors); the
+    vote is one (probe, label) hash-agg + one per-probe row_number.
+    At 100 TB the brute kernel swaps for `knn_graph_ann`'s edges with
+    this exact vote tail unchanged.
+
+    Returns (pid, true_label, pred_label, votes, correct).
+    """
+    from dask_obj_spark.operators.similarity import cosine_ranked_raw
+    from pyspark.sql import Window
+
+    labels = df.select(
+        F.col(id_col).alias("lid"), F.col(label_col).cast("int").alias("lbl")
+    )
+    nbrs = (
+        cosine_ranked_raw(df, id_col, vec_col, probe_mod)
+        .filter(F.col("rank") <= k)
+        .join(labels, F.col("id2") == F.col("lid"))
+        .select(F.col("id1").alias("pid"), F.col("lbl"))
+    )
+    votes = nbrs.groupBy("pid", "lbl").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("pid").orderBy(F.desc("votes"), F.asc("lbl"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pid", F.col("lbl").alias("pred_label"), "votes")
+    )
+    truth = df.filter(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("pid"), F.col(label_col).cast("int").alias("true_label")
+    )
+    return truth.join(pred, "pid").select(
+        "pid",
+        "true_label",
+        "pred_label",
+        F.col("votes").cast("bigint").alias("votes"),
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
+    )
+
+
+def _duck_knn_classify_oracle(probe_mod: int, k: int) -> str:
+    from dask_obj_spark.operators.similarity import DIM, duck_cosine
+
+    cos = duck_cosine("p.v", "c.v", DIM)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS vid, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+ranked AS MATERIALIZED (
+  SELECT p.vid AS pid, c.vid AS nid, c.label AS lbl,
+         row_number() OVER (
+           PARTITION BY p.vid ORDER BY {cos} DESC, c.vid ASC
+         ) AS rank
+  FROM base p JOIN base c ON p.vid <> c.vid
+  WHERE p.vid % {probe_mod} = 0
+),
+votes AS (
+  SELECT pid, lbl, count(*)::BIGINT AS votes
+  FROM ranked WHERE rank <= {k} GROUP BY pid, lbl
+),
+pred AS (
+  SELECT pid, lbl AS pred_label, votes,
+         row_number() OVER (
+           PARTITION BY pid ORDER BY votes DESC, lbl ASC
+         ) AS rn
+  FROM votes
+)
+SELECT b.vid AS pid, b.label::INT AS true_label, p.pred_label::INT AS pred_label,
+       p.votes, b.label = p.pred_label AS correct
+FROM base b JOIN pred p ON b.vid = p.pid AND p.rn = 1
+"""
+
+
+@query("ml_knn_classify", oracle=_duck_knn_classify_oracle(50, 10))
+def ml_knn_classify_q(spark, sf_dir):
+    """kNN (k=10) majority-vote label prediction for 1-in-50 probe
+    vectors with per-probe correctness against the true label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_classify(emb, "vec_id", "embedding", "label", probe_mod=50)

@@ -353,3 +353,66 @@ def test_neardup_band_history_compaction_and_retention(spark, tmp_path):
     hist = spark.read.parquet(bands_dir)
     # final watermark = 199 - 50 = 149; eviction is physical
     assert hist.agg(F.min("et")).collect()[0][0] >= 149.0
+
+
+def test_stream_heavy_hitters_state_bounded_and_replay_safe(spark, tmp_path):
+    """Drive the MG upsert directly for 20 synthetic batches: state must
+    stay ≤ counters slots + exact total throughout; a replayed batch_id
+    must be a no-op; the confirm pass must equal the exact batch
+    answer."""
+    import json
+
+    from dask_obj_spark.streaming.windows import (
+        stream_heavy_hitters,
+        stream_heavy_hitters_confirm,
+    )
+
+    target = str(tmp_path / "hh")
+    mg_path = target + "_mg.json"
+    # reach inside: build the same upsert foreachBatch uses by running
+    # the public API over a 20-file stream
+    rows = []
+    for b in range(20):
+        text = " ".join(["hot"] * 30 + [f"rare{b}_{i}" for i in range(40)])
+        rows.append((b, text))
+    src = spark.createDataFrame(rows, ["doc_id", "text"])
+    in_dir = str(tmp_path / "in")
+    for b, text in rows:
+        spark.createDataFrame([(b, text)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_heavy_hitters(spark, stream, target, k=5, counters=10)
+    state = json.load(open(mg_path))
+    assert len(state["slots"]) <= 10
+    assert state["n"] == 20 * 70
+    assert "hot" in state["slots"]  # global 600/1400 >> n/5, must survive
+    n_batches = len(state["done"])
+    assert n_batches >= 1  # availableNow may group files into triggers
+
+    # replay guard: blow away the CHECKPOINT (not the state) and rerun —
+    # foreachBatch redelivers every file with batch ids from 0, and the
+    # done-set guard must make each one a no-op (without it, slot counts
+    # double and `hot`'s est inflates past its true frequency)
+    import shutil
+
+    before = json.load(open(mg_path))
+    shutil.rmtree(target + "_ckpt")
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_heavy_hitters(spark, stream2, target, k=5, counters=10)
+    after = json.load(open(mg_path))
+    assert after == before
+
+    got = {
+        r["term"]: r["cnt"]
+        for r in stream_heavy_hitters_confirm(spark, src, mg_path, k=5).collect()
+    }
+    assert got == {"hot": 600}  # 600*5 >= 1400; every rare word fails
