@@ -2317,3 +2317,110 @@ def corpus_bpe_encode_rowsonly_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_char_fit(docs, "doc_id", "text", n_merges=50)
     return bpe_char_encode(docs, "doc_id", "text", merges)
+
+
+# -- reproducible global shuffle → shards -------------------------------------
+
+
+def global_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuf0",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step of every
+    training-data pipeline: assign each document a pseudo-random
+    permutation key, route it to one of ``n_shards`` shards, and order
+    it WITHIN its shard by the key.  Reading shard files in shard order
+    then replays the exact global permutation, and re-shuffling is just
+    a new ``salt``.
+
+    Reference has no shuffle/shard surface (SURVEY.md §2 Tier E) —
+    LLM-pipeline op: training dataloaders need a reproducible global
+    order without any single machine ever sorting the corpus.
+
+    Plan (the whole point at 100 TB): permutation key =
+    portable hash(id, salt) — a NARROW projection; shard = key mod
+    n_shards; within-shard position = one row_number per shard.  That
+    is exactly ONE hash exchange on `shard` (the same shuffle the
+    writer needs anyway: ``repartition(n_shards, shard)`` →
+    ``sortWithinPartitions(key)`` → write) — never a global ORDER BY,
+    so no range exchange, no driver-side boundary sampling, and no
+    skew: keys are uniform 60-bit hashes, so shards balance to
+    ±O(sqrt(n/shards)) regardless of how pathological the input
+    layout or id distribution is.
+
+    Returns (shard, pos, id, key) for every row.
+    """
+    key = porthash(F.col(id_col).cast("string"), salt)
+    scored = df.select(
+        F.col(id_col),
+        key.alias("key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return scored.select(
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        F.col(id_col),
+        "key",
+    )
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {duck_porthash("CAST(doc_id AS VARCHAR)", "shuf0")} AS key
+      FROM documents
+    )
+    SELECT CAST(key % 8 AS INT) AS shard,
+           row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+             AS pos,
+           doc_id, key
+    FROM scored
+    """,
+)
+def corpus_shuffle_shards_q(spark, sf_dir):
+    """Reproducible global shuffle of the documents table into 8
+    shards: every doc's (shard, within-shard position, permutation
+    key) — one hash exchange, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle_shards(docs, "doc_id", n_shards=8)
+
+
+@query(
+    "corpus_shard_balance",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {duck_porthash("CAST(doc_id AS VARCHAR)", "shuf0")} AS key
+      FROM documents
+    )
+    SELECT CAST(key % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN key % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS even_keys
+    FROM scored GROUP BY 1
+    """,
+)
+def corpus_shard_balance_q(spark, sf_dir):
+    """Shard-balance audit for the global shuffle: per-shard doc count
+    (uniform hash keys ⇒ balanced shards) + an even-key split as a
+    cheap uniformity probe — one hash aggregate, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = porthash(F.col("doc_id").cast("string"), "shuf0")
+    return (
+        docs.select(
+            F.pmod(key, F.lit(8)).cast("int").alias("shard"),
+            F.pmod(key, F.lit(2)).alias("par"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("even_keys"),
+        )
+    )

@@ -479,3 +479,29 @@ def test_bpe_char_encode_invariants(spark):
     # 'aaab' dominates the corpus: 10 merges fully fuse aaab</w> to one
     # symbol, so doc 1 costs 3 (aaab x3) plus at most 3 for 'cd'
     assert 3 + 1 <= enc[1]["n_bpe_tokens"] <= 3 + 3
+
+
+def test_global_shuffle_shards_is_a_permutation(spark):
+    """Every row lands in exactly one (shard, pos) slot; positions are
+    1..count_per_shard dense; the same salt replays identically and a
+    different salt yields a different order."""
+    from dask_obj_spark.operators.corpus import global_shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = global_shuffle_shards(df, "doc_id", n_shards=4).collect()
+    assert len(out) == 500
+    assert sorted(r["doc_id"] for r in out) == list(range(500))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # balanced to well within 4x of even (uniform 60-bit keys, n=500)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2.2 * min(sizes)
+    # replay: identical; new salt: different permutation
+    again = global_shuffle_shards(df, "doc_id", n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = global_shuffle_shards(df, "doc_id", n_shards=4, salt="s1").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
