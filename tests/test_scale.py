@@ -501,3 +501,19 @@ def test_heavy_hitters_candidate_state_is_bounded(spark):
     out = heavy_hitters(df, "term", k=5, counters=8)
     # with 97 uniform-ish items nothing reaches n/5 — exact answer: empty
     assert out.count() == 0
+
+
+def test_global_shuffle_shards_plan_is_one_hash_exchange(spark, sf_dir):
+    """The shuffle-shard contract: exactly ONE Exchange, and it is a
+    hashpartitioning on `shard` — never a rangepartitioning (a global
+    ORDER BY would sample boundaries on the driver and range-exchange
+    the full corpus; the whole point of hash-sharding is that the one
+    shuffle is the same one the shard writer needs anyway)."""
+    from dask_obj_spark.operators.corpus import global_shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = global_shuffle_shards(docs, "doc_id", n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
