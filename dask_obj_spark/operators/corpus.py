@@ -2424,3 +2424,97 @@ def corpus_shard_balance_q(spark, sf_dir):
             .alias("even_keys"),
         )
     )
+
+
+# -- deterministic weighted multi-source interleaving -------------------------
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_expr: Column,
+    prefix: int = 100,
+    salt: str = "ilv",
+) -> DataFrame:
+    """Deterministic weighted interleaving of N source streams — stride
+    scheduling, the dataloader-side mixing step that turns per-source
+    shards into ONE training order hitting each source in proportion to
+    its weight (Pile/UniMax-style mixing at read time, no resampling):
+    doc d with within-source rank r from a source of weight w is
+    scheduled at virtual time r/w, and the global order is ascending
+    virtual time.  A weight-2 source thus appears twice as often as a
+    weight-1 source at every prefix of the stream.
+
+    Reference has no mixing surface (SURVEY.md §2 Tier E) — LLM-pipeline
+    op alongside `mixture_weights`/`global_shuffle_shards`: mixture
+    picks WHAT fraction each source gets, the shuffle orders WITHIN a
+    source, interleaving produces the single merged order.
+
+    Plan: within-source rank is one row_number per source (windows
+    partitioned by source — the shuffle is per-source, never global);
+    virtual time is exact integer micro-units (rank·1e6 DIV w — no
+    float division, so cross-engine ties are impossible beyond the
+    deterministic (time, source, id) key).  The global order is only
+    ever materialized as a bounded PREFIX via top-k
+    (TakeOrderedAndProject — at 100 TB a dataloader pulls the stream
+    front-to-back; nothing global-sorts the corpus), and the prefix's
+    global positions are a row_number over those ``prefix`` rows only.
+
+    Returns (global_pos, source, id, src_rank, sched_x1m) for the
+    first ``prefix`` scheduled docs.
+    """
+    shuf = porthash(F.col(id_col).cast("string"), salt)
+    w_rank = Window.partitionBy(source_col).orderBy(shuf.asc(), F.col(id_col))
+    scored = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.row_number().over(w_rank).alias("src_rank"),
+        weight_expr.cast("bigint").alias("w"),
+    ).select(
+        source_col,
+        id_col,
+        "src_rank",
+        F.expr("CAST(src_rank AS BIGINT) * 1000000 DIV w").alias("sched_x1m"),
+    )
+    head = scored.orderBy("sched_x1m", source_col, id_col).limit(prefix)
+    w_pos = Window.orderBy("sched_x1m", source_col, id_col)
+    return head.select(
+        F.row_number().over(w_pos).alias("global_pos"),
+        source_col,
+        F.col(id_col),
+        "src_rank",
+        "sched_x1m",
+    )
+
+
+@query(
+    "corpus_interleave_sources",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duck_porthash("CAST(doc_id AS VARCHAR)", "ilv")}, doc_id
+             ) AS src_rank,
+             1 + ({duck_porthash("source", "ilvw")}) % 3 AS w
+      FROM documents
+    ), sched AS (
+      SELECT source, doc_id, src_rank,
+             src_rank * 1000000 // w AS sched_x1m
+      FROM ranked
+      ORDER BY sched_x1m, source, doc_id LIMIT 100
+    )
+    SELECT row_number() OVER (ORDER BY sched_x1m, source, doc_id)
+             AS global_pos,
+           source, doc_id, src_rank, CAST(sched_x1m AS BIGINT) AS sched_x1m
+    FROM sched
+    """,
+)
+def corpus_interleave_sources_q(spark, sf_dir):
+    """First 100 docs of the stride-scheduled interleave of all 20
+    sources, with per-source weights 1-3 derived from the portable
+    source hash (reproducible across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = 1 + F.pmod(porthash(F.col("source"), "ilvw"), F.lit(3))
+    return interleave_sources(docs, "source", "doc_id", w, prefix=100)

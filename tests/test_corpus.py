@@ -505,3 +505,28 @@ def test_global_shuffle_shards_is_a_permutation(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     other = global_shuffle_shards(df, "doc_id", n_shards=4, salt="s1").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_interleave_sources_weight_proportional(spark):
+    """In any prefix of the stride-scheduled stream, each source
+    appears in proportion to its weight; positions are dense and the
+    per-source subsequence respects within-source rank order."""
+    from dask_obj_spark.operators.corpus import interleave_sources
+
+    rows = [(f"s{g}", g * 1000 + i) for g in range(3) for i in range(200)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    w = F.when(F.col("source") == "s0", 1).when(
+        F.col("source") == "s1", 2
+    ).otherwise(3)
+    out = interleave_sources(df, "source", "doc_id", w, prefix=120).collect()
+    assert [r["global_pos"] for r in out] == list(range(1, 121))
+    counts = {}
+    ranks = {}
+    for r in out:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+        ranks.setdefault(r["source"], []).append(r["src_rank"])
+    # 120 slots at weights 1:2:3 → ~20/40/60 (±1 boundary effects)
+    assert abs(counts["s0"] - 20) <= 1 and abs(counts["s1"] - 40) <= 1
+    assert abs(counts["s2"] - 60) <= 1
+    for src, rs in ranks.items():
+        assert rs == sorted(rs)  # stream order preserves source order
