@@ -3869,10 +3869,17 @@ FROM proj, range(1, {out_dim + 1}) t(i)
 """
 
 
-@query("sim_random_projection", oracle=_duck_random_projection_oracle(16, DIM))
-def sim_random_projection_q(spark, sf_dir):
+@query("sim_jl_projection_coords", oracle=_duck_random_projection_oracle(16, DIM))
+def sim_jl_projection_coords_q(spark, sf_dir):
     """JL random projection 64 → 16 over the embeddings table, emitted
-    as (vid, j, floor-quantized coordinate) rows."""
+    as (vid, j, floor-quantized coordinate) rows.
+
+    Distinct from ``sim_random_projection`` (the r4 distance-
+    preservation-ratio query over pair distances): this one certifies
+    the projected COORDINATES themselves, that one certifies the JL
+    guarantee.  The two were briefly registered under one name in
+    round 7, which silently shadowed the r4 query (verdict finding #1)
+    — ``query()`` now raises on duplicates."""
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection(emb, "vec_id", "embedding", out_dim=16)
     return proj.select(

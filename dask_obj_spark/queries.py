@@ -23,6 +23,16 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # no silent shadowing: a duplicate registration made the
+            # r4 `sim_random_projection` query unreachable for three
+            # rounds while its stale official record kept counting
+            # (round-7 verdict finding #1) — fail at import time
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered by {QUERIES[name].__module__}."
+                f"{QUERIES[name].__qualname__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
