@@ -503,6 +503,29 @@ def test_heavy_hitters_candidate_state_is_bounded(spark):
     assert out.count() == 0
 
 
+def test_heavy_hitters_returned_plan_scans_corpus_once(spark, sf_dir):
+    """The r7-verdict two-scan fix: pass 1 (the MG candidate pass) is
+    materialized by ONE collect before the function returns, and the
+    candidates come back as a local relation — so the RETURNED plan's
+    only corpus child is the exact-count semi-join.  Previously the
+    candidate side was a live child of the (already unpersisted) MG
+    frame, so materializing the result re-ran the MG pass from a third
+    corpus scan.  Two scans total: one inside heavy_hitters for the
+    candidates, one here."""
+    from dask_obj_spark.operators.scale import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    out = heavy_hitters(toks, "term", k=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "mapInPandas" not in plan, plan
+    # candidates arrive as a broadcast local relation, not a corpus scan
+    assert "LocalTableScan" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_global_shuffle_shards_plan_is_one_hash_exchange(spark, sf_dir):
     """The shuffle-shard contract: exactly ONE Exchange, and it is a
     hashpartitioning on `shard` — never a rangepartitioning (a global
