@@ -506,6 +506,19 @@ def maxsim_topk(
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"), F.col("nv").alias("pnv")
     )
+    # the brute-harness contract every other exact harness carries
+    # (similarity.MAX_PROBES): the probe side is N/probe_mod — LINEAR
+    # in the corpus — so fail loudly before broadcasting it rather
+    # than silently quadratic-izing at a bigger SF (r7 verdict #3)
+    from dask_obj_spark.operators import similarity as _sim
+
+    n_probes = probes.limit(_sim.MAX_PROBES + 1).count()
+    if n_probes > _sim.MAX_PROBES:
+        raise ValueError(
+            f"maxsim_topk: probe set exceeds MAX_PROBES={_sim.MAX_PROBES} "
+            "(exact-oracle harness contract) — raise probe_mod or use "
+            "the retrieve-then-rerank path (retrieval_maxsim_rerank)"
+        )
     scored = (
         base.crossJoin(F.broadcast(probes))
         .filter(F.col("pid") != F.col("vid"))

@@ -82,3 +82,25 @@ def test_mmr_penalizes_redundancy(spark):
         r.pick_order: r.id2 for r in mmr_rerank(cand, sim, picks=2).collect()
     }
     assert picks == {1: 1, 2: 3}  # pure relevance would pick 2 second
+
+
+def test_maxsim_topk_probe_cap_fails_loudly(spark, monkeypatch):
+    """r7-verdict #3: maxsim_topk's probe side is N/probe_mod — linear
+    in the corpus — so it must carry the same MAX_PROBES loud-failure
+    contract as every other brute harness, never silently broadcast an
+    unbounded probe set."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dask_obj_spark.operators import similarity as sim
+    from dask_obj_spark.operators.retrieval import maxsim_topk
+
+    df = spark.range(40).select(
+        F.col("id").alias("vid"),
+        F.array(F.lit(1.0), F.col("id").cast("double") + 1.0).alias("v"),
+    )
+    monkeypatch.setattr(sim, "MAX_PROBES", 8)
+    with pytest.raises(ValueError, match="MAX_PROBES"):
+        maxsim_topk(df, "vid", "v", probe_mod=2, tokens=2, dim=2)
+    # under the cap the harness still runs
+    out = maxsim_topk(df, "vid", "v", probe_mod=7, k=3, tokens=2, dim=2)
+    assert out.count() > 0
