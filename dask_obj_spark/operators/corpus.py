@@ -2056,6 +2056,7 @@ def semantic_contamination(
     eval_rem: int = 3,
     tau_x1m: int = 300000,
     cell_mod: int = 61,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-level decontamination: flag every TRAIN document whose
     embedding has cosine ≥ τ to ANY eval-set embedding, reporting the
@@ -2088,12 +2089,26 @@ def semantic_contamination(
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", l2_norm(F.col("v")))
-    cents = base.filter(F.col("vid") % cell_mod == 1).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-    )
+    if centroids is not None:
+        # trained constant-k path (kmeans_fit output): the centroid
+        # table is bounded by k regardless of corpus size, so the
+        # broadcast HINT is safe and wanted
+        cents = F.broadcast(
+            centroids.select(
+                F.col("cid"),
+                F.col("cv").cast("array<double>").alias("cv"),
+            ).withColumn("cn", l2_norm(F.col("cv")))
+        )
+    else:
+        # modular oracle-replay set: N/cell_mod rows — GROWS with the
+        # corpus, so no hard-coded broadcast hint (r7 verdict #4); the
+        # planner/AQE decides from actual size stats
+        cents = base.filter(F.col("vid") % cell_mod == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+        )
     aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
     cells = (
-        base.join(F.broadcast(cents))
+        base.join(cents)
         .select(
             "vid",
             "v",

@@ -565,6 +565,7 @@ def semantic_dedup(
     vec_col: str,
     tau: float,
     cell_mod: int = 61,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (Abbas et al. 2023 pattern): cluster the corpus into coarse cells,
@@ -596,12 +597,25 @@ def semantic_dedup(
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", l2_norm(F.col("v")))
-    cents = base.filter(F.col("vid") % cell_mod == 1).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
-    )
+    if centroids is not None:
+        # trained constant-k path (kmeans_fit output): bounded by k
+        # regardless of corpus size — the broadcast HINT is safe
+        cents = F.broadcast(
+            centroids.select(
+                F.col("cid"),
+                F.col("cv").cast("array<double>").alias("cv"),
+            ).withColumn("cn", l2_norm(F.col("cv")))
+        )
+    else:
+        # modular oracle-replay set: N/cell_mod rows grows with the
+        # corpus — no hard-coded broadcast hint (r7 verdict #4); the
+        # planner/AQE decides from actual size stats
+        cents = base.filter(F.col("vid") % cell_mod == 1).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+        )
     aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
     cells = (
-        base.join(F.broadcast(cents))
+        base.join(cents)
         .select(
             "vid",
             "v",

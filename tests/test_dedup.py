@@ -477,3 +477,36 @@ def test_random_projection_preserves_pairwise_distances(spark, oracle_sf_dir):
         if do > 0:
             dists.append(abs(dp - do) / do)
     assert dists and sum(dists) / len(dists) < 0.6, dists
+
+
+def test_semantic_cell_broadcast_hint_is_conditional(spark, oracle_sf_dir):
+    """r7-verdict #4: the modular (vid % cell_mod) centroid set grows
+    linearly with the corpus, so the cell-assignment join must NOT
+    hard-code a broadcast hint on it — the planner/AQE decides from
+    size stats.  The trained constant-k path (kmeans_fit output,
+    bounded by k forever) keeps the hint."""
+    from dask_obj_spark.sources.tables import load_table
+    from dask_obj_spark.operators.dedup import semantic_dedup
+    from dask_obj_spark.operators.corpus import semantic_contamination
+
+    emb = load_table(spark, oracle_sf_dir, "embeddings")
+    for modular in (
+        semantic_dedup(emb, "vec_id", "embedding", tau=0.35),
+        semantic_contamination(emb, "vec_id", "embedding"),
+    ):
+        analyzed = modular._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed
+
+    trained_cents = emb.limit(4).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    for trained in (
+        semantic_dedup(emb, "vec_id", "embedding", tau=0.35, centroids=trained_cents),
+        semantic_contamination(
+            emb, "vec_id", "embedding", centroids=trained_cents
+        ),
+    ):
+        analyzed = trained._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" in analyzed, analyzed
+        assert trained.count() > 0
