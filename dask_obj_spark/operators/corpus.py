@@ -2533,3 +2533,123 @@ def corpus_interleave_sources_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     w = 1 + F.pmod(porthash(F.col("source"), "ilvw"), F.lit(3))
     return interleave_sources(docs, "source", "doc_id", w, prefix=100)
+
+
+# -- exact stratified split ---------------------------------------------------
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    val_ppm: int = 100_000,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT stratified holdout: every stratum contributes its
+    largest-remainder share of a global validation budget of
+    ``floor(N · val_ppm / 1e6)`` rows — the deterministic complement of
+    `hash_split` (whose per-stratum counts are only binomially close to
+    the target; an eval set that over-draws a rare language by 30%
+    skews every per-stratum metric computed on it).
+
+    Reference is a generic bag (SURVEY.md §2 Tier E) — LLM-pipeline
+    surface.
+
+    Allocation: per stratum s of size n_s, base quota
+    ``n_s·ppm DIV 1e6`` plus one extra for the D strata with the
+    largest remainders (D = global target − Σ base; ties by stratum
+    key), so Σ quota == global target EXACTLY and every quota is
+    within 1 of proportional.  Rows are ranked inside each stratum by
+    the portable id hash (then id), so membership is a pure function
+    of (id, stratum sizes) — stable across reshuffles and replayable
+    by the oracle.
+
+    100 TB shape: the quota table is ONE tiny aggregate (|strata|
+    rows — a dimension, not a fact: sources × languages), its
+    largest-remainder window runs on that dimension table only, and it
+    broadcast-joins back; the corpus-side work is one hash partial-agg
+    for the counts plus one per-stratum row_number window — no global
+    sort, no driver loop.  Integer arithmetic end to end (ppm scaling,
+    DIV/%), so no float tie can crack the allocation cross-engine.
+
+    Returns (id, *strata_cols, split ∈ {'val','train'}).
+    """
+    sc = [F.col(c) for c in strata_cols]
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        *sc,
+        porthash(F.col(id_col).cast("string"), salt).alias("h"),
+    )
+    cnt = base.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("n_s"))
+    tots = cnt.agg(
+        F.expr(f"SUM(n_s) * {int(val_ppm)} DIV 1000000").alias("t"),
+        F.sum(F.expr(f"n_s * {int(val_ppm)} DIV 1000000")).alias("sum_base"),
+    )
+    # dimension-sized global window (|strata| rows) — bounded by the
+    # source×lang vocabulary, never the corpus
+    rw = Window.orderBy(
+        F.desc("rem"), *[F.asc(c) for c in strata_cols]
+    )
+    quota = (
+        cnt.withColumn("base_q", F.expr(f"n_s * {int(val_ppm)} DIV 1000000"))
+        .withColumn("rem", F.expr(f"n_s * {int(val_ppm)} % 1000000"))
+        .crossJoin(F.broadcast(tots))
+        .withColumn(
+            "q",
+            F.col("base_q")
+            + F.when(
+                F.row_number().over(rw) <= F.col("t") - F.col("sum_base"), 1
+            ).otherwise(0),
+        )
+        .select(*strata_cols, "q")
+    )
+    pw = Window.partitionBy(*strata_cols).orderBy(F.asc("h"), F.asc("sid"))
+    ranked = base.join(F.broadcast(quota), strata_cols).withColumn(
+        "rn", F.row_number().over(pw)
+    )
+    return ranked.select(
+        F.col("sid").alias(id_col),
+        *sc,
+        F.when(F.col("rn") <= F.col("q"), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _stratified_split_oracle(val_ppm: int, salt: str) -> str:
+    h = duck_porthash("doc_id::VARCHAR", salt)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, {h} AS h FROM documents
+    ), cnt AS (
+      SELECT source, lang, count(*)::BIGINT AS n_s FROM base GROUP BY source, lang
+    ), tots AS (
+      SELECT (sum(n_s)::BIGINT * {val_ppm}) // 1000000 AS t,
+             sum((n_s * {val_ppm}) // 1000000)::BIGINT AS sum_base
+      FROM cnt
+    ), quota AS (
+      SELECT source, lang,
+             (n_s * {val_ppm}) // 1000000
+             + CASE WHEN row_number() OVER (
+                      ORDER BY (n_s * {val_ppm}) % 1000000 DESC, source, lang)
+                    <= (SELECT t - sum_base FROM tots) THEN 1 ELSE 0 END AS q
+      FROM cnt
+    ), ranked AS (
+      SELECT b.doc_id, b.source, b.lang, q.q,
+             row_number() OVER (
+               PARTITION BY b.source, b.lang ORDER BY b.h, b.doc_id) AS rn
+      FROM base b JOIN quota q ON b.source = q.source AND b.lang = q.lang
+    )
+    SELECT doc_id, source, lang,
+           CASE WHEN rn <= q THEN 'val' ELSE 'train' END AS split
+    FROM ranked
+    """
+
+
+@query("corpus_stratified_split", oracle=_stratified_split_oracle(100_000, "strat"))
+def corpus_stratified_split_q(spark, sf_dir):
+    """Exact 10% stratified holdout over (source, lang): per-stratum
+    largest-remainder quotas summing to exactly floor(N/10), membership
+    by portable id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split(docs, "doc_id", ["source", "lang"], val_ppm=100_000)

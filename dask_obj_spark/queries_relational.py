@@ -417,6 +417,71 @@ def asof_join_last_event(spark, sf_dir):
     return joined.groupBy("o_orderkey").agg(F.max("ts").alias("last_event_ts"))
 
 
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             floor(epoch(o_orderdate::TIMESTAMP))::BIGINT AS od_s
+      FROM orders WHERE o_custkey <= 200
+    ), agg AS (
+      SELECT o.o_orderkey, o.od_s,
+             max(floor(epoch(e.ts))::BIGINT) AS l
+      FROM o LEFT JOIN events e
+        ON e.user_id = o.o_custkey
+       AND floor(epoch(e.ts))::BIGINT <= o.od_s
+       AND floor(epoch(e.ts))::BIGINT >= o.od_s - 604800
+      GROUP BY o.o_orderkey, o.od_s
+    )
+    SELECT o_orderkey,
+           coalesce(l, -1)::BIGINT AS last_ts_s,
+           coalesce(od_s - l, -1)::BIGINT AS gap_s
+    FROM agg
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Tier E as-of join, TOLERANCE-BOUNDED variant: latest event
+    at-or-before each order but no older than 7 days — the production
+    form of `asof_join_last_event`.  The two-sided time bound is what
+    makes this survive 100 TB: the unbounded as-of's equi-join fans
+    out to EVERY earlier event per key (years of history for a hot
+    user), while the tolerance caps per-row match volume at one
+    window's worth, so the hash join + partial max-aggregate stays
+    proportional to the answer, not the history.
+
+    Epochs are compared as truncated BIGINT seconds on BOTH engines
+    (Spark unix_timestamp truncates; the oracle uses floor(epoch())),
+    and the no-match case is sentinel -1 (nullable BIGINTs promote to
+    float64 in the driver's pandas fetch)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("od_s"),
+        )
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("ts_s")
+    )
+    joined = o.join(
+        e,
+        (o.o_custkey == e.user_id)
+        & (e.ts_s <= o.od_s)
+        & (e.ts_s >= o.od_s - F.lit(604800)),
+        "left",
+    )
+    agg = joined.groupBy("o_orderkey", "od_s").agg(F.max("ts_s").alias("l"))
+    return agg.select(
+        "o_orderkey",
+        F.coalesce(F.col("l"), F.lit(-1)).cast("bigint").alias("last_ts_s"),
+        F.coalesce(F.col("od_s") - F.col("l"), F.lit(-1))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
 # ---------------------------------------------------------------- set ops
 
 

@@ -530,3 +530,39 @@ def test_interleave_sources_weight_proportional(spark):
     assert abs(counts["s2"] - 60) <= 1
     for src, rs in ranks.items():
         assert rs == sorted(rs)  # stream order preserves source order
+
+
+def test_stratified_split_exact_budget_and_proportional(spark):
+    """The allocation contract: |val| equals floor(N·ppm/1e6) EXACTLY,
+    every stratum's quota is within 1 of proportional, and membership
+    is stable under repartitioning (pure function of id)."""
+    from dask_obj_spark.operators.corpus import stratified_split
+
+    rows = (
+        [(i, "web", "en") for i in range(137)]
+        + [(i + 1000, "web", "de") for i in range(61)]
+        + [(i + 2000, "books", "en") for i in range(23)]
+        + [(i + 3000, "code", "py") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang"])
+    n = len(rows)  # 228
+    ppm = 250_000  # 25% holdout
+    out = stratified_split(df, "doc_id", ["source", "lang"], val_ppm=ppm)
+    got = out.collect()
+    assert len(got) == n
+    val = [r for r in got if r["split"] == "val"]
+    assert len(val) == n * ppm // 1_000_000  # exact global budget: 57
+    from collections import Counter
+
+    per = Counter((r["source"], r["lang"]) for r in val)
+    sizes = Counter((r[1], r[2]) for r in rows)
+    for s, n_s in sizes.items():
+        exact = n_s * ppm / 1_000_000
+        assert exact - 1 < per.get(s, 0) < exact + 1, (s, n_s, per.get(s, 0))
+    # deterministic: same ids picked regardless of physical layout
+    out2 = stratified_split(
+        df.repartition(13), "doc_id", ["source", "lang"], val_ppm=ppm
+    )
+    ids = {r["doc_id"] for r in val}
+    ids2 = {r["doc_id"] for r in out2.collect() if r["split"] == "val"}
+    assert ids == ids2
