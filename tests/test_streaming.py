@@ -416,3 +416,29 @@ def test_stream_heavy_hitters_state_bounded_and_replay_safe(spark, tmp_path):
         for r in stream_heavy_hitters_confirm(spark, src, mg_path, k=5).collect()
     }
     assert got == {"hot": 600}  # 600*5 >= 1400; every rare word fails
+
+
+def test_decayed_mg_merge_replay_bound_and_decay():
+    """Pure-state contract of the decayed weighted-MG merge: a replayed
+    batch_id is a no-op, slots never exceed `counters`, the weighted
+    total is exact, and a term that stops appearing decays below a
+    recent term of equal per-batch volume."""
+    from dask_obj_spark.streaming.windows import _decayed_mg_merge
+
+    counters = 4
+    st = {"slots": {}, "w": 0, "done": []}
+    # batch 0: 'old' dominates
+    st = _decayed_mg_merge(st, [("old", 100), ("x", 10)], 110, 0, counters)
+    assert st["w"] == 110 and st["slots"]["old"] == 100
+    # replay of batch 0 must not merge twice
+    st2 = _decayed_mg_merge(st, [("old", 100), ("x", 10)], 110, 0, counters)
+    assert st2 == st
+    # batch 1: 'new' appears with the same volume — weight 2 ⇒ outranks
+    st = _decayed_mg_merge(st, [("new", 100), ("x", 10)], 110, 1, counters)
+    assert st["w"] == 110 + 110 * 2
+    assert st["slots"]["new"] == 200 > st["slots"]["old"] == 100
+    # slot bound holds under vocabulary pressure
+    many = [(f"t{i}", 50 - i) for i in range(counters + 1)]
+    st = _decayed_mg_merge(st, many, sum(c for _, c in many), 2, counters)
+    assert len(st["slots"]) <= counters
+    assert st["done"] == [0, 1, 2]
