@@ -2581,19 +2581,20 @@ def stratified_split(
         porthash(F.col(id_col).cast("string"), salt).alias("h"),
     )
     cnt = base.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("n_s"))
-    tots = cnt.agg(
-        F.expr(f"SUM(n_s) * {int(val_ppm)} DIV 1000000").alias("t"),
-        F.sum(F.expr(f"n_s * {int(val_ppm)} DIV 1000000")).alias("sum_base"),
-    )
-    # dimension-sized global window (|strata| rows) — bounded by the
-    # source×lang vocabulary, never the corpus
+    # every global statistic (target, Σ base quotas, remainder rank) is
+    # a window over the SAME dimension-sized count frame (|strata| rows
+    # — bounded by the source×lang vocabulary, never the corpus), so
+    # the corpus feeds exactly ONE aggregate branch: a separate
+    # `cnt.agg(...)` totals frame would re-run the count's lineage and
+    # cost a third corpus scan (caught in the r8 plan audit)
     rw = Window.orderBy(
         F.desc("rem"), *[F.asc(c) for c in strata_cols]
     )
     quota = (
         cnt.withColumn("base_q", F.expr(f"n_s * {int(val_ppm)} DIV 1000000"))
         .withColumn("rem", F.expr(f"n_s * {int(val_ppm)} % 1000000"))
-        .crossJoin(F.broadcast(tots))
+        .withColumn("t", F.expr(f"SUM(n_s) OVER () * {int(val_ppm)} DIV 1000000"))
+        .withColumn("sum_base", F.expr("SUM(base_q) OVER ()"))
         .withColumn(
             "q",
             F.col("base_q")

@@ -566,3 +566,20 @@ def test_stratified_split_exact_budget_and_proportional(spark):
     ids = {r["doc_id"] for r in val}
     ids2 = {r["doc_id"] for r in out2.collect() if r["split"] == "val"}
     assert ids == ids2
+
+
+def test_stratified_split_plan_two_scans_no_global_sort(spark, sf_dir):
+    """Plan contract: the corpus feeds exactly TWO branches (the
+    stratum count aggregate + the assignment window) — the quota
+    math runs as windows over the dimension-sized count frame, never
+    a third corpus scan (r8 plan audit) — and there is no
+    rangepartitioning anywhere (no global sort)."""
+    from dask_obj_spark.operators.corpus import stratified_split
+    from dask_obj_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_split(docs, "doc_id", ["source", "lang"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
