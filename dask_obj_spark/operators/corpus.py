@@ -2654,3 +2654,122 @@ def corpus_stratified_split_q(spark, sf_dir):
     by portable id hash."""
     docs = load_table(spark, sf_dir, "documents")
     return stratified_split(docs, "doc_id", ["source", "lang"], val_ppm=100_000)
+
+
+# -- token-budget data selection ----------------------------------------------
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    token_budget: int,
+    bucket_div: int = 10_000,
+    salt: str = "budget",
+) -> DataFrame:
+    """Select the highest-quality documents whose token counts fill a
+    global training budget — "give me the best B tokens", the data-
+    selection step between quality scoring and tokenization in every
+    budgeted pretraining run.
+
+    Reference is a generic bag (SURVEY.md §2 Tier E) — LLM-pipeline
+    surface.
+
+    NOT a global sort: quality is floor-quantized to micro-units and
+    histogrammed into ``1e6/bucket_div`` integer buckets (one corpus
+    aggregate, dimension-sized result).  A running token total over the
+    TINY histogram (highest bucket first) finds how much budget every
+    bucket inherits from above; buckets whose ancestors already exhaust
+    the budget are dropped BEFORE any per-row work, and the survivors
+    take a per-bucket hash-ordered running sum, keeping each row while
+    ``cum_above + running ≤ budget``.  Fully-covered buckets satisfy
+    that inequality row-for-row, so one window condition handles both
+    the interior and the boundary bucket — no union, no second corpus
+    pass, no driver loop.  Selection is a pure function of
+    (id, corpus histogram): stable across reshuffles and replayable by
+    the oracle.  Bucket width is the exactness/granularity knob: the
+    only rows the within-bucket hash order (rather than pure quality
+    order) can affect live inside ONE bucket's quality band.
+
+    Returns (id, q_x1m, n_tok) for the selected documents.
+    """
+    from dask_obj_spark.operators.text import quality_scores
+
+    scored = quality_scores(df, id_col, text_col).select(
+        F.col(id_col).alias("sid"),
+        F.col("n_tokens").cast("bigint").alias("n_tok"),
+        F.floor(F.col("quality") * F.lit(1000000.0)).cast("bigint").alias("q_x1m"),
+        porthash(F.col(id_col).cast("string"), salt).alias("h"),
+    )
+    b = scored.withColumn("bkt", F.expr(f"q_x1m DIV {int(bucket_div)}"))
+    hist = b.groupBy("bkt").agg(F.sum("n_tok").alias("btoks"))
+    cw = (
+        Window.orderBy(F.desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        hist.withColumn(
+            "cum_above",
+            F.coalesce(F.sum("btoks").over(cw), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("cum_above") < F.lit(int(token_budget)))
+        .select("bkt", "cum_above")
+    )
+    pw = (
+        Window.partitionBy("bkt")
+        .orderBy(F.asc("h"), F.asc("sid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(cand), "bkt")
+        .withColumn("rs", F.sum("n_tok").over(pw).cast("bigint"))
+        .filter(F.col("rs") + F.col("cum_above") <= F.lit(int(token_budget)))
+        .select(F.col("sid").alias(id_col), "q_x1m", "n_tok")
+    )
+
+
+def _budget_select_oracle(token_budget: int, bucket_div: int, salt: str) -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    h = duck_porthash("CAST(doc_id AS VARCHAR)", salt)
+    return f"""
+    WITH q AS ({duck_quality_select()}),
+    s AS (
+      SELECT doc_id, n_tokens::BIGINT AS n_tok,
+             CAST(floor(quality * 1000000.0) AS BIGINT) AS q_x1m,
+             {h} AS hh
+      FROM q
+    ),
+    b AS (SELECT *, q_x1m // {bucket_div} AS bkt FROM s),
+    hst AS (SELECT bkt, sum(n_tok)::BIGINT AS btoks FROM b GROUP BY bkt),
+    cand AS (
+      SELECT bkt, cum_above FROM (
+        SELECT bkt,
+               coalesce(sum(btoks) OVER (
+                 ORDER BY bkt DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS cum_above
+        FROM hst
+      ) WHERE cum_above < {token_budget}
+    ),
+    r AS (
+      SELECT b.doc_id, b.q_x1m, b.n_tok, cand.cum_above,
+             sum(b.n_tok) OVER (
+               PARTITION BY b.bkt ORDER BY b.hh, b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS rs
+      FROM b JOIN cand ON b.bkt = cand.bkt
+    )
+    SELECT doc_id, q_x1m, n_tok FROM r WHERE rs + cum_above <= {token_budget}
+    """
+
+
+@query(
+    "corpus_budget_select",
+    oracle=_budget_select_oracle(10_000, 10_000, "budget"),
+)
+def corpus_budget_select_q(spark, sf_dir):
+    """Best-quality documents filling a 10k-token training budget:
+    integer quality histogram → bucket-threshold → boundary-bucket
+    hash-ordered prefix; never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_select(docs, "doc_id", "text", token_budget=10_000)

@@ -583,3 +583,41 @@ def test_stratified_split_plan_two_scans_no_global_sort(spark, sf_dir):
     assert plan.count("Scan parquet") == 2, plan
     assert "rangepartitioning" not in plan, plan
     assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_budget_select_budget_and_quality_monotone(spark, oracle_sf_dir):
+    """Selection invariants: total selected tokens never exceed the
+    budget; every bucket strictly above the lowest selected quality
+    bucket is taken whole (quality-monotone up to bucket granularity);
+    membership is stable under repartitioning."""
+    from dask_obj_spark.operators.corpus import budget_select
+    from dask_obj_spark.sources.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    budget = 10_000
+    got = budget_select(docs, "doc_id", "text", token_budget=budget).collect()
+    assert got
+    assert sum(r["n_tok"] for r in got) <= budget
+    sel_ids = {r["doc_id"] for r in got}
+    min_bkt = min(r["q_x1m"] // 10_000 for r in got)
+    # full corpus reference: every doc in a strictly higher bucket is in
+    from dask_obj_spark.operators.text import quality_scores
+    from pyspark.sql import functions as F
+
+    all_q = (
+        quality_scores(docs, "doc_id", "text")
+        .select(
+            "doc_id",
+            (F.floor(F.col("quality") * 1000000.0).cast("bigint") / 10000)
+            .cast("bigint")
+            .alias("bkt"),
+        )
+        .collect()
+    )
+    for r in all_q:
+        if r["bkt"] > min_bkt:
+            assert r["doc_id"] in sel_ids, (r["doc_id"], r["bkt"], min_bkt)
+    got2 = budget_select(
+        docs.repartition(17), "doc_id", "text", token_budget=budget
+    ).collect()
+    assert {r["doc_id"] for r in got2} == sel_ids
