@@ -1589,3 +1589,164 @@ def text_vocab_growth_heaps_q(spark, sf_dir):
     return curve.crossJoin(F.broadcast(fit)).select(
         "bucket", "cum_tokens", "cum_vocab", "heaps_beta"
     )
+
+
+# -- n-gram language-model scoring (CCNet-style perplexity filter) ------------
+
+
+def ngram_lm_fit(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the bigram count model behind `ngram_lm_score`: lowercase
+    whitespace unigram and bigram counts plus the vocabulary size for
+    add-one smoothing.  Returns (unigrams(w1, c1), bigrams(w1, w2, c2),
+    v).
+
+    At 100 TB the model tables are corpus-vocabulary-sized — NOT
+    broadcast material: the scoring pass hash-joins the token-pair
+    stream against them (bucket both by the leading token and the join
+    is co-partitioned).  ``v`` is the one driver scalar — a single
+    bounded aggregate, same discipline as heavy_hitters' n_total.
+    Production prunes the bigram table to top-K with backoff; the
+    unpruned fit is the exact form the oracle replays."""
+    toks = df.select(
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        )
+    )
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    big = (
+        df.select(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t")
+        )
+        .select(
+            F.posexplode(
+                F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, t[i + 1] AS w2))")
+            ).alias("pos", "p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    v = uni.count()
+    return uni, big, v
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    big: DataFrame,
+    v: int,
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-likelihood — the CCNet
+    move: score every document under a reference n-gram LM and filter/
+    bucket on the score (a paraphrased spam page and a clean page have
+    similar lengths but very different likelihoods).
+
+    Each token pair contributes ``ln((c2 + 1) / (c1 + V))``; the pair's
+    double is FLOOR-QUANTIZED to integer micro-units BEFORE the
+    per-document sum, so the aggregate is an order-free BIGINT sum (a
+    float sum over an unordered group would fold engine partition
+    order into the hash; the quantize-then-integer-sum trick is the
+    same one the PQ/ADC family uses).  Unseen bigrams of seen words
+    back off to the same smoothing mass automatically (c2=0 via left
+    join); pairs whose LEADING word is unseen take c1=0 (pure 1/V) —
+    every branch stays the identical expression on both engines.
+
+    Scoring is two hash joins (pair stream × bigram counts × unigram
+    counts) + one integer aggregate — joins on the gram keys the model
+    tables are naturally partitioned by; no broadcast of model state.
+
+    Returns (id, n_pairs, logp_x1m) — consumers divide/threshold
+    downstream (no integer division here: Spark DIV truncates toward
+    zero, DuckDB // floors, and log-likelihoods are negative).
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("sid"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t"),
+        )
+        .select(
+            "sid",
+            F.explode(
+                F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, t[i + 1] AS w2))")
+            ).alias("p"),
+        )
+        .select("sid", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .select(
+            "sid",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1).cast("double"))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(int(v)).cast("double"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("lp_x1m"),
+        )
+    )
+    return (
+        scored.groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("lp_x1m").cast("bigint").alias("logp_x1m"),
+        )
+        .select(F.col("sid").alias(id_col), "n_pairs", "logp_x1m")
+    )
+
+
+_DUCK_LM_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _ngram_lm_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_LM_TOKS} AS t FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM d
+    ),
+    uni AS MATERIALIZED (
+      SELECT w AS w1, count(*)::BIGINT AS c1 FROM toks GROUP BY w
+    ),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    p2 AS (SELECT doc_id, w1, w2 FROM pairs WHERE w2 IS NOT NULL),
+    big AS MATERIALIZED (
+      SELECT w1, w2, count(*)::BIGINT AS c2 FROM p2 GROUP BY w1, w2
+    ),
+    vv AS (SELECT count(*)::BIGINT AS v FROM uni),
+    s AS (
+      SELECT p2.doc_id,
+             floor(ln((coalesce(big.c2, 0) + 1.0)
+                      / (coalesce(uni.c1, 0) + (SELECT v FROM vv) * 1.0))
+                   * 1000000.0)::BIGINT AS lp_x1m
+      FROM p2
+      LEFT JOIN big ON p2.w1 = big.w1 AND p2.w2 = big.w2
+      LEFT JOIN uni ON p2.w1 = uni.w1
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(lp_x1m)::BIGINT AS logp_x1m
+    FROM s GROUP BY doc_id
+    """
+
+
+@query("text_ngram_lm_score", oracle=_ngram_lm_oracle())
+def text_ngram_lm_score_q(spark, sf_dir):
+    """Bigram-LM log-likelihood per document (model = the corpus
+    itself, add-one smoothing): the perplexity-filter primitive, with
+    per-pair floor-quantized integer sums so the score is partition-
+    order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni, big, v = ngram_lm_fit(docs, "text")
+    return ngram_lm_score(docs, "doc_id", "text", uni, big, v)

@@ -146,3 +146,29 @@ def test_span_dedup_conservation_and_first_wins(spark):
     assert out[3].clean_text == "fresh words only here"
     # conservation: kept spans across corpus == distinct spans
     assert sum(r.n_kept for r in out.values()) == 4
+
+
+def test_ngram_lm_score_smoothing_semantics(spark):
+    """Hand-checkable bigram LM: corpus 'a b a b' + 'a c' — V=3,
+    c1(a)=3, c2(a,b)=2, so pair (a,b) scores ln(3/6); an unseen-but-
+    valid pair (b,a) scores ln(2/5)... pinned against exact math."""
+    import math
+
+    from dask_obj_spark.operators.text import ngram_lm_fit, ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    uni, big, v = ngram_lm_fit(df, "text")
+    assert v == 3  # vocabulary {a, b, c}
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["logp_x1m"])
+        for r in ngram_lm_score(df, "doc_id", "text", uni, big, v).collect()
+    }
+    # doc 1 pairs: (a,b) x2, (b,a) x1.  c1(a)=3, c1(b)=2, c2(a,b)=2, c2(b,a)=1
+    lp_ab = math.floor(math.log((2 + 1) / (3 + 3)) * 1e6)
+    lp_ba = math.floor(math.log((1 + 1) / (2 + 3)) * 1e6)
+    assert got[1] == (3, 2 * lp_ab + lp_ba)
+    # doc 2 pair: (a,c), c2(a,c)=1 → ln(2/6)
+    lp_ac = math.floor(math.log((1 + 1) / (3 + 3)) * 1e6)
+    assert got[2] == (1, lp_ac)
