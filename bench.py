@@ -70,6 +70,10 @@ WORKLOAD = {
     "b33_binary_hamming": "sim_binary_hamming_topk",
     "b34_heavy_hitters": "sketch_heavy_hitters",
     "b35_bpe_encode": "corpus_bpe_encode_rowsonly",
+    # round-8 operators
+    "b36_ngram_lm": "text_ngram_lm_score",
+    "b37_budget_select": "corpus_budget_select",
+    "b38_decayed_topk": "stream_decayed_topk",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe
@@ -82,6 +86,9 @@ RUNS_OVERRIDE = {
     # dominated by the fixed streaming-job machinery, so 3 timed runs
     # bound the bench total the same way b28's override does
     "b31_stream_neardup": (1, 3),
+    # b38 stands up a fresh three-batch streaming pipeline per run (same
+    # fixed streaming-job machinery as b31)
+    "b38_decayed_topk": (1, 3),
 }
 
 WARMUP_RUNS = 1

@@ -2773,3 +2773,222 @@ def corpus_budget_select_q(spark, sf_dir):
     hash-ordered prefix; never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     return budget_select(docs, "doc_id", "text", token_budget=10_000)
+
+
+# -- corpus monitoring: quality drift (PSI) and snapshot diff -----------------
+
+
+def quality_psi_by_source(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Population-stability-index monitor: for every source, how far its
+    quality-decile distribution drifts from the WHOLE corpus's — the
+    standard data-ops tripwire ("this crawl snapshot's quality mix
+    changed") with the standard reading (PSI < 0.1 stable, > 0.25
+    action).
+
+    PSI = Σ_b (p_src,b − p_ref,b) · ln(p_src,b / p_ref,b) over ten
+    quality deciles, with add-one (per-bucket) smoothing so empty
+    deciles stay finite.  The decile grid is FIXED (10 buckets), so the
+    sum is an explicit left-assoc 10-arm chain over pivoted per-bucket
+    terms — never a float SUM over an unordered group (the pivoted-
+    partial-sums rule that keeps every float op bit-replayable in SQL).
+
+    100 TB shape: one quality scan → one (source, decile) hash
+    aggregate (≤ |sources|·10 rows out), the reference distribution is
+    a second ≤10-row aggregate of THAT result (not a second corpus
+    scan), and everything after is dimension-sized.
+
+    Returns (source, n_docs, psi_x1m) — PSI in integer micro-units.
+    """
+    from dask_obj_spark.operators.text import quality_scores
+
+    scored = quality_scores(df, id_col, text_col, keep_cols=[source_col]).select(
+        F.col(source_col).alias("src"),
+        F.least(
+            F.floor(F.col("quality") * F.lit(10.0)).cast("int"), F.lit(9)
+        ).alias("bkt"),
+    )
+    # ONE corpus scan → the (source, decile) summary; everything after
+    # is dimension-sized, so pin the summary (it fans out to the grid,
+    # the reference distribution, and the source list — without the
+    # checkpoint each branch re-runs the corpus aggregate)
+    sb = (
+        scored.groupBy("src", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    # zero-fill the (source × decile) grid off the aggregate (tiny)
+    grid = (
+        sb.select("src").distinct()
+        .crossJoin(F.broadcast(
+            df.sparkSession.range(10).select(F.col("id").cast("int").alias("bkt"))
+        ))
+        .join(sb, ["src", "bkt"], "left")
+        .select("src", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    # the corpus total rides as a window over the ≤10-row reference
+    # frame — not a driver collect (which would re-run the aggregate
+    # lineage as an extra corpus scan at build time)
+    ref = sb.groupBy("bkt").agg(F.sum("c").alias("rc")).withColumn(
+        "n_ref",
+        F.sum("rc").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    j = grid.join(F.broadcast(ref), "bkt")
+    # smoothed shares (c+1)/(n+10) on both engines, term per decile
+    nsrc_w = Window.partitionBy("src")
+    j = j.withColumn("n_src", F.sum("c").over(nsrc_w))
+    nref = F.col("n_ref").cast("double")
+    term = (
+        (
+            (F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.lit(10.0))
+            - (F.col("rc") + F.lit(1.0)) / (nref + F.lit(10.0))
+        )
+        * F.log(
+            ((F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.lit(10.0)))
+            / ((F.col("rc") + F.lit(1.0)) / (nref + F.lit(10.0)))
+        )
+    ).alias("t")
+    piv = (
+        j.select("src", F.col("n_src"), F.col("bkt"), term)
+        .groupBy("src", "n_src")
+        .agg(*[F.max(F.when(F.col("bkt") == k, F.col("t"))).alias(f"t{k}") for k in range(10)])
+    )
+    chain = F.lit(0.0)
+    for k in range(10):
+        chain = chain + F.col(f"t{k}")
+    return piv.select(
+        F.col("src").alias("source"),
+        F.col("n_src").cast("bigint").alias("n_docs"),
+        F.floor(chain * F.lit(1000000.0)).cast("bigint").alias("psi_x1m"),
+    )
+
+
+def _quality_psi_oracle() -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    arm = " + ".join(f"t{k}" for k in range(10))
+    terms = ", ".join(
+        f"max(CASE WHEN bkt = {k} THEN t END) AS t{k}" for k in range(10)
+    )
+    return f"""
+    WITH q AS ({duck_quality_select()}),
+    scored AS (
+      SELECT q.doc_id, least(floor(q.quality * 10.0)::INTEGER, 9) AS bkt,
+             d.source AS src
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+    ),
+    sb AS (SELECT src, bkt, count(*)::BIGINT AS c FROM scored GROUP BY src, bkt),
+    grid AS (
+      SELECT s.src, g.bkt, coalesce(sb.c, 0)::BIGINT AS c
+      FROM (SELECT DISTINCT src FROM sb) s
+      CROSS JOIN range(0, 10) g(bkt)
+      LEFT JOIN sb ON sb.src = s.src AND sb.bkt = g.bkt
+    ),
+    ref AS (SELECT bkt, sum(c)::BIGINT AS rc FROM sb GROUP BY bkt),
+    nr AS (SELECT sum(c)::BIGINT AS n FROM sb),
+    t AS (
+      SELECT grid.src,
+             sum(grid.c) OVER (PARTITION BY grid.src)::BIGINT AS n_src,
+             grid.bkt, grid.c, ref.rc
+      FROM grid JOIN ref ON grid.bkt = ref.bkt
+    ),
+    terms AS (
+      SELECT src, n_src, bkt,
+             ((c + 1.0) / (n_src + 10.0)
+              - (rc + 1.0) / ((SELECT n FROM nr) + 10.0))
+             * ln(((c + 1.0) / (n_src + 10.0))
+                  / ((rc + 1.0) / ((SELECT n FROM nr) + 10.0))) AS t
+      FROM t
+    ),
+    piv AS (
+      SELECT src, n_src, {terms}
+      FROM terms GROUP BY src, n_src
+    )
+    SELECT src AS source, n_src AS n_docs,
+           floor((0.0 + {arm}) * 1000000.0)::BIGINT AS psi_x1m
+    FROM piv
+    """
+
+
+@query("corpus_quality_psi", oracle=_quality_psi_oracle())
+def corpus_quality_psi_q(spark, sf_dir):
+    """Per-source quality-decile PSI vs the whole corpus — the drift
+    tripwire, in exact integer micro-units."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_psi_by_source(docs, "doc_id", "text", "source")
+
+
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus version diff: full outer join on the id with a content-
+    hash comparison — the added/removed/changed report every dataset
+    release pipeline prints before shipping a new snapshot (and the
+    input to incremental reprocessing: only 'changed' re-embeds).
+
+    One shuffle per side on the id; the hash is computed AT THE SCAN
+    (md5 of the text column) so the join carries (id, 32-byte hash),
+    never document bodies.  Unchanged rows are dropped pre-output.
+
+    Returns (id, status ∈ {'added','removed','changed'}).
+    """
+    o = old.select(
+        F.col(id_col).alias("did"), F.md5(F.col(text_col)).alias("oh")
+    )
+    n = new.select(
+        F.col(id_col).alias("did"), F.md5(F.col(text_col)).alias("nh")
+    )
+    j = o.join(n, "did", "full_outer")
+    return (
+        j.select(
+            "did",
+            F.when(F.col("oh").isNull(), F.lit("added"))
+            .when(F.col("nh").isNull(), F.lit("removed"))
+            .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+        .select(F.col("did").alias(id_col), "status")
+    )
+
+
+@query(
+    "corpus_diff_snapshots",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 2 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    j AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             md5(v1.text) AS oh, md5(v2.text) AS nh
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed' END AS status
+    FROM j
+    WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+    """,
+)
+def corpus_diff_snapshots_q(spark, sf_dir):
+    """Snapshot diff demo: v2 drops every doc_id % 13 = 5 and edits
+    every doc_id % 17 = 2; the diff reports exactly those as
+    removed/changed (content-hash comparison, bodies never shuffled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return diff_snapshots(docs, v2, "doc_id", "text")

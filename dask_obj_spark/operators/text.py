@@ -81,9 +81,18 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Cheap quality signals; `quality` is a fixed linear combination so
-    downstream filters are a single pushdown-able predicate."""
+    downstream filters are a single pushdown-able predicate.
+
+    ``keep_cols`` passes extra columns through the projection so
+    consumers that need (quality, facet) pairs get them in ONE corpus
+    scan instead of re-joining on the id (a corpus-sized shuffle)."""
     t = F.col(text_col)
     toks = ws_tokens(t)
     n_tok = F.size(toks)
@@ -102,6 +111,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         id_col,
+        *(keep_cols or []),
         n_tok.alias("n_tokens"),
         F.round(mean_tok, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
