@@ -1605,7 +1605,7 @@ def text_vocab_growth_heaps_q(spark, sf_dir):
 
 
 def ngram_lm_fit(
-    df: DataFrame, text_col: str
+    df: DataFrame, text_col: str, top_k_bigrams: int | None = None
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train the bigram count model behind `ngram_lm_score`: lowercase
     whitespace unigram and bigram counts plus the vocabulary size for
@@ -1617,8 +1617,13 @@ def ngram_lm_fit(
     stream against them (bucket both by the leading token and the join
     is co-partitioned).  ``v`` is the one driver scalar — a single
     bounded aggregate, same discipline as heavy_hitters' n_total.
-    Production prunes the bigram table to top-K with backoff; the
-    unpruned fit is the exact form the oracle replays."""
+    ``top_k_bigrams`` prunes the bigram table to the K most frequent
+    (ties by gram) — the production knob that bounds model size for a
+    100 TB fit; a pruned-away bigram backs off to the same smoothing
+    mass as a truly unseen one (c2=0 via the scoring left join), so
+    pruning only ever LOWERS a document's score, monotonically in K
+    (pinned in tests/test_text.py).  The unpruned fit is the exact
+    form the oracle replays."""
     toks = df.select(
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "pos", "w"
@@ -1639,6 +1644,10 @@ def ngram_lm_fit(
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
+    if top_k_bigrams is not None:
+        big = big.orderBy(
+            F.desc("c2"), F.asc("w1"), F.asc("w2")
+        ).limit(int(top_k_bigrams))
     v = uni.count()
     return uni, big, v
 

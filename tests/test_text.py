@@ -172,3 +172,27 @@ def test_ngram_lm_score_smoothing_semantics(spark):
     # doc 2 pair: (a,c), c2(a,c)=1 → ln(2/6)
     lp_ac = math.floor(math.log((1 + 1) / (3 + 3)) * 1e6)
     assert got[2] == (1, lp_ac)
+
+
+def test_ngram_lm_pruned_model_backs_off_monotonically(spark):
+    """Pruning the bigram table only ever LOWERS scores (a pruned pair
+    backs off to the unseen-pair smoothing mass), and K=∞ equals the
+    unpruned fit exactly."""
+    from dask_obj_spark.operators.text import ngram_lm_fit, ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c a"), (2, "b c b a")], ["doc_id", "text"]
+    )
+    def score(k):
+        uni, big, v = ngram_lm_fit(df, "text", top_k_bigrams=k)
+        return {
+            r["doc_id"]: r["logp_x1m"]
+            for r in ngram_lm_score(df, "doc_id", "text", uni, big, v).collect()
+        }
+
+    full = score(None)
+    assert score(10_000) == full  # K beyond vocab — identical
+    pruned = score(2)
+    for d in full:
+        assert pruned[d] <= full[d]
+    assert any(pruned[d] < full[d] for d in full)
