@@ -2788,8 +2788,12 @@ def quality_psi_by_source(
     action).
 
     PSI = Σ_b (p_src,b − p_ref,b) · ln(p_src,b / p_ref,b) over ten
-    quality deciles, with add-one (per-bucket) smoothing so empty
-    deciles stay finite.  The decile grid is FIXED (10 buckets), so the
+    quality deciles, with epsilon smoothing on the PROPORTIONS
+    (p' = (c/n + ε)/(1 + 10ε), ε = 1e-4) so empty deciles stay finite
+    AND a source identical to the corpus scores exactly 0 regardless
+    of the n_src/n_ref imbalance (add-one count smoothing fails that:
+    the differing denominators read 0.71 "action" for an identical
+    source on the sf0.01 data).  The decile grid is FIXED (10 buckets), so the
     sum is an explicit left-assoc 10-arm chain over pivoted per-bucket
     terms — never a float SUM over an unordered group (the pivoted-
     partial-sums rule that keeps every float op bit-replayable in SQL).
@@ -2827,32 +2831,45 @@ def quality_psi_by_source(
         .join(sb, ["src", "bkt"], "left")
         .select("src", "bkt", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
-    # the corpus total rides as a window over the ≤10-row reference
-    # frame — not a driver collect (which would re-run the aggregate
-    # lineage as an extra corpus scan at build time)
-    ref = sb.groupBy("bkt").agg(F.sum("c").alias("rc")).withColumn(
-        "n_ref",
-        F.sum("rc").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
+    # the reference distribution is zero-filled over ALL 10 deciles
+    # (a decile empty corpus-wide must appear with rc=0, else the
+    # inner grid×ref join below drops it, the pivoted term goes NULL,
+    # and the 10-arm chain — hence every source's PSI — goes NULL);
+    # the corpus total rides as a window over the 10-row frame — not
+    # a driver collect (which would re-run the aggregate lineage as an
+    # extra corpus scan at build time)
+    ref = (
+        df.sparkSession.range(10)
+        .select(F.col("id").cast("int").alias("bkt"))
+        .join(sb.groupBy("bkt").agg(F.sum("c").alias("rc_raw")), "bkt", "left")
+        .select(
+            "bkt", F.coalesce(F.col("rc_raw"), F.lit(0)).cast("bigint").alias("rc")
+        )
+        .withColumn(
+            "n_ref",
+            F.sum("rc").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
     )
     j = grid.join(F.broadcast(ref), "bkt")
     # smoothed shares (c+1)/(n+10) on both engines, term per decile
     nsrc_w = Window.partitionBy("src")
     j = j.withColumn("n_src", F.sum("c").over(nsrc_w))
     nref = F.col("n_ref").cast("double")
-    term = (
-        (
-            (F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.lit(10.0))
-            - (F.col("rc") + F.lit(1.0)) / (nref + F.lit(10.0))
-        )
-        * F.log(
-            ((F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.lit(10.0)))
-            / ((F.col("rc") + F.lit(1.0)) / (nref + F.lit(10.0)))
-        )
-    ).alias("t")
+    # epsilon smoothing on PROPORTIONS, not add-one on counts: with
+    # count smoothing the source and reference denominators differ
+    # (n_src + 10 vs n_ref + 10), so a source IDENTICAL to the corpus
+    # scores far above the 0.25 "action" line whenever n_src ≪ n_ref
+    # (0.71 on the sf0.01 data) — a false-positive tripwire.  The
+    # proportion form p' = (c/n + ε)/(1 + 10ε) is scale-free:
+    # identical distributions give bitwise-equal p' on both sides and
+    # PSI exactly 0, while empty-bucket terms stay finite.
+    ps = (F.col("c").cast("double") / F.col("n_src").cast("double") + F.lit(0.0001)) / F.lit(1.001)
+    pr = (F.col("rc").cast("double") / nref + F.lit(0.0001)) / F.lit(1.001)
+    term = ((ps - pr) * F.log(ps / pr)).alias("t")
     piv = (
         j.select("src", F.col("n_src"), F.col("bkt"), term)
         .groupBy("src", "n_src")
@@ -2889,7 +2906,12 @@ def _quality_psi_oracle() -> str:
       CROSS JOIN range(0, 10) g(bkt)
       LEFT JOIN sb ON sb.src = s.src AND sb.bkt = g.bkt
     ),
-    ref AS (SELECT bkt, sum(c)::BIGINT AS rc FROM sb GROUP BY bkt),
+    ref AS (
+      SELECT g.bkt, coalesce(s.rc, 0)::BIGINT AS rc
+      FROM range(0, 10) g(bkt)
+      LEFT JOIN (SELECT bkt, sum(c)::BIGINT AS rc FROM sb GROUP BY bkt) s
+        ON s.bkt = g.bkt
+    ),
     nr AS (SELECT sum(c)::BIGINT AS n FROM sb),
     t AS (
       SELECT grid.src,
@@ -2899,10 +2921,10 @@ def _quality_psi_oracle() -> str:
     ),
     terms AS (
       SELECT src, n_src, bkt,
-             ((c + 1.0) / (n_src + 10.0)
-              - (rc + 1.0) / ((SELECT n FROM nr) + 10.0))
-             * ln(((c + 1.0) / (n_src + 10.0))
-                  / ((rc + 1.0) / ((SELECT n FROM nr) + 10.0))) AS t
+             ((c::DOUBLE / n_src::DOUBLE + 0.0001) / 1.001
+              - (rc::DOUBLE / (SELECT n FROM nr)::DOUBLE + 0.0001) / 1.001)
+             * ln(((c::DOUBLE / n_src::DOUBLE + 0.0001) / 1.001)
+                  / ((rc::DOUBLE / (SELECT n FROM nr)::DOUBLE + 0.0001) / 1.001)) AS t
       FROM t
     ),
     piv AS (
@@ -2935,21 +2957,31 @@ def diff_snapshots(
     (md5 of the text column) so the join carries (id, 32-byte hash),
     never document bodies.  Unchanged rows are dropped pre-output.
 
+    Presence is carried as an explicit per-side flag — NOT inferred
+    from hash nullness: ``md5(NULL)`` is NULL, so a hash-null test
+    would misreport a NULL-text doc present in both snapshots as
+    'added'.  Hashes compare null-safely (``eqNullSafe``), so
+    NULL→NULL is unchanged and NULL→text is 'changed'.
+
     Returns (id, status ∈ {'added','removed','changed'}).
     """
     o = old.select(
-        F.col(id_col).alias("did"), F.md5(F.col(text_col)).alias("oh")
+        F.col(id_col).alias("did"),
+        F.lit(True).alias("in_old"),
+        F.md5(F.col(text_col)).alias("oh"),
     )
     n = new.select(
-        F.col(id_col).alias("did"), F.md5(F.col(text_col)).alias("nh")
+        F.col(id_col).alias("did"),
+        F.lit(True).alias("in_new"),
+        F.md5(F.col(text_col)).alias("nh"),
     )
     j = o.join(n, "did", "full_outer")
     return (
         j.select(
             "did",
-            F.when(F.col("oh").isNull(), F.lit("added"))
-            .when(F.col("nh").isNull(), F.lit("removed"))
-            .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+            F.when(F.col("in_old").isNull(), F.lit("added"))
+            .when(F.col("in_new").isNull(), F.lit("removed"))
+            .when(~F.col("oh").eqNullSafe(F.col("nh")), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )
@@ -2969,15 +3001,17 @@ def diff_snapshots(
     ),
     j AS (
       SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             v1.doc_id IS NOT NULL AS in_old,
+             v2.doc_id IS NOT NULL AS in_new,
              md5(v1.text) AS oh, md5(v2.text) AS nh
       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
     )
     SELECT doc_id,
-           CASE WHEN oh IS NULL THEN 'added'
-                WHEN nh IS NULL THEN 'removed'
-                WHEN oh <> nh THEN 'changed' END AS status
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS status
     FROM j
-    WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+    WHERE NOT in_old OR NOT in_new OR oh IS DISTINCT FROM nh
     """,
 )
 def corpus_diff_snapshots_q(spark, sf_dir):

@@ -512,15 +512,22 @@ def maxsim_topk(
     # than silently quadratic-izing at a bigger SF (r7 verdict #3)
     from dask_obj_spark.operators import similarity as _sim
 
-    n_probes = probes.limit(_sim.MAX_PROBES + 1).count()
-    if n_probes > _sim.MAX_PROBES:
+    # one scan serves both the guard and the probe materialization
+    # (heavy_hitters precedent, r8 advice): collect ≤ MAX_PROBES+1
+    # probe rows once; if within the cap the collected set is COMPLETE
+    # (the limit was never reached), so it becomes the broadcast local
+    # relation and the cross-join plan starts from an in-memory
+    # LocalTableScan instead of re-scanning the corpus for probes
+    probe_rows = probes.limit(_sim.MAX_PROBES + 1).collect()
+    if len(probe_rows) > _sim.MAX_PROBES:
         raise ValueError(
             f"maxsim_topk: probe set exceeds MAX_PROBES={_sim.MAX_PROBES} "
             "(exact-oracle harness contract) — raise probe_mod or use "
             "the retrieve-then-rerank path (retrieval_maxsim_rerank)"
         )
+    probes_local = df.sparkSession.createDataFrame(probe_rows, probes.schema)
     scored = (
-        base.crossJoin(F.broadcast(probes))
+        base.crossJoin(F.broadcast(probes_local))
         .filter(F.col("pid") != F.col("vid"))
         .select(
             F.col("pid").alias("id1"),

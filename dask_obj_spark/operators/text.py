@@ -1645,9 +1645,48 @@ def ngram_lm_fit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
     )
     if top_k_bigrams is not None:
-        big = big.orderBy(
-            F.desc("c2"), F.asc("w1"), F.asc("w2")
-        ).limit(int(top_k_bigrams))
+        # exact top-K by (c2 DESC, w1, w2) WITHOUT a global sort-limit
+        # (TakeOrdered funnels K rows through the driver; production K
+        # bounds a 100 TB model, so K itself is large).  Instead:
+        # count-histogram → Kth-value threshold (the histogram is
+        # distinct-count-sized, so its single-partition window is the
+        # dimension-sized exception), keep everything strictly above
+        # the threshold, and fill the remainder from the boundary
+        # count's bucket by the deterministic (w1, w2) tiebreak — the
+        # same boundary-bucket pattern budget_select uses.  Result set
+        # is identical to ORDER BY c2 DESC, w1, w2 LIMIT K.
+        k = int(top_k_bigrams)
+        hist = big.groupBy("c2").agg(F.count(F.lit(1)).alias("nb"))
+        hist = hist.withColumn(
+            "cum",
+            F.sum("nb").over(
+                Window.orderBy(F.desc("c2")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        thr = (
+            hist.filter(F.col("cum") >= k)
+            .orderBy(F.desc("c2"))
+            .limit(1)
+            .collect()
+        )
+        if thr:  # else: fewer than K bigrams exist — keep all
+            c_star = thr[0]["c2"]
+            n_above = thr[0]["cum"] - thr[0]["nb"]
+            above = big.filter(F.col("c2") > F.lit(c_star))
+            boundary = (
+                big.filter(F.col("c2") == F.lit(c_star))
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("c2").orderBy("w1", "w2")
+                    ),
+                )
+                .filter(F.col("rn") <= F.lit(k - n_above))
+                .drop("rn")
+            )
+            big = above.unionByName(boundary)
     v = uni.count()
     return uni, big, v
 

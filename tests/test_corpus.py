@@ -621,3 +621,55 @@ def test_budget_select_budget_and_quality_monotone(spark, oracle_sf_dir):
         docs.repartition(17), "doc_id", "text", token_budget=budget
     ).collect()
     assert {r["doc_id"] for r in got2} == sel_ids
+
+
+def test_quality_psi_identical_source_scores_zero_with_empty_deciles(spark):
+    """r8 advice regression: (a) empty corpus-wide deciles must not
+    NULL-out every PSI (the ref distribution is zero-filled over all
+    10 deciles), and (b) a source whose decile distribution equals the
+    corpus's must score exactly 0 (epsilon-on-proportions smoothing is
+    scale-free; add-one count smoothing read 0.71 here)."""
+    from dask_obj_spark.operators.corpus import quality_psi_by_source
+
+    # two sources with the SAME texts → same decile mix as the corpus;
+    # real prose concentrates in a couple of deciles, leaving most of
+    # the 10-bucket grid empty corpus-wide
+    texts = [
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "A short plain sentence about nothing much at all, written well.",
+    ]
+    rows = [(i, texts[i % 2], f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r["psi_x1m"] for r in
+           quality_psi_by_source(df, "doc_id", "text", "source").collect()}
+    assert set(got) == {"s0", "s1"}
+    for v in got.values():
+        assert v is not None
+    # each source holds exactly one of the two texts → p_src puts all
+    # mass in one decile vs the corpus's 50/50 split → PSI > 0; and a
+    # third run with a perfectly mixed source scores exactly 0
+    mixed = [(i, texts[i % 2], "mix") for i in range(40)]
+    df2 = spark.createDataFrame(mixed, ["doc_id", "text", "source"])
+    got2 = {r["source"]: r["psi_x1m"] for r in
+            quality_psi_by_source(df2, "doc_id", "text", "source").collect()}
+    assert got2["mix"] == 0
+
+
+def test_diff_snapshots_null_text_is_not_added(spark):
+    """r8 advice regression: presence comes from the join sides, not
+    md5 nullness — a NULL-text doc present in both snapshots is
+    unchanged (dropped), NULL→text is 'changed', and genuinely new
+    NULL-text docs are 'added'."""
+    from dask_obj_spark.operators.corpus import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "keep"), (4, "gone")],
+        "doc_id: bigint, text: string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now set"), (3, "keep"), (5, None)],
+        "doc_id: bigint, text: string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in diff_snapshots(old, new, "doc_id", "text").collect()}
+    assert got == {2: "changed", 4: "removed", 5: "added"}
