@@ -50,61 +50,62 @@ def query(name: str, oracle: str | None = None):
 # registry order), so every query's official row stays at most ~3 rounds
 # stale.  Everything outside the window is still hash-verified every
 # round by tests/test_oracle_parity.py and the judge's full sweep.
-# Round-8 window = the 12 never-driven queries (11 r7 additions + the
-# r7 JL query renamed off the `sim_random_projection` collision) + the
-# 38 oldest records (the r1-era relational/core family, whose only
-# official rows predate r3).
+# Round-9 window = the 7 never-driven round-8 queries + the oldest
+# official records (r1-r3-era families), with `sim_random_projection`
+# swapped in for the same-age-tier `sim_pca_topk` (both r4-green) per
+# the r8 verdict: its only official record predates the r7
+# name-shadowing episode, so re-prove the restored query first.
 _WINDOW_50 = (
-    "sim_binary_hamming_topk",
-    "sim_jl_projection_coords",
-    "corpus_semantic_contamination",
-    "corpus_shuffle_shards",
-    "corpus_shard_balance",
-    "corpus_interleave_sources",
-    "stream_heavy_hitters",
-    "corpus_bpe_encode_rowsonly",
-    "sketch_heavy_hitters",
-    "retrieval_maxsim",
-    "retrieval_maxsim_rerank",
-    "ml_knn_classify",
-    "attr_projection",
-    "pluck_multi",
-    "expr_arithmetic",
-    "expr_method_dispatch",
-    "flatten_embeddings",
-    "map_computed_column",
-    "filter_pushdown",
-    "remove_predicate",
-    "sample_deterministic",
-    "distinct_pairs",
-    "scalar_aggs",
-    "any_all_bools",
-    "having_filter",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
-    "pivot_status",
-    "broadcast_join_dims",
-    "semi_join_customers",
-    "anti_join_customers",
-    "cross_join_dims",
-    "outer_join_counts",
-    "range_join_events",
-    "asof_join_last_event",
-    "union_nations",
-    "intersect_nations",
-    "except_nations",
-    "topk_orders",
-    "orderby_limit",
-    "window_topk_per_group",
-    "window_lag_lead",
-    "window_running_sum",
-    "string_functions",
-    "date_functions",
-    "json_extraction",
-    "case_when_buckets",
-    "in_filter_agg",
-    "null_handling",
+    "text_ngram_lm_score",
+    "corpus_stratified_split",
+    "corpus_budget_select",
+    "corpus_quality_psi",
+    "corpus_diff_snapshots",
+    "stream_decayed_topk",
+    "asof_join_tolerance",
+    "sql_entrypoint",
+    "funnel_stages",
+    "retention_cohorts",
+    "foldby_custom_binop",
+    "percentile_groups",
+    "map_partitions_arrow",
+    "sim_norms",
+    "dedup_simhash",
+    "corpus_split",
+    "corpus_mix_rebalance",
+    "text_token_stats",
+    "text_facets",
+    "text_scrub",
+    "text_boilerplate_scrub",
+    "corpus_cap_per_source",
+    "mm_payload_meta",
+    "sim_cosine_topk_brute",
+    "sim_cosine_topk_lsh",
+    "sim_ivf_recall",
+    "dedup_minhash_bands",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "corpus_dedup_clusters",
+    "corpus_ngram_vocab",
+    "text_quality_scores",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "text_fingerprints",
+    "text_pmi_bigrams",
+    "text_span_dedup",
+    "corpus_weighted_sample",
+    "corpus_dedup_keep_best",
+    "corpus_chunk_windows",
+    "corpus_contrastive_negatives",
+    "skew_salted_counts",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "profile_corpus_facets",
+    "layout_zorder_keys",
+    "ts_sessionize_islands",
+    "sim_random_projection",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
