@@ -1906,6 +1906,15 @@ def graph_weighted_sssp_q(spark, sf_dir):
 
 PQ_M = 4  # subspaces (DIM/PQ_M dims each)
 PQ_MOD = 11  # deterministic codebook: subvectors of vids with vid % 11 == 1
+# Codebook vids are additionally bounded to vid < PQ_CB_CAP: model state
+# must be constant-size by construction (the train_sample discipline —
+# PLANS.md "models see a slice, the corpus only flows through the encode
+# scan").  An UNcapped vid % 11 codebook grows linearly with the corpus,
+# making encode work quadratic: the r6 sf1 spot-check measured 15.9× at
+# 10× data (BASELINE.md §6).  512 covers every vec_id at the sf0.01
+# correctness gate (max 499 — hashes unchanged), so bigger SFs keep the
+# SAME bounded 47-codeword model instead of a corpus-sized one.
+PQ_CB_CAP = 512
 
 
 def sqdist(a: Column, b: Column) -> Column:
@@ -2033,7 +2042,8 @@ def _duck_pq_oracle(m: int, mod: int, dim: int) -> str:
     WITH base AS (
       SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
     ), cw AS (
-      SELECT vid AS cid, v AS cv FROM base WHERE vid % {mod} = 1
+      SELECT vid AS cid, v AS cv FROM base
+      WHERE vid % {mod} = 1 AND vid < {PQ_CB_CAP}
     ), d AS (
       {" UNION ALL ".join(arms)}
     ), a AS (
@@ -2051,10 +2061,15 @@ def _duck_pq_oracle(m: int, mod: int, dim: int) -> str:
 def sim_pq_encode_q(spark, sf_dir):
     """Product-quantization encoding of the whole corpus: 4 subspaces
     of 16 dims, deterministic modular codebooks (subvectors of vids
-    ≡ 1 mod 11 — the IVF precedent, so the oracle replays the index
-    exactly; production trains per-subspace k-means via pq_fit), each
-    vector reduced to 4 codeword ids + its floor-quantized total
-    reconstruction error."""
+    ≡ 1 mod 11 AND vid < PQ_CB_CAP — the IVF precedent, so the oracle
+    replays the index exactly; production trains per-subspace k-means
+    via pq_fit), each vector reduced to 4 codeword ids + its
+    floor-quantized total reconstruction error.  The cap keeps the
+    replayable model CONSTANT-SIZE at any SF (uncapped, encode work
+    grew quadratically — 15.9× at 10× data, BASELINE.md §6; capped,
+    2.0× — and the per-row argmin is now 47 codewords, light enough
+    that the corpus side keeps its zero-exchange plan contract
+    pinned in test_scale.py with no repartition fan-out)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id").alias("vid"),
@@ -2067,7 +2082,7 @@ def sim_pq_encode_q(spark, sf_dir):
     # contract as the trained-books pq_encode; the only aggregation in
     # the plan is the tiny codeword-side collect_list)
     cws = F.broadcast(
-        base.filter(F.col("vid") % PQ_MOD == 1)
+        base.filter((F.col("vid") % PQ_MOD == 1) & (F.col("vid") < PQ_CB_CAP))
         .select(F.struct(F.col("vid").alias("cid"), F.col("v").alias("cv")).alias("c"))
         .groupBy()
         .agg(F.array_sort(F.collect_list("c")).alias("cws"))
@@ -2145,7 +2160,8 @@ def _duck_pq_adc_ctes(m: int, mod: int, dim: int, probe_mod: int) -> str:
     ), pq_probes AS (
       SELECT vid, v FROM pq_nbase WHERE vid % {probe_mod} = 0
     ), cw AS (
-      SELECT vid AS cid, v AS cv FROM pq_nbase WHERE vid % {mod} = 1
+      SELECT vid AS cid, v AS cv FROM pq_nbase
+      WHERE vid % {mod} = 1 AND vid < {PQ_CB_CAP}
     ), pq_d AS (
       {" UNION ALL ".join(enc_arms)}
     ), pq_a AS (
@@ -2212,7 +2228,7 @@ def pq_adc_ranked(
     # an m·|cw|·|corpus| intermediate), then posexplode melts the m
     # codes for the ADC code-lookup join
     cwsf = F.broadcast(
-        base.filter(F.col("vid") % mod == 1)
+        base.filter((F.col("vid") % mod == 1) & (F.col("vid") < PQ_CB_CAP))
         .select(
             F.struct(F.col("vid").alias("cid"), F.col("v").alias("cv")).alias("c")
         )
@@ -2272,9 +2288,9 @@ def pq_adc_ranked(
         )
     scored = (
         # no broadcast hint on probes: each row is m·|cw| doubles and
-        # |cw| here is the corpus-growing modular codeword set (oracle
-        # variant) — AQE picks the strategy at demo scale; production
-        # is the constant-k trained path (PLANS.md broadcast-audit rule)
+        # the probe COUNT is corpus-growing (1-in-probe_mod) — AQE
+        # picks the strategy at demo scale; production is the
+        # constant-k trained path (PLANS.md broadcast-audit rule)
         enc.join(probes)
         .filter(F.col("pid") != F.col("vid"))
         .select(
