@@ -481,6 +481,44 @@ def test_bpe_char_encode_invariants(spark):
     assert 3 + 1 <= enc[1]["n_bpe_tokens"] <= 3 + 3
 
 
+def test_bpe_char_roundtrip_reconstructs_edge_cases(spark):
+    """The decode-round-trip companion: rebuilt md5 equals the md5 of
+    the whitespace-normalized source and ok=1, including NULL text,
+    empty text, runs of mixed whitespace, and unicode words."""
+    import hashlib
+
+    from dask_obj_spark.operators.corpus import (
+        bpe_char_fit,
+        bpe_char_roundtrip,
+    )
+
+    rows = [
+        (1, "low low lower  newest\twidest"),
+        (2, None),
+        (3, "   "),
+        (4, "héllo wörld héllo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_char_fit(df, "doc_id", "text", n_merges=8)
+    got = {
+        r["doc_id"]: r
+        for r in bpe_char_roundtrip(df, "doc_id", "text", merges).collect()
+    }
+    expect = {
+        1: "low low lower newest widest",
+        2: "",
+        3: "",
+        4: "héllo wörld héllo",
+    }
+    for d, norm_text in expect.items():
+        assert got[d]["ok"] == 1
+        assert got[d]["n_words"] == (len(norm_text.split()) if norm_text else 0)
+        assert (
+            got[d]["rebuilt_md5"]
+            == hashlib.md5(norm_text.encode("utf-8")).hexdigest()
+        )
+
+
 def test_global_shuffle_shards_is_a_permutation(spark):
     """Every row lands in exactly one (shard, pos) slot; positions are
     1..count_per_shard dense; the same salt replays identically and a
