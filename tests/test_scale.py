@@ -540,3 +540,60 @@ def test_global_shuffle_shards_plan_is_one_hash_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan, plan
     assert "hashpartitioning(shard" in plan, plan
+
+
+@pytest.mark.filterwarnings("ignore::UserWarning")
+def test_asof_tolerance_no_broadcast_fallback_plan(spark, oracle_sf_dir):
+    """The r8 plan audit's 100 TB promise, pinned: when the probe side
+    is too big to broadcast (auto-broadcast disabled here, the way the
+    bucketed-join test does it), the as-of-with-tolerance join degrades
+    to a SHUFFLED join KEYED ON THE USER equi-key with the two-sided
+    time bound as join filters — never a BroadcastNestedLoopJoin or
+    CartesianProduct (which is what an as-of join without an equi-key
+    would plan as).  Results must be identical to the broadcast plan."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["asof_join_tolerance"]
+    expected = sorted(map(tuple, q(spark, oracle_sf_dir).collect()))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, oracle_sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # a keyed shuffled join survives: either merge or shuffled-hash
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert sorted(map(tuple, df.collect())) == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+@pytest.mark.filterwarnings("ignore::UserWarning")
+def test_stratified_split_no_auto_broadcast_fallback(spark, oracle_sf_dir):
+    """The stratified split's broadcast is the |strata|-row quota
+    dimension via an EXPLICIT hint (constant-bounded side — the
+    PLANS.md broadcast-audit rule), so it must survive auto-broadcast
+    being disabled: with the threshold at -1 the plan keeps exactly
+    one BroadcastExchange (the quota), the corpus side is never a
+    broadcast build side, the scan count stays 2, and the
+    largest-remainder window still runs over the dimension frame only
+    (no corpus-wide single-partition window).  Results identical."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["corpus_stratified_split"]
+    expected = sorted(map(tuple, q(spark, oracle_sf_dir).collect()))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(spark, oracle_sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") == 1, plan
+        assert plan.count("Scan parquet") == 2, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert sorted(map(tuple, df.collect())) == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
