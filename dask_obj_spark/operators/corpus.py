@@ -2900,6 +2900,143 @@ def corpus_budget_select_q(spark, sf_dir):
     return budget_select(docs, "doc_id", "text", token_budget=10_000)
 
 
+# -- data-constrained epoch scheduling ----------------------------------------
+
+
+def epoch_schedule(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_mult: int = 3,
+    rstar: float = 15.0,
+) -> DataFrame:
+    """Epoch/repetition allocation under a global token budget — the
+    planning step of a data-constrained training run ("Scaling
+    Data-Constrained Language Models", Muennighoff et al., NeurIPS
+    2023): given per-source unique-token counts and a budget of
+    ``budget_mult ×`` the corpus, split the budget by α=0.5
+    temperature weights (w_s ∝ √n_s — the standard low-resource
+    up-sampling), convert each source's allocation to epochs over its
+    unique tokens, and discount repeated epochs by the paper's decay
+    ``D' = U + U·R*·(1 − e^(−R/R*))`` with R* ≈ 15 — the effective
+    token count a loss-scaling law would credit.  ``regime`` buckets
+    each source by the paper's reading: ≤1 epoch unique data,
+    1–4 epochs nearly-free repetition, >4 diminishing.
+
+    Cross-engine determinism: √n is an IEEE correctly-rounded
+    primitive (bit-identical on Spark and DuckDB, unlike exp/ln
+    chains), so the weight table quantizes exactly; the single exp()
+    sits behind integer-token flooring with ~1e-12 relative ULP — far
+    from any boundary.  Σ over sources is an INTEGER sum of the
+    quantized weights (order-free), never a float reduction over an
+    unordered group.
+
+    100 TB shape: ONE corpus scan (the per-source token aggregate);
+    everything after is windows over the |sources|-row dimension
+    frame.  At extreme n_s the ×1e6 weight quantization would
+    overflow BIGINT around n_s ≈ 8.5e25 — not reachable in tokens.
+
+    Returns (source, n_tokens, weight_x1m, epochs_x1m, eff_tokens,
+    regime)."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_s"))
+    )
+    # windows over the dimension frame only (|sources| rows)
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = (
+        per.withColumn("tot", F.sum("n_s").over(full))
+        .withColumn(
+            "p",
+            F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("s_w", F.sum("p").over(full))
+    )
+    b = (F.lit(budget_mult) * F.col("tot")).cast("double")
+    alloc = (b * F.col("p").cast("double")) / F.col("s_w").cast("double")
+    nd = F.col("n_s").cast("double")
+    epochs = alloc / nd
+    r = epochs - F.lit(1.0)
+    eff = F.when(epochs <= F.lit(1.0), alloc).otherwise(
+        nd
+        + nd
+        * F.lit(rstar)
+        * (F.lit(1.0) - F.exp(F.lit(0.0) - r / F.lit(rstar)))
+    )
+    out = per.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.floor(
+            (F.col("p").cast("double") / F.col("s_w").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("weight_x1m"),
+        F.floor(epochs * F.lit(1000000.0)).cast("bigint").alias("epochs_x1m"),
+        F.floor(eff).cast("bigint").alias("eff_tokens"),
+    )
+    return out.withColumn(
+        "regime",
+        F.when(F.col("epochs_x1m") <= 1_000_000, F.lit("unique"))
+        .when(F.col("epochs_x1m") <= 4_000_000, F.lit("repeat"))
+        .otherwise(F.lit("diminishing")),
+    )
+
+
+def _epoch_schedule_oracle(budget_mult: int, rstar: float) -> str:
+    return f"""
+    WITH per AS (
+      SELECT source,
+             sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_s
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_s,
+             sum(n_s) OVER ()::BIGINT AS tot,
+             floor(sqrt(n_s::DOUBLE) * 1000000.0)::BIGINT AS p
+      FROM per
+    ), w2 AS (
+      SELECT *, sum(p) OVER ()::BIGINT AS s_w FROM w
+    ), m AS (
+      SELECT source, n_s, p, s_w,
+             (({budget_mult} * tot)::DOUBLE * p::DOUBLE) / s_w::DOUBLE
+               AS alloc,
+             ((({budget_mult} * tot)::DOUBLE * p::DOUBLE) / s_w::DOUBLE)
+               / n_s::DOUBLE AS epochs
+      FROM w2
+    )
+    SELECT source,
+           n_s AS n_tokens,
+           floor((p::DOUBLE / s_w::DOUBLE) * 1000000.0)::BIGINT AS weight_x1m,
+           floor(epochs * 1000000.0)::BIGINT AS epochs_x1m,
+           floor(CASE WHEN epochs <= 1.0 THEN alloc
+                 ELSE n_s::DOUBLE + n_s::DOUBLE * {rstar}
+                      * (1.0 - exp(0.0 - (epochs - 1.0) / {rstar}))
+                 END)::BIGINT AS eff_tokens,
+           CASE WHEN floor(epochs * 1000000.0)::BIGINT <= 1000000
+                  THEN 'unique'
+                WHEN floor(epochs * 1000000.0)::BIGINT <= 4000000
+                  THEN 'repeat'
+                ELSE 'diminishing' END AS regime
+    FROM m
+    """
+
+
+@query("corpus_epoch_schedule", oracle=_epoch_schedule_oracle(3, 15.0))
+def corpus_epoch_schedule_q(spark, sf_dir):
+    """Data-constrained epoch plan: a 3×-corpus token budget split by
+    √n temperature weights, per-source epochs and repetition-discounted
+    effective tokens (R* = 15), with the unique/repeat/diminishing
+    regime flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_schedule(docs, "text", "source", budget_mult=3)
+
+
 # -- corpus monitoring: quality drift (PSI) and snapshot diff -----------------
 
 

@@ -519,6 +519,43 @@ def test_bpe_char_roundtrip_reconstructs_edge_cases(spark):
         )
 
 
+def test_epoch_schedule_regimes_and_invariants(spark):
+    """Skewed sources land in the right regimes: a giant source gets
+    <1 epoch of the √n-weighted budget (unique), a mid source 1-4
+    epochs (repeat), a tiny one >4 (diminishing).  Discount
+    invariants: eff == alloc when epochs ≤ 1, n_s ≤ eff < alloc when
+    epochs > 1, and eff is capped by U·(1+R*) as R → ∞."""
+    from dask_obj_spark.operators.corpus import epoch_schedule
+
+    rows = (
+        [(i, "w " * 2000, "giant") for i in range(50)]
+        + [(1000 + i, "w " * 500, "mid") for i in range(10)]
+        + [(2000 + i, "w " * 10, f"tiny{i}") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r["source"]: r
+        for r in epoch_schedule(df, "text", "source", budget_mult=3).collect()
+    }
+    # √n up-weighting splits the 3x budget across 300 tiny competitors:
+    # the giant's share falls under one epoch, the mid lands at ~3.4,
+    # every tiny source repeats ~77x — deep in diminishing returns
+    assert got["giant"]["regime"] == "unique"
+    assert got["mid"]["regime"] == "repeat"
+    assert got["tiny0"]["regime"] == "diminishing"
+    # weights sum to ~1 (floor quantization loses < 1 ppm per source)
+    wsum = sum(r["weight_x1m"] for r in got.values())
+    assert 1_000_000 - len(got) <= wsum <= 1_000_000
+    tot = sum(r["n_tokens"] for r in got.values())
+    for r in got.values():
+        alloc = 3 * tot * (r["weight_x1m"] / 1e6)
+        if r["epochs_x1m"] <= 1_000_000:
+            assert abs(r["eff_tokens"] - alloc) <= alloc * 0.01 + 2
+        else:
+            assert r["n_tokens"] <= r["eff_tokens"] < alloc
+            assert r["eff_tokens"] < r["n_tokens"] * (1 + 15.0) + 1
+
+
 def test_global_shuffle_shards_is_a_permutation(spark):
     """Every row lands in exactly one (shard, pos) slot; positions are
     1..count_per_shard dense; the same salt replays identically and a
