@@ -442,3 +442,52 @@ def test_decayed_mg_merge_replay_bound_and_decay():
     st = _decayed_mg_merge(st, many, sum(c for _, c in many), 2, counters)
     assert len(st["slots"]) <= counters
     assert st["done"] == [0, 1, 2]
+
+
+def test_stream_quality_psi_drift_and_replay(spark, tmp_path):
+    """A second batch with a genuinely different quality mix must score
+    PSI far above the 0.25 'action' line while the frozen reference
+    batch scores EXACTLY 0; replaying the whole stream (checkpoint
+    blown away, histograms kept) must be a no-op by the seq guard."""
+    import shutil
+
+    from dask_obj_spark.streaming.windows import (
+        quality_psi_vs_frozen,
+        stream_quality_psi_sink,
+    )
+
+    good = "the cat is on the mat and it is a fine day for the dog"
+    junk = "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( ))) ??? ;;; ::: ~~~"
+    b0 = [(i, good) for i in range(40)]
+    b1 = [(100 + i, junk) for i in range(40)]
+    in_dir = str(tmp_path / "in")
+    schema = None
+    for name, batch in (("00_ref", b0), ("01_drift", b1)):
+        df = spark.createDataFrame(batch, ["doc_id", "text"])
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+    # two files, mtime order = write order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "hist")
+    stream_quality_psi_sink(spark, stream, target)
+    got = {r["seq"]: r for r in quality_psi_vs_frozen(spark, target).collect()}
+    assert got[0]["psi_x1m"] == 0  # frozen reference vs itself: exact 0
+    assert got[0]["n_docs"] == 40 and got[1]["n_docs"] == 40
+    assert got[1]["psi_x1m"] > 250_000  # junk batch: far past 'action'
+
+    # replay: same files, fresh checkpoint — histograms must not double
+    n_rows = spark.read.parquet(target).count()
+    shutil.rmtree(target + "_ckpt")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_quality_psi_sink(spark, stream2, target)
+    assert spark.read.parquet(target).count() == n_rows
+    again = {r["seq"]: r for r in quality_psi_vs_frozen(spark, target).collect()}
+    assert again[0]["psi_x1m"] == 0 and again[1]["psi_x1m"] == got[1]["psi_x1m"]
