@@ -2435,6 +2435,171 @@ def sim_pq_recall_q(spark, sf_dir):
     return r_adc.join(r_rr, "probe_id")
 
 
+def matryoshka_recall(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int = 50,
+    dims: tuple[int, ...] = (8, 16, 32),
+    full_dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Prefix-dimension truncation quality — the Matryoshka-embedding
+    readout (Kusupati et al., "Matryoshka Representation Learning",
+    NeurIPS 2022): recall@k of top-k-by-prefix-cosine against the
+    full-dimension ground truth, one row per truncation width.  This
+    is the table a storage/latency decision reads before truncating a
+    100 TB embedding column to its first m dims (a 64→16 cut is 4×
+    less I/O and ADC work everywhere downstream).
+
+    Same exact-harness shape as `cosine_ranked_raw`: probes are
+    ``id % probe_mod == 0`` under the MAX_PROBES contract, the corpus
+    side fans out with a row-preserving repartition ahead of the
+    interpreted scoring stage, and prefix NORMS are precomputed per
+    vector per width before the pair join — per pair only the
+    len(dims)+1 prefix dots remain.  Per-width rankings melt out of
+    ONE pair pass (explode of a literal struct array — the pair
+    surface is scanned once, not once per width), and recall is
+    integer arithmetic end to end (hits·1e6 DIV probes·k), so no
+    cross-engine float summation exists outside the bit-replayable
+    left-assoc cosine chains."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    widths = tuple(dims) + (full_dim,)
+    raw0 = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def with_norms(frame: DataFrame, pfx: str) -> DataFrame:
+        for m in widths:
+            frame = frame.withColumn(
+                f"{pfx}n{m}", l2_norm(F.slice(F.col("v"), 1, m))
+            )
+        return frame
+
+    base = with_norms(raw0.repartition(ncores), "")
+    probes = with_norms(raw0.filter(F.col("vid") % probe_mod == 0), "p")
+    probes = probes.select(
+        F.col("vid").alias("pid"),
+        F.col("v").alias("pv"),
+        *[F.col(f"pn{m}") for m in widths],
+    )
+    n_probes = probes.limit(MAX_PROBES + 1).count()
+    if n_probes > MAX_PROBES:
+        raise ValueError(
+            f"matryoshka_recall: probe set exceeds MAX_PROBES={MAX_PROBES} "
+            "(exact-oracle harness contract) — raise probe_mod"
+        )
+    pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+    arms = [
+        F.struct(
+            F.lit(m).cast("bigint").alias("m"),
+            (
+                dot(F.slice(F.col("pv"), 1, m), F.slice(F.col("v"), 1, m))
+                / (F.col(f"pn{m}") * F.col(f"n{m}"))
+            ).alias("cs"),
+        )
+        for m in widths
+    ]
+    melted = pairs.select(
+        F.col("pid").alias("id1"),
+        F.col("vid").alias("id2"),
+        F.explode(F.array(*arms)).alias("e"),
+    ).select("id1", "id2", F.col("e.m").alias("m"), F.col("e.cs").alias("cs"))
+    w = Window.partitionBy("m", "id1").orderBy(F.desc("cs"), F.asc("id2"))
+    top = (
+        melted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("m", "id1", "id2")
+    )
+    truth = top.filter(F.col("m") == full_dim).select(
+        F.col("id1").alias("t1"), F.col("id2").alias("t2")
+    )
+    hits = (
+        top.filter(F.col("m") != full_dim)
+        .join(
+            truth,
+            (F.col("id1") == F.col("t1")) & (F.col("id2") == F.col("t2")),
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    spark = df.sparkSession
+    mframe = spark.createDataFrame(
+        [(int(m),) for m in dims], "m bigint"
+    ).join(hits, "m", "left")
+    return mframe.select(
+        "m",
+        F.lit(int(n_probes)).cast("bigint").alias("n_probes"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        F.expr(
+            f"coalesce(hits, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT) "
+            f"DIV (CAST({int(n_probes)} AS BIGINT) * CAST({k} AS BIGINT))"
+        ).alias("recall_x1m"),
+    )
+
+
+def _matryoshka_oracle(
+    probe_mod: int, dims: tuple[int, ...], full_dim: int, k: int
+) -> str:
+    widths = tuple(dims) + (full_dim,)
+    cs_cols = ",\n             ".join(
+        f"{duck_dot('pv', 'v', m)} / (sqrt({duck_dot('pv', 'pv', m)}) * "
+        f"sqrt({duck_dot('v', 'v', m)})) AS cs{m}"
+        for m in widths
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT id1, id2, {m}::BIGINT AS m, cs{m} AS cs FROM scored"
+        for m in widths
+    )
+    dim_list = ", ".join(str(m) for m in dims)
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), probes AS (
+      SELECT vid AS pid, v AS pv FROM base WHERE vid % {probe_mod} = 0
+    ), pairs AS (
+      SELECT pid, pv, vid, v FROM base JOIN probes ON pid <> vid
+    ), scored AS (
+      SELECT pid AS id1, vid AS id2,
+             {cs_cols}
+      FROM pairs
+    ), melted AS ({melt}),
+    top AS (
+      SELECT m, id1, id2 FROM (
+        SELECT m, id1, id2,
+               row_number() OVER (PARTITION BY m, id1
+                                  ORDER BY cs DESC, id2) AS rnk
+        FROM melted
+      ) WHERE rnk <= {k}
+    ),
+    truth AS (SELECT id1, id2 FROM top WHERE m = {full_dim}),
+    np AS (SELECT count(*)::BIGINT AS n_probes FROM probes),
+    hits AS (
+      SELECT t.m, count(*)::BIGINT AS hits
+      FROM top t JOIN truth u ON t.id1 = u.id1 AND t.id2 = u.id2
+      WHERE t.m <> {full_dim}
+      GROUP BY t.m
+    )
+    SELECT d.m::BIGINT AS m,
+           (SELECT n_probes FROM np) AS n_probes,
+           coalesce(h.hits, 0)::BIGINT AS hits,
+           ((coalesce(h.hits, 0) * 1000000)
+            // ((SELECT n_probes FROM np) * {k}))::BIGINT AS recall_x1m
+    FROM (SELECT unnest([{dim_list}]) AS m) d
+    LEFT JOIN hits h ON h.m = d.m
+    """
+
+
+@query("sim_matryoshka_recall", oracle=_matryoshka_oracle(50, (8, 16, 32), 64, 10))
+def sim_matryoshka_recall_q(spark, sf_dir):
+    """Matryoshka truncation readout: recall@10 of prefix-cosine top-10
+    (8/16/32 of 64 dims) vs the full-dimension exact ground truth over
+    the standard 1-in-50 probe set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(emb, "vec_id", "embedding")
+
+
 def pq_adc_trained_topk(
     df: DataFrame,
     id_col: str,

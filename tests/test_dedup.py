@@ -510,3 +510,31 @@ def test_semantic_cell_broadcast_hint_is_conditional(spark, oracle_sf_dir):
         analyzed = trained._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" in analyzed, analyzed
         assert trained.count() > 0
+
+
+def test_matryoshka_recall_lossless_prefix_and_bounds(spark):
+    """Vectors whose mass lives entirely in the first 8 dims rank
+    identically at every truncation width — recall@k must be exactly
+    1.0 for all widths; and on any input recall is bounded by
+    hits ≤ n_probes·k with the integer DIV quantization exact."""
+    import random
+
+    from dask_obj_spark.operators.similarity import matryoshka_recall
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)] + [0.0] * 56)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["m"]: r
+        for r in matryoshka_recall(
+            df, "vec_id", "embedding", probe_mod=40, k=5
+        ).collect()
+    }
+    assert set(got) == {8, 16, 32}
+    for m, r in got.items():
+        assert r["n_probes"] == 3  # ids 0, 40, 80
+        assert r["hits"] == 15  # 3 probes x top-5, all exact
+        assert r["recall_x1m"] == 1_000_000
