@@ -392,6 +392,35 @@ def ngram_vocab(
 # -- contamination check ------------------------------------------------------
 
 
+def doc_distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Per-doc DISTINCT word ``shingle_n``-grams as (doc_id, sh) rows —
+    the one-exchange explode pattern factored out of
+    `contamination_hits` (expressions unchanged, so every downstream
+    oracle hash is too) for reuse by the streaming contamination
+    guard: posexplode words, explicit COUNT repartition on doc_id so
+    AQE cannot coalesce the compute-bound stage to one task, concat_ws
+    over window leads (codegen string ops, no interpreted slicing)."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).repartition(ncores, F.col("doc_id"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, shingle_n)]
+    return (
+        words.select(
+            "doc_id",
+            F.concat_ws(" ", *grams).alias("sh"),
+            F.lead("w", shingle_n - 1).over(w).alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "sh")
+        .distinct()  # per-doc distinct shingles (word_shingles parity)
+    )
+
+
 def contamination_hits(
     df: DataFrame,
     id_col: str,
@@ -411,23 +440,7 @@ def contamination_hits(
     compute-bound stage to one task), then concat_ws over window leads —
     whole-stage-codegen string ops instead of an interpreted O(words×n)
     higher-order-function slice loop (measured ~2× on this stage)."""
-    ncores = df.sparkSession.sparkContext.defaultParallelism
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    ).repartition(ncores, F.col("doc_id"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, shingle_n)]
-    sh = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", *grams).alias("sh"),
-            F.lead("w", shingle_n - 1).over(w).alias("tail"),
-        )
-        .filter(F.col("tail").isNotNull() | (F.col("pos") == 0))
-        .select("doc_id", "sh")
-        .distinct()  # per-doc distinct shingles (word_shingles parity)
-    )
+    sh = doc_distinct_shingles(df, id_col, text_col, shingle_n)
     eval_sh = (
         sh.filter(F.col("doc_id") % eval_mod == 0).select("sh").distinct()
     )

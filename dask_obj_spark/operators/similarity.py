@@ -2443,6 +2443,7 @@ def matryoshka_recall(
     dims: tuple[int, ...] = (8, 16, 32),
     full_dim: int = 64,
     k: int = 10,
+    probe_cap: int = 512,
 ) -> DataFrame:
     """Prefix-dimension truncation quality — the Matryoshka-embedding
     readout (Kusupati et al., "Matryoshka Representation Learning",
@@ -2452,12 +2453,18 @@ def matryoshka_recall(
     100 TB embedding column to its first m dims (a 64→16 cut is 4×
     less I/O and ADC work everywhere downstream).
 
-    Same exact-harness shape as `cosine_ranked_raw`: probes are
-    ``id % probe_mod == 0`` under the MAX_PROBES contract, the corpus
-    side fans out with a row-preserving repartition ahead of the
-    interpreted scoring stage, and prefix NORMS are precomputed per
-    vector per width before the pair join — per pair only the
-    len(dims)+1 prefix dots remain.  Per-width rankings melt out of
+    Same exact-harness shape as `cosine_ranked_raw`, with the
+    PQ_CB_CAP probe discipline on top: probes are ``id % probe_mod ==
+    0 AND id < probe_cap`` — a CONSTANT probe set at any SF (an
+    uncapped 1-in-probe_mod probe slice grows with the corpus, making
+    pair volume quadratic: the first sf1 reading measured 19.6× at
+    10× data; capped, pair volume is linear in N and the readout is
+    the same truncation curve from a fixed probe panel).  512 covers
+    every vec_id at the sf0.01 correctness gate, so oracle hashes are
+    unchanged.  The corpus side fans out with a row-preserving
+    repartition ahead of the interpreted scoring stage, and prefix
+    NORMS are precomputed per vector per width before the pair join —
+    per pair only the len(dims)+1 prefix dots remain.  Per-width rankings melt out of
     ONE pair pass (explode of a literal struct array — the pair
     surface is scanned once, not once per width), and recall is
     integer arithmetic end to end (hits·1e6 DIV probes·k), so no
@@ -2478,7 +2485,12 @@ def matryoshka_recall(
         return frame
 
     base = with_norms(raw0.repartition(ncores), "")
-    probes = with_norms(raw0.filter(F.col("vid") % probe_mod == 0), "p")
+    probes = with_norms(
+        raw0.filter(
+            (F.col("vid") % probe_mod == 0) & (F.col("vid") < probe_cap)
+        ),
+        "p",
+    )
     probes = probes.select(
         F.col("vid").alias("pid"),
         F.col("v").alias("pv"),
@@ -2540,7 +2552,11 @@ def matryoshka_recall(
 
 
 def _matryoshka_oracle(
-    probe_mod: int, dims: tuple[int, ...], full_dim: int, k: int
+    probe_mod: int,
+    dims: tuple[int, ...],
+    full_dim: int,
+    k: int,
+    probe_cap: int = 512,
 ) -> str:
     widths = tuple(dims) + (full_dim,)
     cs_cols = ",\n             ".join(
@@ -2557,7 +2573,8 @@ def _matryoshka_oracle(
     WITH base AS (
       SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
     ), probes AS (
-      SELECT vid AS pid, v AS pv FROM base WHERE vid % {probe_mod} = 0
+      SELECT vid AS pid, v AS pv FROM base
+      WHERE vid % {probe_mod} = 0 AND vid < {probe_cap}
     ), pairs AS (
       SELECT pid, pv, vid, v FROM base JOIN probes ON pid <> vid
     ), scored AS (

@@ -491,3 +491,50 @@ def test_stream_quality_psi_drift_and_replay(spark, tmp_path):
     assert spark.read.parquet(target).count() == n_rows
     again = {r["seq"]: r for r in quality_psi_vs_frozen(spark, target).collect()}
     assert again[0]["psi_x1m"] == 0 and again[1]["psi_x1m"] == got[1]["psi_x1m"]
+
+
+def test_stream_contamination_guard_flags_once_under_replay(spark, tmp_path):
+    """A doc sharing an 8-gram with the frozen inventory is flagged on
+    arrival with the exact overlap count; clean docs are not; replaying
+    the stream (fresh checkpoint) does not duplicate quarantine rows."""
+    import shutil
+
+    from dask_obj_spark.operators.corpus import doc_distinct_shingles
+    from dask_obj_spark.streaming.windows import stream_contamination_sink
+
+    ev_text = "a b c d e f g h i j"
+    dirty = "x y a b c d e f g h i j z"  # shares 3 distinct 8-grams
+    clean = "p q r s t u v w x1 y1 z1 p2 q2"
+    evdf = spark.createDataFrame([(0, ev_text)], ["doc_id", "text"])
+    inv_dir = str(tmp_path / "inv")
+    doc_distinct_shingles(evdf, "doc_id", "text", 8).select(
+        "sh"
+    ).distinct().write.parquet(inv_dir)
+
+    in_dir = str(tmp_path / "in")
+    schema = None
+    for batch in ([(1, dirty)], [(2, clean), (3, dirty)]):
+        df = spark.createDataFrame(batch, ["doc_id", "text"])
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "quarantine")
+    stream_contamination_sink(spark, stream, target, inv_dir)
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: 3, 3: 3}  # dirty docs only, exact distinct-gram count
+
+    shutil.rmtree(target + "_ckpt")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_contamination_sink(spark, stream2, target, inv_dir)
+    assert spark.read.parquet(target).count() == 2  # no duplicates
