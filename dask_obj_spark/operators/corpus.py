@@ -2270,6 +2270,40 @@ def bpe_char_fit(
     return merges
 
 
+def _make_bpe_greedy_encode():
+    """Factory for the ONE shared greedy char-BPE encode loop that both
+    `bpe_char_encode` and `bpe_char_roundtrip` ship in their worker
+    closures — so the roundtrip oracle exercises the exact merge code
+    the encode query runs, not a re-implementation of it.  It is a
+    factory (nested def, `<locals>` qualname) on purpose: cloudpickle
+    serializes module-level functions BY REFERENCE into
+    `dask_obj_spark.operators.corpus`, which is NOT importable on the
+    executors of a vanilla driver session (verify SKILL.md closure
+    rule); a nested function pickles BY VALUE, keeping both closures
+    self-contained while sharing one definition."""
+
+    def greedy_encode(word: str, ranks: dict) -> list:
+        # lowest-rank eligible pair merges first (GPT-2/sentencepiece
+        # encode rule); leftmost occurrence wins within a rank
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            cand = [
+                (ranks[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    return greedy_encode
+
+
+_bpe_greedy_encode = _make_bpe_greedy_encode()
+
+
 def bpe_char_encode(
     df: DataFrame,
     id_col: str,
@@ -2290,9 +2324,11 @@ def bpe_char_encode(
     and the concatenation/count invariants instead.
     """
     ranks = {tuple(m): r for r, m in enumerate(merges)}
+    greedy_encode = _bpe_greedy_encode  # captured by value in the closure
 
     def encode_part(batches):
-        # self-contained worker closure (no module-global references)
+        # worker closure: model state (ranks) and the shared encode
+        # helper are captured by value; no mutable module globals
         import pandas as pd
 
         memo: dict[str, int] = {}
@@ -2301,19 +2337,9 @@ def bpe_char_encode(
             got = memo.get(word)
             if got is not None:
                 return got
-            syms = list(word) + ["</w>"]
-            while len(syms) > 1:
-                cand = [
-                    (ranks[(a, b)], i)
-                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
-                    if (a, b) in ranks
-                ]
-                if not cand:
-                    break
-                _, i = min(cand)
-                syms[i : i + 2] = [syms[i] + syms[i + 1]]
-            memo[word] = len(syms)
-            return len(syms)
+            n = len(greedy_encode(word, ranks))
+            memo[word] = n
+            return n
 
         for pdf in batches:
             words = pdf["text"].fillna("").str.strip().str.split()
@@ -2365,17 +2391,24 @@ def bpe_char_roundtrip(
 
     ``ok`` folds two invariants the oracle asserts as literal 1: every
     word reconstructs exactly, and n_words ≤ n_bpe_tokens ≤ n_chars +
-    n_words (each word is 1..len(word)+1 tokens).  A merge-application
-    bug (dropped symbol, wrong index, rank misorder that splits a
-    token into garbage) breaks reconstruction → md5/ok mismatch.
+    n_words (each word is 1..len(word)+1 tokens).  The worker runs the
+    SAME `_bpe_greedy_encode` helper the encode query ships (captured
+    by value), so a symbol-dropping/duplicating/index bug in the
+    shipped merge loop breaks reconstruction → md5/ok mismatch.  What
+    this oracle canNOT see: merge-RANK/order bugs — concatenation is
+    invariant under any merge application order — those are pinned by
+    tests/test_corpus.py::test_bpe_greedy_encode_rank_order on the
+    shared helper instead.
 
     Word splitting happens in Spark SQL with the same
     trim+split-on-\\s+ convention the BPE-merges oracle already
     hash-matches, so the Python closure never re-tokenizes."""
     ranks = {tuple(m): r for r, m in enumerate(merges)}
+    greedy_encode = _bpe_greedy_encode  # SAME helper bpe_char_encode ships
 
     def roundtrip_part(batches):
-        # self-contained worker closure (no module-global references)
+        # worker closure: model state (ranks) and the shared encode
+        # helper are captured by value; no mutable module globals
         import hashlib
 
         import pandas as pd
@@ -2386,17 +2419,7 @@ def bpe_char_roundtrip(
             got = memo.get(word)
             if got is not None:
                 return got
-            syms = list(word) + ["</w>"]
-            while len(syms) > 1:
-                cand = [
-                    (ranks[(a, b)], i)
-                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
-                    if (a, b) in ranks
-                ]
-                if not cand:
-                    break
-                _, i = min(cand)
-                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            syms = greedy_encode(word, ranks)
             memo[word] = syms
             return syms
 

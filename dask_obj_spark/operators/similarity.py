@@ -2485,23 +2485,29 @@ def matryoshka_recall(
         return frame
 
     base = with_norms(raw0.repartition(ncores), "")
-    probes = with_norms(
-        raw0.filter(
-            (F.col("vid") % probe_mod == 0) & (F.col("vid") < probe_cap)
-        ),
-        "p",
-    )
-    probes = probes.select(
-        F.col("vid").alias("pid"),
-        F.col("v").alias("pv"),
-        *[F.col(f"pn{m}") for m in widths],
-    )
-    n_probes = probes.limit(MAX_PROBES + 1).count()
+    # Collect the capped probe panel ONCE and rebuild it as a local
+    # broadcast relation (the heavy_hitters/maxsim_topk pattern, r9
+    # advice): len(rows) serves as both the MAX_PROBES guard and the
+    # n_probes literal, and the pair join below never re-derives the
+    # probe slice from the corpus scan.  Bounded by construction:
+    # vid < probe_cap caps the collect at probe_cap rows.
+    probe_rows = raw0.filter(
+        (F.col("vid") % probe_mod == 0) & (F.col("vid") < probe_cap)
+    ).collect()
+    n_probes = len(probe_rows)
     if n_probes > MAX_PROBES:
         raise ValueError(
             f"matryoshka_recall: probe set exceeds MAX_PROBES={MAX_PROBES} "
             "(exact-oracle harness contract) — raise probe_mod"
         )
+    spark = df.sparkSession
+    probes = with_norms(
+        spark.createDataFrame(probe_rows, raw0.schema), "p"
+    ).select(
+        F.col("vid").alias("pid"),
+        F.col("v").alias("pv"),
+        *[F.col(f"pn{m}") for m in widths],
+    )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
     arms = [
         F.struct(
@@ -2536,7 +2542,6 @@ def matryoshka_recall(
         .groupBy("m")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
-    spark = df.sparkSession
     mframe = spark.createDataFrame(
         [(int(m),) for m in dims], "m bigint"
     ).join(hits, "m", "left")

@@ -1656,6 +1656,13 @@ def ngram_lm_fit(
         # same boundary-bucket pattern budget_select uses.  Result set
         # is identical to ORDER BY c2 DESC, w1, w2 LIMIT K.
         k = int(top_k_bigrams)
+        # Materialize the corpus-scale bigram aggregate ONCE before the
+        # threshold collect: the histogram collect plus the above/
+        # boundary union below would otherwise re-run the full
+        # explode+groupBy lineage up to 3x (r9 advice).  localCheckpoint
+        # truncates lineage so both union branches read the cached
+        # aggregate (distinct-bigram-sized, not corpus-sized).
+        big = big.localCheckpoint(eager=True)
         hist = big.groupBy("c2").agg(F.count(F.lit(1)).alias("nb"))
         hist = hist.withColumn(
             "cum",

@@ -50,62 +50,61 @@ def query(name: str, oracle: str | None = None):
 # registry order), so every query's official row stays at most ~3 rounds
 # stale.  Everything outside the window is still hash-verified every
 # round by tests/test_oracle_parity.py and the judge's full sweep.
-# Round-9 window = the 7 never-driven round-8 queries + the oldest
-# official records (r1-r3-era families), with `sim_random_projection`
-# swapped in for the same-age-tier `sim_pca_topk` (both r4-green) per
-# the r8 verdict: its only official record predates the r7
-# name-shadowing episode, so re-prove the restored query first.
+# Round-10 window = the 5 never-driven round-9 queries first, then the
+# oldest official records (r4-r5-era graph/profile/tpch/ts families),
+# exactly as emitted by `python tools/rolling_window.py --tuple` after
+# the r9 driver rows landed.
 _WINDOW_50 = (
-    "text_ngram_lm_score",
-    "corpus_stratified_split",
-    "corpus_budget_select",
-    "corpus_quality_psi",
-    "corpus_diff_snapshots",
-    "stream_decayed_topk",
-    "asof_join_tolerance",
-    "sql_entrypoint",
-    "funnel_stages",
-    "retention_cohorts",
-    "foldby_custom_binop",
-    "percentile_groups",
-    "map_partitions_arrow",
-    "sim_norms",
-    "dedup_simhash",
-    "corpus_split",
-    "corpus_mix_rebalance",
-    "text_token_stats",
-    "text_facets",
-    "text_scrub",
-    "text_boilerplate_scrub",
-    "corpus_cap_per_source",
-    "mm_payload_meta",
-    "sim_cosine_topk_brute",
-    "sim_cosine_topk_lsh",
-    "sim_ivf_recall",
-    "dedup_minhash_bands",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "corpus_dedup_clusters",
-    "corpus_ngram_vocab",
-    "text_quality_scores",
-    "text_langid",
-    "text_tfidf_top_terms",
-    "text_fingerprints",
-    "text_pmi_bigrams",
-    "text_span_dedup",
-    "corpus_weighted_sample",
-    "corpus_dedup_keep_best",
-    "corpus_chunk_windows",
-    "corpus_contrastive_negatives",
-    "skew_salted_counts",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "profile_corpus_facets",
-    "layout_zorder_keys",
-    "ts_sessionize_islands",
-    "sim_random_projection",
+    "sim_matryoshka_recall",
+    "corpus_bpe_roundtrip",
+    "corpus_epoch_schedule",
+    "stream_quality_psi",
+    "stream_contamination_guard",
+    "sim_pca_topk",
+    "sim_label_propagation",
+    "sim_knn_kcore",
+    "graph_bfs_hops",
+    "graph_link_prediction",
+    "dedup_fuzzy_names",
+    "dedup_prefix_jaccard",
+    "dedup_sorted_neighborhood",
+    "dedup_minhash_est_error",
+    "text_zipf_fit",
+    "text_bm25_topk",
+    "text_bigram_perplexity",
+    "text_perplexity_buckets",
+    "corpus_bpe_compression",
+    "graph_pagerank_fixed",
+    "corpus_mix_temperature",
+    "graph_hits_fixed",
+    "skew_salted_join",
+    "window_sliding_distinct_users",
+    "sim_ndcg_ivf",
+    "sim_mmr_topk",
+    "sketch_countmin_freq",
+    "incremental_agg_merge",
+    "incremental_agg_minmax",
+    "profile_table_checksum",
+    "profile_equidepth_histogram",
+    "basket_item_pairs",
+    "profile_mutual_information",
+    "stats_spearman_corr",
+    "profile_kl_drift",
+    "profile_dp_release",
+    "profile_key_skew_gini",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales",
+    "layout_hilbert_keys",
+    "join_bloom_prefilter",
+    "ts_resample_interpolate",
+    "ts_trend_per_user",
+    "ts_user_entropy",
+    "ts_changepoint_cusum",
+    "ts_seasonal_profile",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

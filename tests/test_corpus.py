@@ -481,6 +481,34 @@ def test_bpe_char_encode_invariants(spark):
     assert 3 + 1 <= enc[1]["n_bpe_tokens"] <= 3 + 3
 
 
+def test_bpe_greedy_encode_rank_order():
+    """Merge-RANK sensitivity of the shared greedy encode helper (the
+    roundtrip oracle cannot see rank bugs — concatenation is invariant
+    under application order — so this test is the rank witness): the
+    lowest-rank eligible pair merges first, and within a rank the
+    leftmost occurrence wins."""
+    from dask_obj_spark.operators.corpus import _bpe_greedy_encode
+
+    def ranks(merges):
+        return {tuple(m): r for r, m in enumerate(merges)}
+
+    # (a,b) ranked before (b,c): "abc" -> ab|c, never a|bc
+    assert _bpe_greedy_encode("abc", ranks([("a", "b"), ("b", "c")])) == [
+        "ab", "c", "</w>",
+    ]
+    # swap the ranks and the SAME word tokenizes differently
+    assert _bpe_greedy_encode("abc", ranks([("b", "c"), ("a", "b")])) == [
+        "a", "bc", "</w>",
+    ]
+    # leftmost-first within one rank: "aaa" -> aa|a (then no (aa,a) rule)
+    assert _bpe_greedy_encode("aaa", ranks([("a", "a")])) == ["aa", "a", "</w>"]
+    # cascading merges reach the full word marker
+    full = ranks([("e", "s"), ("es", "t"), ("est", "</w>"),
+                  ("l", "o"), ("lo", "w"), ("low", "est</w>")])
+    assert _bpe_greedy_encode("lowest", full) == ["lowest</w>"]
+    assert _bpe_greedy_encode("west", full) == ["w", "est</w>"]
+
+
 def test_bpe_char_roundtrip_reconstructs_edge_cases(spark):
     """The decode-round-trip companion: rebuilt md5 equals the md5 of
     the whitespace-normalized source and ok=1, including NULL text,

@@ -493,6 +493,37 @@ def test_stream_quality_psi_drift_and_replay(spark, tmp_path):
     assert again[0]["psi_x1m"] == 0 and again[1]["psi_x1m"] == got[1]["psi_x1m"]
 
 
+def test_quality_psi_frozen_ref_is_min_seq_not_zero(spark, tmp_path):
+    """A resumed stream's first delivered batch id is nonzero — the
+    frozen reference must be min(seq), not a hardcoded 0 (which made
+    the inner join silently emit zero rows).  Histograms written
+    directly with seq 5 and 6: seq 5 must score exactly 0."""
+    from dask_obj_spark.streaming.windows import quality_psi_vs_frozen
+
+    target = str(tmp_path / "hist")
+    rows = [(5, k, 10 if k < 5 else 0) for k in range(10)]
+    rows += [(6, k, 0 if k < 5 else 10) for k in range(10)]
+    spark.createDataFrame(rows, "seq bigint, bkt int, c bigint").coalesce(
+        1
+    ).write.parquet(target)
+    got = {r["seq"]: r for r in quality_psi_vs_frozen(spark, target).collect()}
+    assert set(got) == {5, 6}
+    assert got[5]["psi_x1m"] == 0  # frozen reference vs itself
+    assert got[6]["psi_x1m"] > 0
+    assert got[5]["n_docs"] == 50 and got[6]["n_docs"] == 50
+
+    # empty histogram table → loud failure, never a silent empty result
+    import pyspark.sql.utils  # noqa: F401
+    import pytest as _pytest
+
+    empty_dir = str(tmp_path / "empty_hist")
+    spark.createDataFrame(
+        [], "seq bigint, bkt int, c bigint"
+    ).coalesce(1).write.parquet(empty_dir)
+    with _pytest.raises(ValueError, match="nothing to freeze"):
+        quality_psi_vs_frozen(spark, empty_dir)
+
+
 def test_stream_contamination_guard_flags_once_under_replay(spark, tmp_path):
     """A doc sharing an 8-gram with the frozen inventory is flagged on
     arrival with the exact overlap count; clean docs are not; replaying
