@@ -224,16 +224,42 @@ def mm_payload_meta_q(spark, sf_dir):
 )
 def mm_decode_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas decode of binary payloads — byte count
-    and space count oracle-checked (checksum is covered rows-only below;
-    DuckDB has no byte-fold)."""
+    and space count oracle-checked (the checksum byte fold is oracle-
+    paired separately in `mm_decode_checksum` below)."""
     mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return decode_media(mm).select("doc_id", "n_bytes", "n_space")
 
 
-@query("mm_decode_checksum_rowsonly")
+@query(
+    "mm_decode_checksum",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    cs AS (
+      SELECT doc_id,
+             CAST(sum(ord(substr(text, i::INT, 1))) % 2147483648 AS BIGINT)
+               AS checksum
+      FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           length(d.text) - length(replace(d.text, ' ', '')) AS n_space,
+           coalesce(cs.checksum, CAST(0 AS BIGINT)) AS checksum
+    FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+    """,
+)
 def mm_decode_checksum_q(spark, sf_dir):
-    """Full fake-decode output incl. byte-sum checksum (rows-only: the
-    byte fold is not expressible in DuckDB SQL)."""
+    """Full fake-decode output incl. the byte-sum checksum, ORACLE-
+    PAIRED (was rows-only through round 9): the byte fold IS SQL-
+    expressible on this fixture — the documents table is pure ASCII
+    (octet_length = length corpus-wide, the same equivalence
+    mm_frame_sample's substr-on-text oracle already leans on), so the
+    UTF-8 byte sum the worker computes equals the per-character
+    codepoint sum DuckDB folds via unnest(range) + ord.  The left
+    join zero-fills empty payloads (an empty range drops the doc from
+    the grouped fold, while the Spark worker still emits its row)."""
     mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return decode_media(mm)
 
@@ -259,10 +285,36 @@ def mm_frame_sample_q(spark, sf_dir):
     return sample_frames(mm, 16, 4)
 
 
-@query("mm_resize_rowsonly")
+@query(
+    "mm_resize",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ), dims AS (
+      SELECT doc_id, (n % 317) + 16 AS width, (n % 211) + 16 AS height
+      FROM img
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(floor(width * least(64.0 / width, 64.0 / height)) AS BIGINT)
+             AS resized_width,
+           CAST(floor(height * least(64.0 / width, 64.0 / height)) AS BIGINT)
+             AS resized_height
+    FROM dims
+    """,
+)
 def mm_resize_q(spark, sf_dir):
-    """Aspect-preserving resize plumbing over image payloads (rows-only:
-    dimensions come from the stubbed decoder)."""
+    """Aspect-preserving letterbox resize plumbing over image payloads,
+    ORACLE-PAIRED (was rows-only through round 9): the stubbed decoder's
+    fake intrinsic dims are pure integer algebra on the payload length
+    ((n % 317) + 16, (n % 211) + 16), and the letterbox scale is one
+    correctly-rounded IEEE division + multiply — deterministic and
+    identical cross-engine, so floor() (pandas astype('int64')
+    truncation on positive values) hashes exactly.  Only the pixel
+    work itself remains a stub; the dims/scale/schema contract is now
+    hash-verified."""
     mm = as_multimodal(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return resize_images(mm, 64, 64)
 

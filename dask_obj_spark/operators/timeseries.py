@@ -1078,6 +1078,7 @@ def holt_linear(
     value_col: str,
     alpha: float = 0.3,
     beta: float = 0.1,
+    quantize: bool = False,
 ) -> DataFrame:
     """Holt's linear-trend double exponential smoothing per key:
     level l_t = a·x_t + (1-a)·(l_{t-1} + b_{t-1}), trend
@@ -1090,12 +1091,24 @@ def holt_linear(
     batch walks a plain Python loop over the in-memory arrays — still
     one applyInPandas call per key group, never a per-row UDF round
     trip, and at scale the work parallelizes across keys exactly as
-    the EWMA does.  Rows-only registration: DuckDB 1.0's struct-state
-    list_reduce lambdas mis-evaluate (probed during round 4), so the
-    two-accumulator recurrence is pinned by the hand-computed unit
-    test instead of a SQL oracle."""
+    the EWMA does.  Rows-only registration for the raw-series form:
+    DuckDB 1.0's struct-state list_reduce lambdas mis-evaluate (probed
+    during round 4), so the variable-length two-accumulator recurrence
+    is pinned by the hand-computed unit test — but the SAME loop is
+    oracle-verified end to end by `ts_holt_grid` below, which runs it
+    over a FIXED 8-step grid the oracle replays as an unrolled CTE
+    chain (the k_core/bfs/PCA fixed-unroll precedent).
+
+    ``quantize=True`` emits the raw (unrounded) states floor-quantized
+    to integer micro-units as BIGINTs (level_u/trend_u/fc_u) — the
+    cross-engine-hashable output form: the recurrence itself is the
+    identical IEEE multiply/add tree on both engines, and floor of a
+    bit-identical double is exact, whereas round(·, 6) tie semantics
+    differ across engines (the repo's standing floor-quantize rule)."""
 
     def _holt_group(pdf):
+        import math as _math
+
         pdf = pdf.sort_values([ts_col, order_tiebreak])
         xs = pdf[value_col].to_list()
         levels, trends, fc = [], [], []
@@ -1107,18 +1120,32 @@ def holt_linear(
                 new_lvl = alpha * float(x) + (1.0 - alpha) * (lvl + tr)
                 tr = beta * (new_lvl - lvl) + (1.0 - beta) * tr
                 lvl = new_lvl
-            levels.append(round(lvl, 6))
-            trends.append(round(tr, 6))
-            fc.append(round(lvl + tr, 6))
-        return pdf.assign(level=levels, trend=trends, fc_next=fc)[
-            [key_col, order_tiebreak, "level", "trend", "fc_next"]
+            if quantize:
+                levels.append(_math.floor(lvl * 1000000.0))
+                trends.append(_math.floor(tr * 1000000.0))
+                fc.append(_math.floor((lvl + tr) * 1000000.0))
+            else:
+                levels.append(round(lvl, 6))
+                trends.append(round(tr, 6))
+                fc.append(round(lvl + tr, 6))
+        cols = (
+            ["level_u", "trend_u", "fc_u"]
+            if quantize
+            else ["level", "trend", "fc_next"]
+        )
+        return pdf.assign(**dict(zip(cols, [levels, trends, fc])))[
+            [key_col, order_tiebreak] + cols
         ]
 
     in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_cols = (
+        "level_u bigint, trend_u bigint, fc_u bigint"
+        if quantize
+        else "level double, trend double, fc_next double"
+    )
     schema = (
         f"{key_col} {in_types[key_col]}, "
-        f"{order_tiebreak} {in_types[order_tiebreak]}, "
-        "level double, trend double, fc_next double"
+        f"{order_tiebreak} {in_types[order_tiebreak]}, " + out_cols
     )
     return df.groupBy(key_col).applyInPandas(_holt_group, schema=schema)
 
@@ -1127,6 +1154,139 @@ def holt_linear(
 def ts_holt_rowsonly_q(spark, sf_dir):
     """Per-user Holt linear-trend smoothing (alpha=0.3, beta=0.1) with
     the one-step forecast — rows-only (two-accumulator recurrence; see
-    holt_linear docstring), pinned by the hand-computed series test."""
+    holt_linear docstring), pinned by the hand-computed series test and
+    oracle-verified end to end by the `ts_holt_grid` companion."""
     ev = load_table(spark, sf_dir, "events")
     return holt_linear(ev, "user_id", "ts", "event_id", "value")
+
+
+_HOLT_GRID_STEPS = 8
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+def holt_fixed_grid(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: int = _HOLT_GRID_STEPS,
+    alpha: float = _HOLT_ALPHA,
+    beta: float = _HOLT_BETA,
+) -> DataFrame:
+    """Holt smoothing of per-key activity over a FIXED global time
+    grid: the key's event COUNTS in ``steps`` equal-width epoch-second
+    buckets (zero-filled, so every key has exactly ``steps`` values),
+    smoothed by the SAME `holt_linear` applyInPandas loop the raw-
+    series query ships, quantized to integer micro-units.  This is the
+    oracle-paired companion the rows-only `ts_holt_rowsonly` needs:
+    a fixed-length series makes the two-accumulator recurrence
+    replayable as an unrolled CTE chain (DuckDB's struct-state
+    list_reduce is broken, but ``steps`` chained MATERIALIZED CTEs of
+    pure scalar IEEE expressions are exact — the k_core/bfs/PCA
+    fixed-unroll precedent), so a bug in the shipped Python loop
+    (wrong update order, swapped accumulators, off-by-one init)
+    becomes a hash mismatch.
+
+    Scale shape: one corpus scan → (key, bucket) hash aggregate; the
+    bounds are a single 1-row global aggregate joined broadcast; the
+    grid zero-fill is an 8-arm explode per key (no second scan);
+    applyInPandas groups are exactly ``steps`` rows each."""
+    es = F.unix_timestamp(F.col(ts_col)).cast("long")
+    src = df.select(F.col(key_col).alias("k"), es.alias("es"))
+    bounds = src.agg(F.min("es").alias("tmin"), F.max("es").alias("tmax"))
+    bk = src.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        F.least(
+            F.lit(steps - 1),
+            F.expr(f"(es - tmin) * {steps} div (tmax - tmin + 1)"),
+        ).alias("bkt"),
+    )
+    counts = bk.groupBy("k", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        src.select("k")
+        .distinct()
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(steps - 1).cast("long"))
+            ).alias("bkt"),
+        )
+    )
+    xs = grid.join(counts, ["k", "bkt"], "left").select(
+        "k", "bkt", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x")
+    )
+    out = holt_linear(xs, "k", "bkt", "bkt", "x", alpha, beta, quantize=True)
+    return out.select(
+        F.col("k").alias(key_col),
+        (F.col("bkt") + 1).cast("bigint").alias("step"),
+        "level_u",
+        "trend_u",
+        "fc_u",
+    )
+
+
+def _holt_grid_oracle(
+    steps: int = _HOLT_GRID_STEPS,
+    alpha: float = _HOLT_ALPHA,
+    beta: float = _HOLT_BETA,
+) -> str:
+    """Unrolled Holt recurrence over the fixed bucket grid.  Literals
+    come from repr() of the SAME Python floats the worker loop uses
+    (1.0-alpha and 1.0-beta are exact IEEE for the defaults), so every
+    step is the identical multiply/add tree on both engines and the
+    floor-quantized micro-units hash exactly (verified bit-exact
+    against the Python loop at sf0.01 before registration)."""
+    a, oma = repr(alpha), repr(1.0 - alpha)
+    b, omb = repr(beta), repr(1.0 - beta)
+    xcols = ", ".join(
+        f"CAST(count(*) FILTER (bkt = {k}) AS DOUBLE) AS x{k + 1}"
+        for k in range(steps)
+    )
+    chain = [
+        f"""es AS (
+      SELECT user_id, floor(epoch(ts))::BIGINT AS es FROM events
+    ),
+    bounds AS (SELECT min(es) AS tmin, max(es) AS tmax FROM es),
+    bk AS (
+      SELECT user_id,
+             least({steps - 1}, (es - tmin) * {steps} // (tmax - tmin + 1)) AS bkt
+      FROM es, bounds
+    ),
+    g AS (SELECT user_id, {xcols} FROM bk GROUP BY user_id),
+    s1 AS MATERIALIZED (SELECT *, x1 AS l1, 0.0::DOUBLE AS b1 FROM g)"""
+    ]
+    for k in range(2, steps + 1):
+        nl = f"{a}::DOUBLE * x{k} + {oma}::DOUBLE * (l{k - 1} + b{k - 1})"
+        chain.append(
+            f"""s{k} AS MATERIALIZED (SELECT *,
+      {nl} AS l{k},
+      {b}::DOUBLE * (({nl}) - l{k - 1}) + {omb}::DOUBLE * b{k - 1} AS b{k}
+    FROM s{k - 1})"""
+        )
+    arms = ", ".join(
+        f"struct_pack(step := {k}::BIGINT, l := l{k}, b := b{k})"
+        for k in range(1, steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(chain)
+        + f""",
+    u AS (SELECT user_id, unnest([{arms}]) AS e FROM s{steps})
+    SELECT user_id, e.step AS step,
+           CAST(floor(e.l * 1000000.0) AS BIGINT) AS level_u,
+           CAST(floor(e.b * 1000000.0) AS BIGINT) AS trend_u,
+           CAST(floor((e.l + e.b) * 1000000.0) AS BIGINT) AS fc_u
+    FROM u
+    """
+    )
+
+
+@query("ts_holt_grid", oracle=_holt_grid_oracle())
+def ts_holt_grid_q(spark, sf_dir):
+    """Per-user Holt smoothing of 8-bucket activity counts — the
+    oracle-paired fixed-unroll companion for the rows-only raw-series
+    Holt (r9 verdict #5): the SAME shipped applyInPandas loop runs on
+    a fixed-length zero-filled grid, and the oracle replays the
+    two-accumulator recurrence as 8 chained MATERIALIZED CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    return holt_fixed_grid(ev, "user_id", "ts")

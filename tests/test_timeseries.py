@@ -139,3 +139,47 @@ def test_holt_linear_matches_hand_computed(spark):
         assert got[(1, i)] == want[i], (i, got[(1, i)], want[i])
     # constant series: level sticks, trend stays 0
     assert got[(2, 1)] == (5.0, 0.0, 5.0)
+
+
+def test_holt_fixed_grid_buckets_and_recurrence(spark):
+    """The grid companion: every key gets exactly `steps` rows
+    (zero-filled buckets), step 1 level = bucket-1 count, and the
+    quantized outputs replay the same recurrence as the raw loop."""
+    import datetime as dt
+    import math
+
+    from dask_obj_spark.operators.timeseries import holt_fixed_grid
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 3 events in bucket 0, 1 event near the end (bucket 7)
+    for i in range(3):
+        rows.append((1, 100 + i, t0 + dt.timedelta(seconds=i), 0.0))
+    rows.append((1, 103, t0 + dt.timedelta(seconds=7999), 0.0))
+    # user 2: single event at t0 (defines tmin; bucket 0)
+    rows.append((2, 200, t0, 0.0))
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = {
+        (r.user_id, r.step): (r.level_u, r.trend_u, r.fc_u)
+        for r in holt_fixed_grid(df, "user_id", "ts", steps=8).collect()
+    }
+    assert len(got) == 16  # 2 users x 8 zero-filled steps
+    # replay user 1: grid = [3,0,0,0,0,0,0,1] (span 8000s → 1000s buckets)
+    lvl, tr = 3.0, 0.0
+    want = [(3000000, 0, 3000000)]
+    for x in [0, 0, 0, 0, 0, 0, 1]:
+        new = 0.3 * x + 0.7 * (lvl + tr)
+        tr = 0.1 * (new - lvl) + 0.9 * tr
+        lvl = new
+        want.append(
+            (
+                math.floor(lvl * 1e6),
+                math.floor(tr * 1e6),
+                math.floor((lvl + tr) * 1e6),
+            )
+        )
+    for s in range(1, 9):
+        assert got[(1, s)] == want[s - 1], (s, got[(1, s)], want[s - 1])
+    # user 2: one event in bucket 0, zeros after — decays toward 0
+    assert got[(2, 1)] == (1000000, 0, 1000000)
+    assert got[(2, 8)][0] < 1000000
