@@ -74,6 +74,10 @@ WORKLOAD = {
     "b36_ngram_lm": "text_ngram_lm_score",
     "b37_budget_select": "corpus_budget_select",
     "b38_decayed_topk": "stream_decayed_topk",
+    # round-9 operators: matryoshka is the one real pair-pass harness
+    # (the others are dimension-sized or streaming-drain-dominated —
+    # BASELINE.md §5 round-10 note)
+    "b39_matryoshka": "sim_matryoshka_recall",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe
