@@ -607,6 +607,178 @@ def kmeans_assign(
     return assigned.select("vid", "cell")
 
 
+KMQ_SCALE = 1000  # |x| ≤ 0.58 fixture → |xq| ≤ 578; (xq·n − s)² summed
+# over 64 dims stays < 2^63 up to n ≈ 200k rows/cell (sf10 headroom)
+
+
+def kmeans_fit_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = KMQ_SCALE,
+) -> tuple[list[tuple[list[int], int]], DataFrame]:
+    """Lloyd's k-means with EXACT integer state — the bit-reproducible
+    variant of :func:`kmeans_fit`, and the oracle-replayable face of
+    the iterative-algorithm category (`sim_kmeans_cells_rowsonly`
+    stays as the raw-double production form).
+
+    Vectors are floor-quantized once (xq_d = floor(x_d·scale), BIGINT);
+    centroid state is the per-cell integer SUM vector s plus count n —
+    never a float mean, so the state is partition-order-free (integer
+    sums commute exactly, where kmeans_fit's F.avg folds partition
+    order into the last ulp).  Assignment compares squared euclidean
+    distances to the RATIONAL centroid s/n without materializing it:
+    D_c = Σ_d (xq_d·n_c − s_cd)² / n_c², with the numerator an exact
+    BIGINT fold and the single final division one correctly-rounded
+    IEEE op — bit-identical across engines and partitionings, ties
+    broken by cell id.  Same scale contract as kmeans_fit: k×dim
+    driver-held model state compiled into the assignment plan as
+    literals, updates via posexplode + (cell, pos) integer-sum
+    aggregate (k·dim partials per partition), empty cells keep their
+    previous state.  Init = first k vectors by id.
+
+    Returns ([(s, n)] per cell, assignment df (vid, xq, cell))."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), "
+            f"x -> cast(floor(x * {scale}.0) as bigint))"
+        ).alias("xq"),
+    )
+    init = base.orderBy("vid").limit(k).collect()
+    state: list[tuple[list[int], int]] = [(list(r.xq), 1) for r in init]
+
+    def _sq_diff(n: int):
+        # closure factory, NOT a default arg: a 3-param lambda would
+        # make pyspark pass the array index as the extra argument
+        nl = F.lit(int(n))
+        return lambda x, c: (x * nl - c) * (x * nl - c)
+
+    def assign_for(st: list[tuple[list[int], int]]) -> DataFrame:
+        dists = []
+        for s, n in st:
+            num = F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in s]),
+                    _sq_diff(n),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            dists.append(num.cast("double") / F.lit(float(n * n)))
+        pairs = F.array(
+            *[
+                F.struct(d.alias("dist"), F.lit(i).alias("cell"))
+                for i, d in enumerate(dists)
+            ]
+        )
+        return base.select(
+            "vid", "xq", F.array_min(pairs).getField("cell").alias("cell")
+        )
+
+    assigned = assign_for(state)
+    for _ in range(iters):
+        new_rows = (
+            assigned.select("cell", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "sd"))).alias("pm"),
+                F.max("n").alias("n"),
+            )
+            .select("cell", F.col("pm.sd").alias("s"), "n")
+            .collect()
+        )
+        by_cell = {r.cell: (list(r.s), int(r.n)) for r in new_rows}
+        state = [by_cell.get(i, state[i]) for i in range(k)]
+        assigned = assign_for(state)
+    return state, assigned
+
+
+def _kmeans_quantized_oracle(
+    k: int = 8, iters: int = 3, scale: int = KMQ_SCALE, dim: int = DIM
+) -> str:
+    """Unrolled quantized-Lloyd replay: init from the first k vids,
+    then ``iters`` chained (assign → integer-sum update) rounds plus
+    the final assignment — every CTE MATERIALIZED (the fixed-unroll
+    iteration precedent).  All sums are exact integers (DuckDB HUGEINT
+    cast back to BIGINT); the one division per (vector, cell) is the
+    same correctly-rounded IEEE op Spark performs."""
+    sum_arms = ", ".join(
+        f"CAST(sum(xq[{d + 1}]) AS BIGINT) AS s{d + 1}" for d in range(dim)
+    )
+    s_list = "[" + ", ".join(f"u.s{d + 1}" for d in range(dim)) + "]"
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT vid, xq, cell FROM (
+        SELECT b.vid, b.xq, c.cell,
+               row_number() OVER (
+                 PARTITION BY b.vid
+                 ORDER BY CAST(list_sum(list_transform(generate_series(1, {dim}),
+                            i -> (b.xq[i] * c.n - c.s[i]) * (b.xq[i] * c.n - c.s[i])))
+                          AS DOUBLE) / CAST(c.n * c.n AS DOUBLE) ASC,
+                          c.cell ASC) AS rn
+        FROM base b CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    def update_cte(name: str, prev_c: str, prev_a: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT p.cell,
+             CASE WHEN u.n IS NULL THEN p.s ELSE {s_list} END AS s,
+             coalesce(u.n, p.n) AS n
+      FROM {prev_c} p LEFT JOIN (
+        SELECT cell, count(*)::BIGINT AS n, {sum_arms}
+        FROM {prev_a} GROUP BY cell
+      ) u ON p.cell = u.cell
+    )"""
+
+    ctes = [
+        f"""base AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {scale}.0) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vid) - 1 AS cell, xq AS s,
+             CAST(1 AS BIGINT) AS n
+      FROM base ORDER BY vid LIMIT {k}
+    )""",
+        assign_cte("a0", "c0"),
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(update_cte(f"c{it}", f"c{it - 1}", f"a{it - 1}"))
+        ctes.append(assign_cte(f"a{it}", f"c{it}"))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vid, CAST(cell AS BIGINT) AS cell FROM a{iters}
+    """
+    )
+
+
+@query("sim_kmeans_cells_exact", oracle=_kmeans_quantized_oracle())
+def sim_kmeans_cells_exact_q(spark, sf_dir):
+    """Quantized Lloyd's k-means (k=8, 3 iterations, deterministic
+    first-k init), full (vid, cell) assignment — the oracle-paired
+    companion for the iterative-algorithm category (r9 verdict #5
+    family): integer centroid state makes every round's argmin
+    bit-replayable, so the DuckDB oracle re-runs the ENTIRE training
+    loop as unrolled MATERIALIZED CTEs and a wrong update order,
+    dropped empty-cell fallback, or argmin tie bug becomes a hash
+    mismatch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit_quantized(emb, "vec_id", "embedding")
+    return assigned.select("vid", F.col("cell").cast("bigint").alias("cell"))
+
+
 # -- standing IVF index (k-means centroids + bucketed cell table) -------------
 
 

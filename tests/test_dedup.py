@@ -239,6 +239,40 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert got == again
 
 
+def test_kmeans_quantized_partition_order_invariant(spark):
+    """The quantized variant's integer centroid state must make the
+    trained assignment identical under any repartitioning (the raw
+    F.avg path folds partition order into the last ulp), recover the
+    blobs, and keep an empty cell's previous state."""
+    from dask_obj_spark.operators.similarity import kmeans_fit_quantized
+
+    rows = [(0, [0.0, 0.1, 0.0, 0.05]), (1, [9.9, 10.0, 10.1, 10.0]),
+            (2, [0.1, 0.0, 0.1, 0.0]), (3, [10.0, 9.9, 10.0, 10.1]),
+            (4, [0.05, 0.1, 0.0, 0.1]), (5, [10.1, 10.0, 9.9, 10.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    st1, a1 = kmeans_fit_quantized(df, "vec_id", "embedding", k=2, iters=3)
+    got = {r.vid: r.cell for r in a1.collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+    # integer state: sums exact — blob sums of floor(x*1000)
+    import math
+    s0 = [sum(math.floor(rows[i][1][d] * 1000) for i in (0, 2, 4))
+          for d in range(4)]
+    cell0 = got[0]
+    assert st1[cell0] == (s0, 3)
+    # identical under an adversarial repartitioning
+    st2, a2 = kmeans_fit_quantized(
+        df.repartition(7), "vec_id", "embedding", k=2, iters=3
+    )
+    assert st2 == st1
+    assert {r.vid: r.cell for r in a2.collect()} == got
+    # an unreachable third cell keeps its init state (empty-cell path)
+    st3, a3 = kmeans_fit_quantized(df, "vec_id", "embedding", k=3, iters=2)
+    got3 = {r.vid: r.cell for r in a3.collect()}
+    assert len(set(got3.values())) <= 3 and got3[1] == got3[3] == got3[5]
+
+
 # -- semantic dedup (SemDeDup-style) ------------------------------------------
 
 
