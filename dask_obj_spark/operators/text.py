@@ -1815,3 +1815,114 @@ def text_ngram_lm_score_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     uni, big, v = ngram_lm_fit(docs, "text")
     return ngram_lm_score(docs, "doc_id", "text", uni, big, v)
+
+
+# -- hashed-feature linear classifier (fastText-style inference) --------------
+
+CLS_BUCKETS = 4096  # hashing-trick feature space (2^12, fastText default-ish)
+_CLS_MULT = 2654435761  # Knuth multiplicative constant
+_CLS_MOD = 1000003  # prime > 1e6: residues spread over ~[0, 1e6)
+_CLS_SHIFT = _CLS_MOD // 2  # center weights on 0 → micro-units in ±0.5
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = CLS_BUCKETS,
+    margin_u: int = 0,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE over hashed bag-of-n-gram
+    features — the quality/domain-classifier stage every large
+    training-data pipeline runs (CCNet/GPT-3/LLaMA-style: score each
+    page with a cheap linear model, keep/bucket by the margin;
+    fastText architecture: Joulin et al., "Bag of Tricks for Efficient
+    Text Classification", 2017).
+
+    Features: unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the hashing trick — no vocabulary table at any scale).  The
+    weight TABLE is a deterministic pseudo-random stub standing in for
+    trained weights, computed INLINE from the bucket id as pure
+    integer algebra (w_b = (b·2654435761) mod 1000003 − 501001, i.e.
+    micro-units in ±0.5) — the same bounded-stand-in-model contract as
+    the modular PQ codebooks: production swaps in a trained table
+    (broadcast k-row join or inline literals), every other moving part
+    identical.
+
+    Numerics: the per-doc logit is an exact BIGINT sum of integer
+    micro-unit weights (order-free under any partitioning — the
+    floor-quantize rule), the mean logit is integer division, and the
+    label is an integer comparison — nothing float anywhere, so the
+    output hashes bit-exactly cross-engine.
+
+    Scale shape at 100 TB: one corpus scan; the gram explode is a
+    narrow flatMap fanned out by the compute-bound-stage rule; hashing
+    and the weight lookup are row-level codegen'd expressions (the md5
+    chain is JVM-side; no join — the model is compiled into the plan);
+    one keyed groupBy with map-side partial sums.  No driver state,
+    no UDF, nothing all-pairs."""
+    from dask_obj_spark.functions.hashing import word_ngrams
+
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    ).repartition(ncores, "doc_id")
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(word_ngrams(F.col("t"), 1), word_ngrams(F.col("t"), 2))
+        ).alias("g"),
+    )
+    bucket = F.pmod(porthash(F.col("g"), "cls"), F.lit(n_buckets))
+    w = (bucket * F.lit(_CLS_MULT)) % F.lit(_CLS_MOD) - F.lit(_CLS_SHIFT)
+    scored = grams.select("doc_id", w.cast("long").alias("w"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("w").cast("bigint").alias("logit_u"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "logit_u",
+        F.expr("logit_u div n_grams").alias("mean_logit_u"),
+        (F.expr("logit_u div n_grams") > F.lit(int(margin_u)))
+        .cast("bigint")
+        .alias("label"),
+    )
+
+
+def _hashed_classifier_oracle(
+    n_buckets: int = CLS_BUCKETS, margin_u: int = 0
+) -> str:
+    from dask_obj_spark.functions.hashing import duck_word_ngrams
+
+    return f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_concat({duck_word_ngrams('text', 1)},
+                                {duck_word_ngrams('text', 2)})) AS g
+      FROM documents
+    ), bw AS (
+      SELECT doc_id,
+             ({duck_porthash('g', 'cls')} % {n_buckets}) * {_CLS_MULT}
+               % {_CLS_MOD} - {_CLS_SHIFT} AS w
+      FROM grams
+    ), agg AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams, CAST(sum(w) AS BIGINT) AS logit_u
+      FROM bw GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, logit_u,
+           CAST(logit_u // n_grams AS BIGINT) AS mean_logit_u,
+           CAST(CASE WHEN logit_u // n_grams > {margin_u} THEN 1 ELSE 0 END
+                AS BIGINT) AS label
+    FROM agg
+    """
+
+
+@query("text_hashed_classifier", oracle=_hashed_classifier_oracle())
+def text_hashed_classifier_q(spark, sf_dir):
+    """fastText-style hashed linear classifier inference over every
+    document: exact integer logit over hashed unigram+bigram features,
+    mean-logit margin label — the quality-classifier gate as one scan
+    + one keyed aggregate, model compiled into the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_classifier_score(docs, "doc_id", "text")

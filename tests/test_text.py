@@ -196,3 +196,46 @@ def test_ngram_lm_pruned_model_backs_off_monotonically(spark):
     for d in full:
         assert pruned[d] <= full[d]
     assert any(pruned[d] < full[d] for d in full)
+
+
+def test_hashed_classifier_exact_integer_logits(spark):
+    """The classifier's logit must equal the hand-computed sum of the
+    deterministic stub weights over unigram+bigram hashed features,
+    the mean must use truncation division (matching DuckDB //), and
+    the label must flip with the margin."""
+    import hashlib
+
+    from dask_obj_spark.operators.text import (
+        _CLS_MOD,
+        _CLS_MULT,
+        _CLS_SHIFT,
+        CLS_BUCKETS,
+        hashed_classifier_score,
+    )
+
+    def w_of(gram: str) -> int:
+        h = int(hashlib.md5(f"{gram}#cls".encode()).hexdigest()[:15], 16)
+        b = h % CLS_BUCKETS
+        return (b * _CLS_MULT) % _CLS_MOD - _CLS_SHIFT
+
+    df = spark.createDataFrame(
+        [(1, "red fox"), (2, "red red")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in hashed_classifier_score(df, "doc_id", "text").collect()
+    }
+    for doc_id, grams in (
+        (1, ["red", "fox", "red fox"]),
+        (2, ["red", "red", "red red"]),
+    ):
+        want = sum(w_of(g) for g in grams)
+        assert got[doc_id].n_grams == 3
+        assert got[doc_id].logit_u == want
+        # truncation division (Spark div == DuckDB // on negatives)
+        q = abs(want) // 3
+        assert got[doc_id].mean_logit_u == (q if want >= 0 else -q)
+        assert got[doc_id].label == (1 if got[doc_id].mean_logit_u > 0 else 0)
+    # margin above everything → all labels 0
+    hi = hashed_classifier_score(df, "doc_id", "text", margin_u=600000)
+    assert all(r.label == 0 for r in hi.collect())
