@@ -3324,3 +3324,257 @@ def corpus_diff_snapshots_q(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return diff_snapshots(docs, v2, "doc_id", "text")
+
+
+# -- fill-in-the-middle transform (code-model training example prep) ----------
+
+
+def fim_transform(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Fill-In-the-Middle example generation (Bavarian et al.,
+    "Efficient Training of Language Models to Fill in the Middle",
+    2022): split each document into (prefix, middle, suffix) at two
+    deterministic word-boundary cuts and emit the PSM-format training
+    string — the data transform that gives a causal LM infilling
+    ability for free.
+
+    Cut points derive from the portable hash of the doc id (two salted
+    draws), so the transform is reproducible across runs, engines, and
+    partitionings — the property a resumable 100 TB preprocessing job
+    needs (re-running a failed shard regenerates identical examples).
+    Pure column algebra: split → two hash draws → three slices → one
+    concat; no shuffle at all (the plan is scan → project).  Docs with
+    fewer than 3 words pass through unsplit (prefix = whole doc) with
+    fim = 0 — every input doc yields exactly one output row.
+
+    Guarantees pinned in tests: prefix/middle/suffix are non-empty for
+    fim = 1 rows, and ``prefix + middle + suffix`` re-concatenates to
+    the whitespace-normalized source (lossless)."""
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(words)
+    h1 = porthash(F.col(id_col).cast("string"), "fim1")
+    h2 = porthash(F.col(id_col).cast("string"), "fim2")
+    # a = prefix length in [1, n-2]; m = middle length in [1, n-a-1]
+    a = (F.lit(1) + F.pmod(h1, n - 2)).cast("int")
+    m = (F.lit(1) + F.pmod(h2, n - a - 1)).cast("int")
+    eligible = n >= 3
+    pre = F.when(eligible, F.array_join(F.slice(words, 1, a), " ")).otherwise(
+        F.array_join(words, " ")
+    )
+    mid = F.when(
+        eligible, F.array_join(F.slice(words, a + 1, m), " ")
+    ).otherwise(F.lit(""))
+    suf = F.when(
+        eligible, F.array_join(F.slice(words, a + m + 1, n - a - m), " ")
+    ).otherwise(F.lit(""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("bigint").alias("n_words"),
+        eligible.cast("bigint").alias("fim"),
+        pre.alias("prefix"),
+        mid.alias("middle"),
+        suf.alias("suffix"),
+        F.concat(
+            F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+        ).alias("psm"),
+    )
+
+
+def _fim_oracle() -> str:
+    h1 = duck_porthash("doc_id::VARCHAR", "fim1")
+    h2 = duck_porthash("doc_id::VARCHAR", "fim2")
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws
+      FROM documents
+    ), cuts AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             CASE WHEN len(ws) >= 3
+                  THEN 1 + ({h1}) % (len(ws) - 2) ELSE 0 END AS a
+      FROM w
+    ), cuts2 AS (
+      SELECT doc_id, ws, n, a,
+             CASE WHEN n >= 3
+                  THEN 1 + ({h2}) % (n - a - 1) ELSE 0 END AS m
+      FROM cuts
+    ), parts AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             CAST(CASE WHEN n >= 3 THEN 1 ELSE 0 END AS BIGINT) AS fim,
+             CASE WHEN n >= 3 THEN array_to_string(ws[1:a], ' ')
+                  ELSE array_to_string(ws, ' ') END AS prefix,
+             CASE WHEN n >= 3 THEN array_to_string(ws[a+1:a+m], ' ')
+                  ELSE '' END AS middle,
+             CASE WHEN n >= 3 THEN array_to_string(ws[a+m+1:n], ' ')
+                  ELSE '' END AS suffix
+      FROM cuts2
+    )
+    SELECT doc_id, n_words, fim, prefix, middle, suffix,
+           '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle AS psm
+    FROM parts
+    """
+
+
+@query("corpus_fim_transform", oracle=_fim_oracle())
+def corpus_fim_transform_q(spark, sf_dir):
+    """Fill-in-the-middle training examples for every document: two
+    hash-deterministic word-boundary cuts, PSM-format output — pure
+    scan→project column algebra, reproducible across engines and
+    partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text")
+
+
+# -- span-corruption example generation (T5-style denoising prep) -------------
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    start_mod: int = 7,
+    span_len: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption training-example generation (Raffel et
+    al., "Exploring the Limits of Transfer Learning with a Unified
+    Text-to-Text Transformer", 2020): mask word spans and emit the
+    (input with numbered sentinels, target with the masked content)
+    pair every denoising objective trains on.
+
+    Span starts are hash-deterministic — position i starts a span iff
+    porthash(doc_id:i) % start_mod == 0 (expected mask rate ≈
+    span_len/start_mod) — so examples are reproducible across runs,
+    engines, and partitionings; overlapping spans merge into one run
+    and sentinels <X_k> number the runs left to right.
+
+    Plan shape: one scan → token explode → THREE window passes over the
+    same (doc_id ORDER BY i) partitioning (mask spread, run detection,
+    run numbering — one Exchange total, Catalyst chains the sorts) →
+    one keyed aggregate that assembles both strings order-exactly via
+    array_sort(collect_list(struct(i, piece))).  Nothing all-pairs, no
+    UDF, no driver state."""
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "w")
+    sf = (
+        F.pmod(
+            porthash(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string")
+                ),
+                "sc",
+            ),
+            F.lit(start_mod),
+        )
+        == 0
+    ).cast("int")
+    toks = toks.withColumn("sf", sf)
+    wspread = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    toks = toks.withColumn("masked", F.max("sf").over(wspread))
+    toks = toks.withColumn(
+        "new_run",
+        (
+            (F.col("masked") == 1)
+            & (F.lag("masked", 1, 0).over(wseq) == 0)
+        ).cast("int"),
+    ).withColumn(
+        "run_k",
+        F.sum("new_run").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sentinel = F.concat(F.lit("<X_"), F.col("run_k").cast("string"), F.lit(">"))
+    piece_in = F.when(F.col("masked") == 0, F.col("w")).when(
+        F.col("new_run") == 1, sentinel
+    )
+    piece_tg = F.when(
+        (F.col("masked") == 1) & (F.col("new_run") == 1),
+        F.concat(sentinel, F.lit(" "), F.col("w")),
+    ).when(F.col("masked") == 1, F.col("w"))
+
+    def assemble(piece):
+        pairs = F.collect_list(F.struct(F.col("i"), piece.alias("piece")))
+        return F.array_join(
+            F.filter(
+                F.transform(F.array_sort(pairs), lambda s: s.getField("piece")),
+                lambda x: x.isNotNull(),
+            ),
+            " ",
+        )
+
+    out = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.max("run_k").cast("bigint").alias("n_spans"),
+        assemble(piece_in).alias("model_input"),
+        assemble(piece_tg).alias("model_target"),
+    )
+    return out
+
+
+def _span_corruption_oracle(start_mod: int = 7, span_len: int = 3) -> str:
+    h = duck_porthash("doc_id::VARCHAR || ':' || i::VARCHAR", "sc")
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM w
+    ), flagged AS (
+      SELECT doc_id, i::BIGINT AS i, ws[i::INT] AS w,
+             CASE WHEN ({h}) % {start_mod} = 0 THEN 1 ELSE 0 END AS sf
+      FROM toks
+    ), spread AS (
+      SELECT *, max(sf) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN {span_len - 1} PRECEDING
+                              AND CURRENT ROW) AS masked
+      FROM flagged
+    ), runs AS (
+      SELECT *,
+             CASE WHEN masked = 1 AND coalesce(lag(masked) OVER
+                    (PARTITION BY doc_id ORDER BY i), 0) = 0
+                  THEN 1 ELSE 0 END AS new_run
+      FROM spread
+    ), numbered AS (
+      SELECT *, sum(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS run_k
+      FROM runs
+    ), pieces AS (
+      SELECT doc_id, i, masked, run_k,
+             CASE WHEN masked = 0 THEN w
+                  WHEN new_run = 1 THEN '<X_' || run_k || '>' END AS pin,
+             CASE WHEN masked = 1 AND new_run = 1
+                    THEN '<X_' || run_k || '> ' || w
+                  WHEN masked = 1 THEN w END AS ptg
+      FROM numbered
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           CAST(max(run_k) AS BIGINT) AS n_spans,
+           coalesce(string_agg(pin, ' ' ORDER BY i), '') AS model_input,
+           coalesce(string_agg(ptg, ' ' ORDER BY i), '') AS model_target
+    FROM pieces GROUP BY doc_id
+    """
+
+
+@query("corpus_span_corruption", oracle=_span_corruption_oracle())
+def corpus_span_corruption_q(spark, sf_dir):
+    """T5 denoising pairs for every document: hash-deterministic span
+    starts (1-in-7 positions, length-3 spans, overlaps merged),
+    numbered <X_k> sentinels, (model_input, model_target) assembled
+    order-exactly in one keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs, "doc_id", "text")

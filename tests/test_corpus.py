@@ -776,3 +776,87 @@ def test_diff_snapshots_null_text_is_not_added(spark):
     got = {r["doc_id"]: r["status"]
            for r in diff_snapshots(old, new, "doc_id", "text").collect()}
     assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_fim_transform_lossless_and_deterministic(spark):
+    """FIM parts must be non-empty for eligible docs, re-concatenate to
+    the normalized source, pass short docs through unsplit, and be
+    identical across repartitionings (hash-derived cuts)."""
+    from dask_obj_spark.operators.corpus import fim_transform
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "one two three"),
+        (3, "shorty here"),   # n=2: passthrough
+        (4, None),
+        (5, "  x   y\tz  "),  # messy whitespace
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in fim_transform(df, "doc_id", "text").collect()}
+    assert len(got) == 5
+    for d, txt in ((1, "a b c d e f g h"), (2, "one two three"),
+                   (5, "x y z")):
+        r = got[d]
+        assert r.fim == 1
+        assert r.prefix and r.middle and r.suffix
+        joined = " ".join(p for p in (r.prefix, r.middle, r.suffix) if p)
+        assert joined == txt, (d, joined)
+        assert r.psm == f"<PRE>{r.prefix}<SUF>{r.suffix}<MID>{r.middle}"
+    assert got[3].fim == 0 and got[3].prefix == "shorty here"
+    assert got[3].middle == "" and got[3].suffix == ""
+    assert got[4].fim == 0 and got[4].prefix == ""
+    again = {
+        r.doc_id: r
+        for r in fim_transform(df.repartition(4), "doc_id", "text").collect()
+    }
+    assert {d: got[d].psm for d in got} == {d: again[d].psm for d in again}
+
+
+def test_span_corruption_reconstruction_invariant(spark):
+    """Splicing each target run back into its input sentinel must
+    reproduce the normalized source exactly; counts must be coherent;
+    output identical across repartitionings."""
+    import re
+
+    from dask_obj_spark.operators.corpus import span_corruption
+
+    rows = [
+        (1, " ".join(f"w{j}" for j in range(40))),
+        (2, "alpha beta gamma"),
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in span_corruption(df, "doc_id", "text").collect()}
+    assert len(got) == 3
+    for d, txt in ((1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])):
+        r = got[d]
+        toks = txt.split()
+        assert r.n_tokens == len(toks)
+        assert 0 <= r.n_masked <= r.n_tokens
+        assert (r.n_spans == 0) == (r.n_masked == 0)
+        # parse target runs: "<X_k> tok tok <X_k+1> tok ..."
+        runs = {}
+        cur = None
+        for piece in r.model_target.split():
+            m = re.fullmatch(r"<X_(\d+)>", piece)
+            if m:
+                cur = int(m.group(1))
+                runs[cur] = []
+            else:
+                runs[cur].append(piece)
+        # splice back
+        out = []
+        for piece in r.model_input.split():
+            m = re.fullmatch(r"<X_(\d+)>", piece)
+            out.extend(runs[int(m.group(1))] if m else [piece])
+        assert out == toks, (d, out, toks)
+        if r.n_spans:
+            assert sorted(runs) == list(range(1, r.n_spans + 1))
+            assert sum(len(v) for v in runs.values()) == r.n_masked
+    again = {
+        r.doc_id: (r.model_input, r.model_target)
+        for r in span_corruption(df.repartition(5), "doc_id", "text").collect()
+    }
+    assert again == {
+        d: (got[d].model_input, got[d].model_target) for d in got
+    }
