@@ -1926,3 +1926,97 @@ def text_hashed_classifier_q(spark, sf_dir):
     + one keyed aggregate, model compiled into the plan."""
     docs = load_table(spark, sf_dir, "documents")
     return hashed_classifier_score(docs, "doc_id", "text")
+
+
+# -- per-document word entropy (diversity/gibberish filter) --------------------
+
+
+def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution — the
+    diversity filter that separates natural prose from keyword-stuffed
+    or looping gibberish (low entropy = few distinct words dominate;
+    boilerplate and SEO spam score far below real text of the same
+    length).  H = ln(n) − (Σ_w c_w·ln(c_w)) / n over word counts c_w.
+
+    Numerics: the Σ c·ln(c) term is per-(doc, word) floor-quantized to
+    integer micro-units BEFORE the per-doc sum (the LM-score pattern —
+    a float sum over an unordered group would fold partition order
+    into the hash), and the final H assembles from the exact integer
+    sum with ln(n) computed once per doc.  Output in integer
+    micro-nats: entropy_x1m = floor(ln(n)·1e6) − (Σ floor(c·ln(c)·1e6))
+    DIV n — every step replayable bit-exactly.
+
+    Scale: one scan → token explode → (doc, word) count → per-doc sum;
+    two keyed aggregates on the same doc partitioning."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .repartition(ncores, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.coalesce(F.col("t"), F.lit("")))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_word = wc.select(
+        "doc_id",
+        "c",
+        F.floor(F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("clnc_u"),
+    )
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("clnc_u").cast("bigint").alias("sum_clnc_u"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.floor(F.log(F.col("n_tokens").cast("double")) * 1e6).cast("bigint")
+            - F.expr("sum_clnc_u div n_tokens")
+        ).alias("entropy_x1m"),
+    )
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+               x -> x <> '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w
+    ), pw AS (
+      SELECT doc_id, c,
+             floor(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT AS clnc_u
+      FROM wc
+    ), agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*)::BIGINT AS n_distinct,
+             CAST(sum(clnc_u) AS BIGINT) AS sum_clnc_u
+      FROM pw GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           floor(ln(n_tokens::DOUBLE) * 1e6)::BIGINT
+             - (sum_clnc_u // n_tokens) AS entropy_x1m
+    FROM agg
+    """,
+)
+def text_word_entropy_q(spark, sf_dir):
+    """Word-distribution Shannon entropy per document in integer
+    micro-nats — the diversity/gibberish filter, with the per-(doc,
+    word) floor-quantize + exact integer sum making the score
+    partition-order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return word_entropy(docs, "doc_id", "text")

@@ -239,3 +239,28 @@ def test_hashed_classifier_exact_integer_logits(spark):
     # margin above everything → all labels 0
     hi = hashed_classifier_score(df, "doc_id", "text", margin_u=600000)
     assert all(r.label == 0 for r in hi.collect())
+
+
+def test_word_entropy_hand_computed(spark):
+    """Uniform words → ln(k) micro-nats; one repeated word → 0;
+    skewed mix matches the closed form; case-insensitive."""
+    import math
+
+    from dask_obj_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform over 4 -> ln 4
+            (2, "x x x X"),          # one word (lowercased) -> 0
+            (3, "a a b"),            # H = ln3 - (2 ln2)/3
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in word_entropy(df, "doc_id", "text").collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 4
+    assert got[1].entropy_x1m == math.floor(math.log(4) * 1e6)
+    assert got[2].n_distinct == 1 and got[2].entropy_x1m == 0
+    want3 = math.floor(math.log(3) * 1e6) - math.floor(
+        2.0 * math.log(2.0) * 1e6
+    ) // 3
+    assert got[3].entropy_x1m == want3
