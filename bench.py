@@ -78,6 +78,13 @@ WORKLOAD = {
     # (the others are dimension-sized or streaming-drain-dominated —
     # BASELINE.md §5 round-10 note)
     "b39_matryoshka": "sim_matryoshka_recall",
+    # round-10 operators: the classifier (corpus gram explode + inline
+    # model) and span corruption (token windows + order-exact assembly)
+    # are the two real workloads; fim/entropy/mm rows are sub-second
+    # scan-projects and the quantized-kmeans harness is priced by its
+    # linear-in-N interpreted fold (BASELINE.md §5 round-10 note)
+    "b40_hashed_classifier": "text_hashed_classifier",
+    "b41_span_corruption": "corpus_span_corruption",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe

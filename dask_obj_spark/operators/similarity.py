@@ -556,9 +556,13 @@ def kmeans_fit(
     avg — the shuffle carries k*dim partial sums per partition, never
     vectors. Init = first k vectors by id (seeded/deterministic).
     Returns (centroids, assignment df (vid, v, cell))."""
+    # fan-out before the interpreted argmin stage (the PLANS.md
+    # compute-bound-stage rule): k·dim zip_with/aggregate folds per row
+    # run interpreted, and a 1-file scan would pin them to one core
+    ncores = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).repartition(ncores, "vid")
     cents = [list(r.v) for r in base.orderBy("vid").limit(k).collect()]
 
     def assign_for(cent_rows: list[list[float]]) -> DataFrame:
@@ -640,13 +644,19 @@ def kmeans_fit_quantized(
     previous state.  Init = first k vectors by id.
 
     Returns ([(s, n)] per cell, assignment df (vid, xq, cell))."""
+    # fan-out before the interpreted integer-argmin stage (the PLANS.md
+    # compute-bound-stage rule).  Local cost is dominated by the k·dim
+    # interpreted fold itself (~6.8 s at sf0.1 across the 5 training
+    # jobs) — linear in N with a constant 8×64 per-row term, so the
+    # plan holds at scale; the fan-out keeps it off one core.
+    ncores = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("vid"),
         F.expr(
             f"transform(cast({vec_col} as array<double>), "
             f"x -> cast(floor(x * {scale}.0) as bigint))"
         ).alias("xq"),
-    )
+    ).repartition(ncores, "vid")
     init = base.orderBy("vid").limit(k).collect()
     state: list[tuple[list[int], int]] = [(list(r.xq), 1) for r in init]
 
