@@ -1201,16 +1201,22 @@ def holt_fixed_grid(
             F.expr(f"(es - tmin) * {steps} div (tmax - tmin + 1)"),
         ).alias("bkt"),
     )
-    counts = bk.groupBy("k", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    grid = (
-        src.select("k")
-        .distinct()
-        .select(
-            "k",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.lit(steps - 1).cast("long"))
-            ).alias("bkt"),
-        )
+    # materialize the (key, bucket) counts ONCE: the zero-fill grid and
+    # the left join below both consume it, and deriving the key list
+    # from the counts (instead of a third distinct over the source)
+    # keeps the whole operator at 2 corpus scans (bounds + counts) —
+    # the quality-PSI checkpointed-summary pattern; the summary is
+    # ≤ steps rows per key, i.e. output-sized
+    counts = (
+        bk.groupBy("k", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    grid = counts.select("k").distinct().select(
+        "k",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(steps - 1).cast("long"))
+        ).alias("bkt"),
     )
     xs = grid.join(counts, ["k", "bkt"], "left").select(
         "k", "bkt", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x")
