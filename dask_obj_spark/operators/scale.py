@@ -20,7 +20,7 @@ core.py:51-57`); these are the 100 TB-grade completions of that surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dask_obj_spark.queries import query
@@ -885,3 +885,95 @@ def sketch_heavy_hitters_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(ws_tokens("text")).alias("term"))
     return heavy_hitters(toks, "term", k=50)
+
+
+# -- small-file compaction planning (table-maintenance op) ---------------------
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file row counts of a parquet table via `input_file_name()`
+    — the stats pass a compaction job runs first.  One scan, one hash
+    aggregate onto |files| rows; file names normalized to basenames so
+    the plan is location-independent."""
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+def compaction_plan(stats: DataFrame, target_rows: int) -> DataFrame:
+    """Bin small files into contiguous merge groups of ~``target_rows``
+    — the small-file compaction planner every long-lived 100 TB table
+    needs (streaming sinks and per-partition writers accumulate
+    kilobyte files; scan throughput dies on file-open overhead).
+
+    Deterministic first-fit over the name-ordered file list (the
+    `pack_bins` prefix-sum rule: a file joins the bin its cumulative
+    prefix falls in), so the same stats always yield the same plan.
+    Single-partition window over |files| rows — dimension-sized by
+    definition (file COUNTS, not file contents; the planner's input
+    at 100 TB is maybe 10^6 rows).  Files at or above the target get
+    a bin of their own by construction.  Output adds per-bin fan-in
+    so the executor of the plan can skip singleton bins
+    (bin_files = 1 → already compact)."""
+    w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    planned = stats.select(
+        "file",
+        "n_rows",
+        (F.sum("n_rows").over(w) - F.col("n_rows")).alias("prefix_rows"),
+    ).select(
+        "file",
+        "n_rows",
+        F.expr(f"prefix_rows div {int(target_rows)}").alias("merge_bin"),
+    )
+    wb = Window.partitionBy("merge_bin")
+    return planned.select(
+        "file",
+        "n_rows",
+        "merge_bin",
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("bin_files"),
+        F.sum("n_rows").over(wb).cast("bigint").alias("bin_rows"),
+    )
+
+
+@query(
+    "layout_compaction_plan",
+    oracle="""
+    WITH stats AS (
+      SELECT 'shard-' || lpad((doc_id // 40)::VARCHAR, 4, '0') AS file,
+             count(*)::BIGINT AS n_rows
+      FROM documents GROUP BY 1
+    ), pre AS (
+      SELECT file, n_rows,
+             CAST(sum(n_rows) OVER (ORDER BY file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows
+               AS BIGINT) AS prefix_rows
+      FROM stats
+    ), planned AS (
+      SELECT file, n_rows, prefix_rows // 100 AS merge_bin FROM pre
+    )
+    SELECT file, n_rows, merge_bin,
+           count(*) OVER (PARTITION BY merge_bin)::BIGINT AS bin_files,
+           CAST(sum(n_rows) OVER (PARTITION BY merge_bin) AS BIGINT) AS bin_rows
+    FROM planned
+    """,
+)
+def layout_compaction_plan_q(spark, sf_dir):
+    """Compaction plan over deterministic 40-doc shards of the
+    documents table (the oracle cannot see real file boundaries
+    through the driver's table views, so the planner is demonstrated
+    on derived shard stats; the `input_file_name` stats pass is
+    unit-tested against a real multi-file directory in
+    tests/test_scale.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.concat(
+            F.lit("shard-"),
+            F.lpad(F.expr("doc_id div 40").cast("string"), 4, "0"),
+        ).alias("file")
+    ).groupBy("file").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    return compaction_plan(stats, 100)

@@ -597,3 +597,31 @@ def test_stratified_split_no_auto_broadcast_fallback(spark, oracle_sf_dir):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_compaction_plan_bins_and_file_stats(spark, tmp_path):
+    """file_stats must count rows per REAL parquet file (multi-file
+    dir); compaction_plan must first-fit by name order, give oversize
+    files their own bin, and report per-bin fan-in."""
+    from dask_obj_spark.operators.scale import compaction_plan, file_stats
+
+    # 4 real files: 3 tiny + 1 big
+    p = str(tmp_path / "t")
+    spark.range(0, 10).coalesce(1).write.mode("append").parquet(p)
+    spark.range(10, 25).coalesce(1).write.mode("append").parquet(p)
+    spark.range(25, 30).coalesce(1).write.mode("append").parquet(p)
+    spark.range(30, 230).coalesce(1).write.mode("append").parquet(p)
+    stats = file_stats(spark, p)
+    got = {r.file: r.n_rows for r in stats.collect()}
+    assert len(got) == 4 and sorted(got.values()) == [5, 10, 15, 200]
+    assert all(f.endswith(".parquet") and "/" not in f for f in got)
+
+    # deterministic synthetic stats: name order a,b,c,d
+    sdf = spark.createDataFrame(
+        [("a", 10), ("b", 15), ("c", 5), ("d", 200)], ["file", "n_rows"]
+    )
+    plan = {r.file: r for r in compaction_plan(sdf, 30).collect()}
+    # prefixes: a=0, b=10, c=25, d=30 → bins 0,0,0,1
+    assert [plan[f].merge_bin for f in "abcd"] == [0, 0, 0, 1]
+    assert plan["a"].bin_files == 3 and plan["a"].bin_rows == 30
+    assert plan["d"].bin_files == 1 and plan["d"].bin_rows == 200
