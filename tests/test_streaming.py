@@ -569,3 +569,45 @@ def test_stream_contamination_guard_flags_once_under_replay(spark, tmp_path):
     )
     stream_contamination_sink(spark, stream2, target, inv_dir)
     assert spark.read.parquet(target).count() == 2  # no duplicates
+
+
+def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
+    """Quota binds across batches in arrival order (batch 1 uses part
+    of the budget, batch 2 only the remainder); sources under quota
+    pass through whole; replaying the stream (fresh checkpoint) must
+    not re-admit or duplicate anything."""
+    import shutil
+
+    from dask_obj_spark.streaming.windows import stream_source_quota_sink
+
+    # batch files: arrival order = file name order
+    in_dir = str(tmp_path / "in")
+    b0 = [(i, "big") for i in range(4)] + [(100 + i, "small") for i in range(2)]
+    b1 = [(10 + i, "big") for i in range(4)] + [(110, "small")]
+    schema = None
+    for name, batch in (("00_a", b0), ("01_b", b1)):
+        df = spark.createDataFrame(batch, ["doc_id", "source"])
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "acc")
+    stream_source_quota_sink(spark, stream, target, quota=5)
+    got = {(r.doc_id, r.source) for r in spark.read.parquet(target).collect()}
+    # big: 4 from batch 0 + first 1 of batch 1 (doc_id order); small: all 3
+    assert got == {(0, "big"), (1, "big"), (2, "big"), (3, "big"), (10, "big"),
+                   (100, "small"), (101, "small"), (110, "small")}
+    # replay with a fresh checkpoint: counts-table seq guard makes it a no-op
+    n = spark.read.parquet(target).count()
+    shutil.rmtree(target + "_ckpt")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_source_quota_sink(spark, stream2, target, quota=5)
+    assert spark.read.parquet(target).count() == n
+    assert {(r.doc_id, r.source) for r in spark.read.parquet(target).collect()} == got
