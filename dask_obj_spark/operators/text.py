@@ -2020,3 +2020,59 @@ def text_word_entropy_q(spark, sf_dir):
     partition-order-free."""
     docs = load_table(spark, sf_dir, "documents")
     return word_entropy(docs, "doc_id", "text")
+
+
+# -- filter-agreement audit (classifier × heuristic cross-tab) ----------------
+
+
+def filter_agreement(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Agreement cross-tab between the two independent quality gates —
+    the hashed-linear classifier's margin label and the heuristic
+    quality-score decile — the audit a pipeline owner reads before
+    trusting either filter alone: off-diagonal mass (classifier says
+    keep, heuristics say junk, or vice versa) is exactly where manual
+    review goes, and a drifting crawl moves mass across the diagonal
+    before either gate's pass-rate alone shows it.
+
+    Two corpus scans by necessity (the two scorers traverse different
+    shapes: gram explode + keyed aggregate vs per-row HOF projection),
+    joined on the id, aggregated onto ≤ 2×10 cells.  The join is
+    doc-keyed and disappears into the classifier's existing doc_id
+    partitioning; output is dimension-sized."""
+    cls = hashed_classifier_score(df, id_col, text_col).select(
+        F.col("doc_id"), F.col("label").alias("cls_keep")
+    )
+    q = quality_scores(df, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.least(
+            F.floor(F.col("quality") * F.lit(10.0)).cast("int"), F.lit(9)
+        ).alias("q_decile"),
+    )
+    return (
+        cls.join(q, "doc_id")
+        .groupBy("cls_keep", "q_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _filter_agreement_oracle() -> str:
+    cls = _hashed_classifier_oracle()
+    return f"""
+    WITH cls AS ({cls}),
+    q AS ({duck_quality_select()})
+    SELECT c.label AS cls_keep,
+           least(floor(q.quality * 10.0)::INTEGER, 9) AS q_decile,
+           count(*)::BIGINT AS n_docs
+    FROM cls c JOIN q ON c.doc_id = q.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("eval_filter_agreement", oracle=_filter_agreement_oracle())
+def eval_filter_agreement_q(spark, sf_dir):
+    """Classifier-vs-heuristic agreement matrix: (margin label ×
+    quality decile) doc counts — the filter-audit readout that
+    localizes disagreement mass before either gate runs alone at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_agreement(docs, "doc_id", "text")

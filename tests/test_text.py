@@ -264,3 +264,22 @@ def test_word_entropy_hand_computed(spark):
         2.0 * math.log(2.0) * 1e6
     ) // 3
     assert got[3].entropy_x1m == want3
+
+
+def test_filter_agreement_splits_mass_by_both_gates(spark):
+    """Docs engineered to span quality deciles must land in distinct
+    (cls_keep, q_decile) cells, total mass conserved."""
+    from dask_obj_spark.operators.text import filter_agreement
+
+    rows = [
+        (1, "the cat is on the mat and it is a fine day for the dog"),
+        (2, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = filter_agreement(df, "doc_id", "text").collect()
+    assert sum(r.n_docs for r in got) == 4
+    deciles = {r.q_decile for r in got}
+    assert len(deciles) >= 2  # junk and prose separate
+    assert all(r.cls_keep in (0, 1) and 0 <= r.q_decile <= 9 for r in got)
