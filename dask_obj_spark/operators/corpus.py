@@ -3578,3 +3578,104 @@ def corpus_span_corruption_q(spark, sf_dir):
     order-exactly in one keyed aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return span_corruption(docs, "doc_id", "text")
+
+
+# -- source-level token-budget water-filling -----------------------------------
+
+
+def budget_waterfill(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy water-filling of a global token budget across SOURCES by
+    mean quality — the source-granularity complement to `budget_select`
+    (which picks documents): rank sources by mean quality, fill each
+    source's full token capacity in rank order until the budget runs
+    out, give the boundary source the remainder.  This is the "which
+    domains make the cut, and how much of the boundary domain" planning
+    readout a mixture owner computes before touching any document.
+
+    One corpus scan (quality + token count + source in a single
+    projection via ``keep_cols``) → |sources| summary rows; mean
+    quality is an exact integer (micro-unit quality sum DIV doc count
+    — truncation division on both engines), so the ranking and the
+    closed-form allocation ``clamp(B − prefix_cap, 0, cap)`` are
+    integer algebra end to end.  The single-partition window is over
+    |sources| rows — the dimension-sized exception the histogram
+    queries already use."""
+    from dask_obj_spark.operators.text import quality_scores
+
+    scored = quality_scores(df, id_col, text_col, keep_cols=[source_col])
+    per_src = scored.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("cap_tokens"),
+        F.sum(F.floor(F.col("quality") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("qsum_u"),
+    )
+    per_src = per_src.withColumn("mq_u", F.expr("qsum_u div n_docs"))
+    w = Window.orderBy(F.desc("mq_u"), F.asc(source_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_src.withColumn(
+        "prefix_tokens",
+        (F.sum("cap_tokens").over(w) - F.col("cap_tokens")).cast("bigint"),
+    )
+    alloc = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.col("cap_tokens"),
+            F.lit(int(budget_tokens)).cast("bigint") - F.col("prefix_tokens"),
+        ),
+    )
+    return ranked.select(
+        F.col(source_col).alias("source"),
+        "n_docs",
+        "mq_u",
+        "cap_tokens",
+        "prefix_tokens",
+        alloc.alias("alloc_tokens"),
+        (alloc == F.col("cap_tokens")).cast("bigint").alias("filled"),
+    )
+
+
+def _waterfill_oracle(budget_tokens: int) -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    return f"""
+    WITH q AS ({duck_quality_select()}),
+    src AS (
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+             CAST(sum(q.n_tokens) AS BIGINT) AS cap_tokens,
+             CAST(sum(floor(q.quality * 1e6)::BIGINT) AS BIGINT) AS qsum_u
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    ranked AS (
+      SELECT *, qsum_u // n_docs AS mq_u,
+             CAST(sum(cap_tokens) OVER (ORDER BY qsum_u // n_docs DESC, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap_tokens
+               AS BIGINT) AS prefix_tokens
+      FROM src
+    )
+    SELECT source, n_docs, mq_u, cap_tokens, prefix_tokens,
+           greatest(0, least(cap_tokens, {budget_tokens} - prefix_tokens))::BIGINT
+             AS alloc_tokens,
+           CAST(CASE WHEN greatest(0, least(cap_tokens,
+                  {budget_tokens} - prefix_tokens)) = cap_tokens
+                THEN 1 ELSE 0 END AS BIGINT) AS filled
+    FROM ranked
+    """
+
+
+@query("corpus_budget_waterfill", oracle=_waterfill_oracle(20000))
+def corpus_budget_waterfill_q(spark, sf_dir):
+    """Water-fill a 20k-token budget across sources by mean quality:
+    full capacity in rank order, remainder to the boundary source —
+    integer algebra end to end over one corpus scan + a
+    dimension-sized window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return budget_waterfill(docs, "doc_id", "text", "source", 20000)

@@ -860,3 +860,30 @@ def test_span_corruption_reconstruction_invariant(spark):
     assert again == {
         d: (got[d].model_input, got[d].model_target) for d in got
     }
+
+
+def test_budget_waterfill_rank_order_and_remainder(spark):
+    """Higher-mean-quality sources fill first, the boundary source
+    gets exactly the remainder, later sources get zero, and total
+    allocation equals min(budget, corpus capacity)."""
+    from dask_obj_spark.operators.corpus import budget_waterfill
+
+    good = "the cat is on the mat and it is a fine day"        # high quality
+    junk = "@@@ ### !!! $$$ %%%"                                # low quality
+    rows = [(i, good, "hi") for i in range(3)]                  # 3x12 tokens
+    rows += [(10 + i, junk, "lo") for i in range(4)]            # 4x5 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.source: r for r in
+           budget_waterfill(df, "doc_id", "text", "source", 40).collect()}
+    assert got["hi"].mq_u > got["lo"].mq_u
+    assert got["hi"].cap_tokens == 36 and got["lo"].cap_tokens == 20
+    assert got["hi"].alloc_tokens == 36 and got["hi"].filled == 1
+    assert got["lo"].prefix_tokens == 36
+    assert got["lo"].alloc_tokens == 4 and got["lo"].filled == 0  # remainder
+    # budget above capacity: everything filled
+    all_in = {r.source: r for r in
+              budget_waterfill(df, "doc_id", "text", "source", 1000).collect()}
+    assert all(r.filled == 1 for r in all_in.values())
+    # budget zero: nothing allocated
+    none = budget_waterfill(df, "doc_id", "text", "source", 0).collect()
+    assert all(r.alloc_tokens == 0 for r in none)
