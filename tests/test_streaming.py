@@ -611,3 +611,45 @@ def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
     stream_source_quota_sink(spark, stream2, target, quota=5)
     assert spark.read.parquet(target).count() == n
     assert {(r.doc_id, r.source) for r in spark.read.parquet(target).collect()} == got
+
+
+def test_stream_late_audit_counts_and_replay(spark, tmp_path):
+    """Batch 1 rows older than (batch-0 max ts - delay) count as late;
+    the first batch never does; the watermark value is recorded;
+    replays are no-ops."""
+    import shutil
+    from datetime import datetime
+
+    from dask_obj_spark.streaming.windows import stream_late_audit_sink
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    b0 = [(1, t(0)), (2, t(30))]                   # max = 10:30
+    # wm = 10:30 - 10min = 10:20 → late: 10:00, 10:19; on time: 10:20, 10:40
+    b1 = [(3, t(0)), (4, t(19)), (5, t(20)), (6, t(40))]
+    in_dir = str(tmp_path / "in")
+    schema = None
+    for name, batch in (("00_a", b0), ("01_b", b1)):
+        df = spark.createDataFrame(batch, ["event_id", "ts"])
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "audit")
+    stream_late_audit_sink(spark, stream, target, delay_secs=600)
+    got = {r.seq: r for r in spark.read.parquet(target).collect()}
+    assert got[0].n_rows == 2 and got[0].n_late == 0 and got[0].wm_secs == -1
+    wm = int(t(30).timestamp()) - 600
+    assert got[1].wm_secs == wm
+    assert got[1].n_rows == 4 and got[1].n_late == 2
+    # replay: fresh checkpoint, audit unchanged
+    shutil.rmtree(target + "_ckpt")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_late_audit_sink(spark, stream2, target, delay_secs=600)
+    assert spark.read.parquet(target).count() == 2
