@@ -3679,3 +3679,119 @@ def corpus_budget_waterfill_q(spark, sf_dir):
     dimension-sized window."""
     docs = load_table(spark, sf_dir, "documents")
     return budget_waterfill(docs, "doc_id", "text", "source", 20000)
+
+
+# -- exact stratified k-fold assignment ----------------------------------------
+
+
+def kfold_exact(
+    df: DataFrame, id_col: str, strata_col: str, k: int
+) -> DataFrame:
+    """EXACT stratified k-fold assignment: within each stratum, docs
+    are ranked by (portable hash, id) and folds assigned round-robin —
+    so every stratum lands in every fold in proportions that differ by
+    at most ONE document (the guarantee `hash_split`'s independent
+    per-doc draws cannot give: binomial noise is ±√n per cell, which
+    at small strata breaks cross-validation comparability).
+
+    Deterministic and engine-portable: the rank key is the salted
+    portable hash with id tiebreak, so the same corpus always yields
+    the same folds.  One shuffle on the stratum key; the window is
+    per-stratum (parallel across strata), never global."""
+    w = Window.partitionBy("stratum").orderBy(
+        porthash(F.col("doc_id").cast("string"), "kfold"), F.col("doc_id")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+    ).withColumn(
+        "fold", ((F.row_number().over(w) - 1) % F.lit(int(k))).cast("bigint")
+    )
+
+
+@query(
+    "corpus_kfold_exact",
+    oracle=f"""
+    SELECT doc_id, source AS stratum,
+           ((row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '#kfold'), 1, 15))::BIGINT,
+                        doc_id) - 1) % 5)::BIGINT AS fold
+    FROM documents
+    """,
+)
+def corpus_kfold_exact_q(spark, sf_dir):
+    """Exact stratified 5-fold assignment over sources: hash-ranked
+    round-robin within each stratum — every (source, fold) cell within
+    one doc of perfect balance, stable across reshuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return kfold_exact(docs, "doc_id", "source", 5)
+
+
+# -- leakage-safe split (cluster-aware train/val/test) -------------------------
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Train/val/test split that hashes the near-dup CLUSTER id, not
+    the document id — so two near-duplicate documents can never land
+    on opposite sides of the split (the eval-leakage failure mode of
+    per-doc hashing: a paraphrase of a validation doc in train reads
+    as generalization but is memorization).  Composition of the
+    shipped pieces: `dedup_cluster_assignment` (connected components
+    over the candidate pairs) → `hash_split` keyed on cluster_id.
+
+    Scale shape: inherits the O(log n) large-star/small-star rounds of
+    the component builder; the split itself adds one hash expression —
+    no extra shuffle beyond the cluster assignment's."""
+    assigned = dedup_cluster_assignment(docs, pairs, id_col)
+    split = hash_split(
+        assigned.select(F.col("cluster_id").alias("cid")).distinct(),
+        "cid",
+        fractions,
+    ).select(F.col("cid").alias("cluster_id"), "split")
+    return assigned.select("doc_id", "cluster_id").join(
+        split, "cluster_id"
+    ).select("doc_id", "cluster_id", "split")
+
+
+def _leakage_split_oracle() -> str:
+    # the hash_split cutoffs for {"train": .8, "val": .1, "test": .1}
+    return (
+        _clusters_ctes()
+        + """
+    , assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN ('0x' || substr(md5(cluster_id::VARCHAR || '#split'), 1, 15))::BIGINT
+                  % 1000000 < 800000 THEN 'train'
+             WHEN ('0x' || substr(md5(cluster_id::VARCHAR || '#split'), 1, 15))::BIGINT
+                  % 1000000 < 900000 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM assigned
+    """
+    )
+
+
+@query("corpus_leakage_safe_split", oracle=_leakage_split_oracle())
+def corpus_leakage_safe_split_q(spark, sf_dir):
+    """80/10/10 split hashed on the near-dup cluster id: every member
+    of a MinHash cluster lands on the same side, so paraphrase
+    leakage across train/val/test is structurally impossible."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dask_obj_spark.operators.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text", 16, 4, 4, 0.5).select(
+        "id1", "id2"
+    )
+    return leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )

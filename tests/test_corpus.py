@@ -887,3 +887,52 @@ def test_budget_waterfill_rank_order_and_remainder(spark):
     # budget zero: nothing allocated
     none = budget_waterfill(df, "doc_id", "text", "source", 0).collect()
     assert all(r.alloc_tokens == 0 for r in none)
+
+
+def test_kfold_exact_balance_and_stability(spark):
+    """Every (stratum, fold) cell within one doc of perfect balance;
+    assignment unchanged under repartitioning; k respected."""
+    from dask_obj_spark.operators.corpus import kfold_exact
+
+    rows = [(i, "a" if i < 13 else "b") for i in range(20)]  # 13 + 7
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = kfold_exact(df, "doc_id", "source", 4).collect()
+    from collections import Counter
+
+    cells = Counter((r.stratum, r.fold) for r in got)
+    for s, n in (("a", 13), ("b", 7)):
+        sizes = [cells[(s, f)] for f in range(4)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1, (s, sizes)
+    assert {r.fold for r in got} <= set(range(4))
+    again = kfold_exact(df.repartition(6), "doc_id", "source", 4).collect()
+    assert {(r.doc_id, r.fold) for r in again} == {
+        (r.doc_id, r.fold) for r in got
+    }
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every pair-connected doc shares its cluster's split; singleton
+    docs split independently; fractions roughly honored at scale."""
+    from dask_obj_spark.operators.corpus import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    # chain clusters {0..4}, {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["id1", "id2"]
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in leakage_safe_split(
+            docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert len(got) == 200
+    assert len({got[i] for i in range(5)}) == 1      # one cluster, one side
+    assert got[10] == got[11]
+    sides = [got[i][1] for i in got]
+    from collections import Counter
+
+    c = Counter(sides)
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert set(c) <= {"train", "val", "test"}
