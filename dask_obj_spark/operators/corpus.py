@@ -3795,3 +3795,105 @@ def corpus_leakage_safe_split_q(spark, sf_dir):
     return leakage_safe_split(
         docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+
+
+# -- packed-row segment metadata (attention-mask boundaries) -------------------
+
+
+def pack_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stream_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per packed training row, the SEGMENT TABLE a loader needs to
+    build block-diagonal attention masks and reset position ids at
+    document boundaries: for every bin, the in-order list of
+    (doc_id : start_token : n_tokens) triples serialized as one
+    string column.  Without this table, packed sequences silently
+    cross-attend between unrelated documents — the well-known packing
+    bug this metadata exists to prevent.
+
+    Same binning as `pack_bins`/`pack_payload` (prefix-sum first-fit
+    per stream, in id order); the per-bin running start offsets come
+    from a second window over the SAME (stream, id) sort, so Catalyst
+    chains both windows and the final aggregate behind one Exchange.
+    The segment string assembles order-exactly via
+    array_sort(collect_list(struct)) — never raw collect_list order."""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = df.select(
+        F.col(id_col), F.col(stream_col), n_tok.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget)).cast(
+            "bigint"
+        ),
+    )
+    wb = (
+        Window.partitionBy(stream_col, "bin_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = binned.withColumn(
+        "start", (F.sum("n_tokens").over(wb) - F.col("n_tokens")).cast("bigint")
+    ).withColumn(
+        "piece",
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.col("start").cast("string"),
+            F.col("n_tokens").cast("string"),
+        ),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("piece")))),
+        lambda s: s["piece"],
+    )
+    return seg.groupBy(stream_col, "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.concat_ws("|", ordered).alias("segments"),
+    )
+
+
+@query(
+    "corpus_pack_segments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), binned AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512.0) AS BIGINT) AS bin_id
+      FROM t
+    ), seg AS (
+      SELECT source, bin_id, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source, bin_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS BIGINT) AS start
+      FROM binned
+    )
+    SELECT source, bin_id,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           string_agg(doc_id::VARCHAR || ':' || start::VARCHAR || ':'
+                      || n_tokens::VARCHAR, '|' ORDER BY doc_id) AS segments
+    FROM seg GROUP BY source, bin_id
+    """,
+)
+def corpus_pack_segments_q(spark, sf_dir):
+    """Segment tables for 512-token packed rows per source stream:
+    (doc:start:len)|... in id order — the attention-boundary metadata
+    that prevents packed sequences from cross-attending between
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_segments(docs, "doc_id", "text", "source", 512)

@@ -936,3 +936,25 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     c = Counter(sides)
     assert c["train"] > c["val"] and c["train"] > c["test"]
     assert set(c) <= {"train", "val", "test"}
+
+
+def test_pack_segments_offsets_and_boundaries(spark):
+    """Starts are contiguous within a bin (start_{i+1} = start_i +
+    len_i), bins match pack_bins' prefix rule, and order is by id
+    regardless of physical layout."""
+    from dask_obj_spark.operators.corpus import pack_segments
+
+    docs = spark.createDataFrame(
+        [(3, "f g h i", "s1"), (1, "a b c", "s1"), (2, "d e", "s1"),
+         (4, "x", "s2")],
+        ["doc_id", "text", "source"],
+    ).repartition(5)
+    got = {
+        (r.source, r.bin_id): r
+        for r in pack_segments(docs, "doc_id", "text", "source", 4).collect()
+    }
+    # s1: docs 1(3),2(2) in bin 0; doc 3(4) in bin 1 (prefix 5)
+    assert got[("s1", 0)].segments == "1:0:3|2:3:2"
+    assert got[("s1", 0)].n_docs == 2 and got[("s1", 0)].bin_tokens == 5
+    assert got[("s1", 1)].segments == "3:0:4"
+    assert got[("s2", 0)].segments == "4:0:1"
