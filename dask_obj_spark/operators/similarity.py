@@ -4275,3 +4275,108 @@ def sim_jl_projection_coords_q(spark, sf_dir):
         "j",
         F.floor(F.col("yv") * F.lit(1000000.0)).cast("bigint").alias("y_x1m"),
     )
+
+
+# -- rank-biased overlap between two retrieval runs ----------------------------
+
+RBO_P = 0.9
+
+
+def rbo_vs_exact(
+    exact: DataFrame, approx: DataFrame, k: int = 10, p: float = RBO_P
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al., "A Similarity Measure for
+    Indefinite Rankings", TOIS 2010) between an exact and an
+    approximate top-k ranking, per probe — the RANK-AWARE companion to
+    set recall: two ANN configurations with identical recall@10 can
+    differ wildly in whether the misses sit at rank 1 or rank 10, and
+    RBO (top-weighted, p^(d-1) per depth) is the standard readout.
+
+    Inputs are (id1, id2, rank) rankings.  Per probe, both lists
+    assemble order-exactly (array_sort over (rank, id) structs), then
+    the truncated RBO sum unrolls as a FIXED k-term left-assoc chain
+    of intersect-prefix sizes — integer set sizes times the exact IEEE
+    powers of p, identical on both engines, floor-quantized at the
+    end.  Join is probe-keyed; everything after the two ranking
+    aggregates is |probes|-sized."""
+
+    def ranked_list(df: DataFrame, name: str) -> DataFrame:
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "id2"))),
+            lambda s: s["id2"],
+        )
+        return df.groupBy("id1").agg(arr.alias(name))
+
+    a = ranked_list(exact, "ea")
+    b = ranked_list(approx, "aa")
+    j = a.join(b, "id1")
+    chain = F.lit(0.0)
+    for d in range(1, k + 1):
+        ov = F.size(
+            F.array_intersect(
+                F.slice(F.col("ea"), 1, d), F.slice(F.col("aa"), 1, d)
+            )
+        )
+        chain = chain + F.lit(float(p) ** (d - 1)) * (
+            ov.cast("double") / F.lit(float(d))
+        )
+    rbo = chain * F.lit(1.0 - float(p))
+    return j.select(
+        F.col("id1").alias("probe_id"),
+        F.floor(rbo * F.lit(1000000.0)).cast("bigint").alias("rbo_x1m"),
+    )
+
+
+def _rbo_oracle(k: int = 10, p: float = RBO_P) -> str:
+    base = _duck_base(50)
+    exact_ctes = _duck_topk_ctes()
+    lsh = _duck_bits_cte()
+    terms = []
+    for d in range(1, k + 1):
+        terms.append(
+            f"{p ** (d - 1)!r} * (len(list_intersect(ea[1:{d}], aa[1:{d}]))::DOUBLE / {float(d)!r})"
+        )
+    chain = "(0.0 + " + " + ".join(terms) + f") * {1.0 - p!r}"
+    return (
+        base
+        + exact_ctes
+        + lsh
+        + f"""
+    , exact_lists AS (
+      SELECT id1, list(id2 ORDER BY rank) AS ea
+      FROM ranked WHERE rank <= {k} GROUP BY id1
+    ), cand AS (
+      SELECT DISTINCT pp.pid, pp.pv, c.vid, c.v
+      FROM keyed c JOIN (
+        SELECT kk.vid AS pid, kk.v AS pv, kk.bucket FROM keyed kk
+        WHERE kk.vid % 50 = 0
+      ) pp ON c.bucket = pp.bucket AND pp.pid <> c.vid
+    ), lsh_scored AS (
+      SELECT pid AS id1, vid AS id2, {duck_cosine('pv', 'v', DIM)} AS cos_raw
+      FROM cand
+    ), lsh_ranked AS (
+      SELECT id1, id2,
+             row_number() OVER (PARTITION BY id1 ORDER BY cos_raw DESC, id2) AS rank
+      FROM lsh_scored
+    ), lsh_lists AS (
+      SELECT id1, list(id2 ORDER BY rank) AS aa
+      FROM lsh_ranked WHERE rank <= {k} GROUP BY id1
+    )
+    SELECT e.id1 AS probe_id,
+           floor(({chain}) * 1000000.0)::BIGINT AS rbo_x1m
+    FROM exact_lists e JOIN lsh_lists l ON e.id1 = l.id1
+    """
+    )
+
+
+@query("sim_rbo_lsh_vs_exact", oracle=_rbo_oracle())
+def sim_rbo_lsh_vs_exact_q(spark, sf_dir):
+    """RBO@10 (p=0.9) of the hyperplane-LSH ranking against the exact
+    cosine ranking, per probe — the rank-aware ANN quality readout
+    that set recall cannot give."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    approx = cosine_topk_lsh(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    return rbo_vs_exact(
+        exact.select("id1", "id2", "rank"), approx.select("id1", "id2", "rank")
+    )

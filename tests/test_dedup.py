@@ -572,3 +572,29 @@ def test_matryoshka_recall_lossless_prefix_and_bounds(spark):
         assert r["n_probes"] == 3  # ids 0, 40, 80
         assert r["hits"] == 15  # 3 probes x top-5, all exact
         assert r["recall_x1m"] == 1_000_000
+
+
+def test_rbo_identical_disjoint_and_topweighted(spark):
+    """Identical top-10 lists score the truncated maximum 1-p^10;
+    disjoint lists score 0; agreement at rank 1 outweighs agreement
+    at rank 10."""
+    import math
+
+    from dask_obj_spark.operators.similarity import rbo_vs_exact
+
+    def ranking(probe, ids):
+        return [(probe, v, r + 1) for r, v in enumerate(ids)]
+
+    same = list(range(100, 110))
+    disj = list(range(200, 210))
+    head = [100] + list(range(300, 309))       # agrees only at rank 1
+    tail = list(range(300, 309)) + [109]       # agrees only at rank 10
+    exact = ranking(1, same) + ranking(2, same) + ranking(3, same) + ranking(4, same)
+    approx = ranking(1, same) + ranking(2, disj) + ranking(3, head) + ranking(4, tail)
+    e = spark.createDataFrame(exact, ["id1", "id2", "rank"])
+    a = spark.createDataFrame(approx, ["id1", "id2", "rank"])
+    got = {r.probe_id: r.rbo_x1m for r in rbo_vs_exact(e, a).collect()}
+    maxv = math.floor((1.0 - 0.9) * sum(0.9 ** d for d in range(10)) * 1e6)
+    assert got[1] == maxv            # identical -> truncated max (1-0.9^10)
+    assert got[2] == 0               # disjoint
+    assert got[3] > got[4] > 0       # top-weighted: rank-1 hit >> rank-10 hit
