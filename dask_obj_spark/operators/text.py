@@ -2076,3 +2076,138 @@ def eval_filter_agreement_q(spark, sf_dir):
     100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     return filter_agreement(docs, "doc_id", "text")
+
+
+# -- readability (Flesch-style, vowel-group syllable proxy) --------------------
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document, with the
+    standard vowel-group syllable proxy (a syllable ≈ one maximal
+    [aeiouy]+ run — the classic approximation when no dictionary is
+    available): score = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words).  The grade-level filter a children's-book
+    vs legalese mixture decision reads.
+
+    All three counts are exact integers from one JVM regexp pass each
+    (no UDF); the score itself is three IEEE ops on integer-valued
+    doubles, floor-quantized to milli-units — deterministic
+    cross-engine.  Sentence count is max(1, [.!?]+ runs); empty docs
+    emit zero counts and the degenerate score of the constant term."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != ""))
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0))
+    )
+    sylls = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    wps = words.cast("double") / sents.cast("double")
+    spw = sylls.cast("double") / F.greatest(words, F.lit(1)).cast("double")
+    score = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        sylls.cast("bigint").alias("n_syllables"),
+        F.floor(score * F.lit(1000.0)).cast("bigint").alias("flesch_x1k"),
+    )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                             x -> x <> ''))::BIGINT AS n_words,
+             greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                                '[.!?]+')))::BIGINT AS n_sentences,
+             len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[aeiouy]+'))::BIGINT AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                  - 84.6 * (n_syllables::DOUBLE
+                            / greatest(n_words, 1)::DOUBLE)) * 1000.0)::BIGINT
+             AS flesch_x1k
+    FROM c
+    """,
+)
+def text_readability_q(spark, sf_dir):
+    """Flesch-style readability per document (vowel-group syllable
+    proxy), floor-quantized to milli-units — exact integer counts,
+    three IEEE ops, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")
+
+
+# -- code-vs-prose detection (heuristic signals) -------------------------------
+
+
+def code_detect(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic code-vs-prose detector — the routing signal a mixed
+    crawl needs before sending documents to a code pipeline (different
+    dedup granularity, different quality rules): counts of code-ish
+    tokens (brace/bracket/semicolon/operator characters), indented
+    lines, and camelCase/snake_case identifiers, folded into an
+    integer code-likelihood in micro-units.  Pure JVM regexp algebra,
+    one scan, no UDF — every count exact, the fold a fixed integer
+    expression, so the score is engine-portable by construction."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    sym = F.length(t) - F.length(F.regexp_replace(t, r"[{}\[\]();=<>|&]", ""))
+    idents = F.size(
+        F.regexp_extract_all(
+            t, F.lit(r"\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\w*\b"), 0
+        )
+    )
+    indented = F.size(F.regexp_extract_all(t, F.lit(r"(?m)^(?:    |\t)"), 0))
+    words = F.greatest(
+        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")),
+        F.lit(1),
+    )
+    score = (
+        F.lit(600000) * sym.cast("bigint") / n_chars.cast("bigint")
+        + F.lit(300000) * idents.cast("bigint") / words.cast("bigint")
+        + F.lit(100000) * F.least(indented.cast("bigint"), F.lit(10)) / F.lit(10)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sym.cast("bigint").alias("n_sym"),
+        idents.cast("bigint").alias("n_idents"),
+        indented.cast("bigint").alias("n_indented"),
+        F.floor(score).cast("bigint").alias("code_score_u"),
+    )
+
+
+@query(
+    "text_code_detect",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), f AS (
+      SELECT doc_id,
+             (length(t) - length(regexp_replace(t, '[{}\[\]();=<>|&]', '', 'g')))::BIGINT AS n_sym,
+             len(regexp_extract_all(t, '\b[a-z]+(?:_[a-z0-9]+|[A-Z][a-z0-9]+)\w*\b'))::BIGINT AS n_idents,
+             len(regexp_extract_all(t, '(?m)^(?:    |\t)'))::BIGINT AS n_indented,
+             greatest(length(t), 1)::BIGINT AS n_chars,
+             greatest(len(list_filter(string_split_regex(trim(t), '\s+'),
+                                      x -> x <> '')), 1)::BIGINT AS n_words
+      FROM c
+    )
+    SELECT doc_id, n_sym, n_idents, n_indented,
+           floor(600000 * n_sym / n_chars::DOUBLE
+                 + 300000 * n_idents / n_words::DOUBLE
+                 + 100000 * least(n_indented, 10) / 10.0)::BIGINT AS code_score_u
+    FROM f
+    """,
+)
+def text_code_detect_q(spark, sf_dir):
+    """Code-vs-prose routing signal per document: symbol density,
+    identifier-shape hits, indented lines — integer counts folded to a
+    micro-unit score, one regexp scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return code_detect(docs, "doc_id", "text")

@@ -283,3 +283,40 @@ def test_filter_agreement_splits_mass_by_both_gates(spark):
     deciles = {r.q_decile for r in got}
     assert len(deciles) >= 2  # junk and prose separate
     assert all(r.cls_keep in (0, 1) and 0 <= r.q_decile <= 9 for r in got)
+
+
+def test_readability_hand_computed(spark):
+    """Counts and the Flesch fold match the closed form; empty text
+    degenerates to the constant term with zero counts."""
+    import math
+
+    from dask_obj_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, None)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in readability_scores(df, "doc_id", "text").collect()}
+    r = got[1]
+    assert (r.n_words, r.n_sentences) == (6, 2)
+    # vowel groups: e,a,a,e,o,a  -> 6
+    assert r.n_syllables == 6
+    want = math.floor((206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)) * 1000)
+    assert r.flesch_x1k == want
+    assert got[2].n_words == 0 and got[2].n_syllables == 0
+    assert got[2].flesch_x1k == math.floor(206.835 * 1000)
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """A code snippet must out-score plain prose decisively; counts
+    match hand inspection."""
+    from dask_obj_spark.operators.text import code_detect
+
+    code = "def foo_bar(x):\n    if x <= 3:\n        return my_list[x];\n"
+    prose = "the cat sat on the mat and looked at the dog for a while"
+    df = spark.createDataFrame([(1, code), (2, prose)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in code_detect(df, "doc_id", "text").collect()}
+    assert got[1].n_indented == 2          # two 4-space-indented lines
+    assert got[1].n_idents >= 2            # foo_bar, my_list
+    assert got[1].n_sym >= 6               # ( ) : ; [ ] < =
+    assert got[2].n_sym == 0 and got[2].n_indented == 0
+    assert got[1].code_score_u > 10 * max(got[2].code_score_u, 1)
