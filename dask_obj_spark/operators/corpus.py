@@ -3897,3 +3897,77 @@ def corpus_pack_segments_q(spark, sf_dir):
     documents."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_segments(docs, "doc_id", "text", "source", 512)
+
+
+# -- per-document n-gram novelty (dedup-ROI readout) ---------------------------
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY in arrival (id) order: what fraction
+    of a doc's distinct n-grams has never appeared in any earlier doc?
+    The marginal-information curve a dedup/budget decision reads — when
+    late documents contribute mostly seen n-grams, more data from the
+    same crawl buys little (the data-constrained-scaling readout at the
+    n-gram level).
+
+    Two aggregates over one shingle explode: min(doc_id) per gram (the
+    first-occurrence table, gram-keyed), then a per-doc count of grams
+    whose first occurrence is the doc itself.  Everything integer;
+    novelty emitted in micro-units via one exact integer division
+    pair (novel·1e6 DIV distinct)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).filter(F.col("g") != "")
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_grams",
+        "n_novel",
+        F.expr("n_novel * CAST(1000000 AS BIGINT) div n_distinct_grams").alias(
+            "novelty_x1m"
+        ),
+    )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({duck_word_shingles("text", 3)}) AS g
+      FROM documents
+    ), nonempty AS (
+      SELECT doc_id, g FROM sh WHERE g <> ''
+    ), first AS (
+      SELECT g, min(doc_id) AS first_id FROM nonempty GROUP BY g
+    )
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_distinct_grams,
+           CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_x1m
+    FROM nonempty s JOIN first f ON s.g = f.g
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_ngram_novelty_q(spark, sf_dir):
+    """Fraction of each document's distinct 3-gram shingles first seen
+    in that document (arrival = id order) — the marginal-information
+    curve behind dedup/budget ROI."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", 3)

@@ -1296,3 +1296,64 @@ def ts_holt_grid_q(spark, sf_dir):
     two-accumulator recurrence as 8 chained MATERIALIZED CTEs."""
     ev = load_table(spark, sf_dir, "events")
     return holt_fixed_grid(ev, "user_id", "ts")
+
+
+def markov_transitions(
+    df: DataFrame, key_col: str, ts_col: str, order_tiebreak: str, state_col: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: P(next_state | state) with exact integer counts and the
+    probability floor-quantized to micro-units — the behavioral-model
+    readout (what follows a view? how absorbing is purchase?) that
+    funnels and retention curves do not give.
+
+    One shuffle on the key; the lag window and the (from, to) count
+    aggregate share it.  Probabilities are count/row_total — one IEEE
+    division per output cell, deterministic; the matrix is
+    |states|²-sized."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    steps = df.select(
+        F.col(state_col).alias("s_from"),
+        F.lead(state_col, 1).over(w).alias("s_to"),
+    ).filter(F.col("s_to").isNotNull())
+    counts = steps.groupBy("s_from", "s_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("s_from")
+    return counts.select(
+        "s_from",
+        "s_to",
+        "n",
+        F.floor(
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double")
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("p_x1m"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s_from,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS s_to
+      FROM events
+    ), c AS (
+      SELECT s_from, s_to, count(*)::BIGINT AS n
+      FROM seq WHERE s_to IS NOT NULL GROUP BY s_from, s_to
+    )
+    SELECT s_from, s_to, n,
+           floor(n::DOUBLE / (sum(n) OVER (PARTITION BY s_from))::DOUBLE
+                 * 1e6)::BIGINT AS p_x1m
+    FROM c
+    """,
+)
+def events_markov_transitions_q(spark, sf_dir):
+    """Per-user event-type transition matrix with micro-unit
+    probabilities — exact counts, one keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev, "user_id", "ts", "event_id", "event_type")

@@ -958,3 +958,20 @@ def test_pack_segments_offsets_and_boundaries(spark):
     assert got[("s1", 0)].n_docs == 2 and got[("s1", 0)].bin_tokens == 5
     assert got[("s1", 1)].segments == "3:0:4"
     assert got[("s2", 0)].segments == "4:0:1"
+
+
+def test_ngram_novelty_first_doc_full_late_dup_zero(spark):
+    """The first doc is 100% novel; an exact duplicate arriving later
+    is 0% novel; a half-overlapping doc scores the exact integer
+    fraction."""
+    from dask_obj_spark.operators.corpus import ngram_novelty
+
+    a = "one two three four five six"
+    rows = [(1, a), (2, a), (3, "one two three four seven eight")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", 3).collect()}
+    assert got[1].novelty_x1m == 1_000_000
+    assert got[2].novelty_x1m == 0 and got[2].n_novel == 0
+    # doc3 3-shingles: 4 total; "one two three","two three four" seen -> 2 novel
+    assert got[3].n_distinct_grams == 4 and got[3].n_novel == 2
+    assert got[3].novelty_x1m == 500_000

@@ -183,3 +183,30 @@ def test_holt_fixed_grid_buckets_and_recurrence(spark):
     # user 2: one event in bucket 0, zeros after — decays toward 0
     assert got[(2, 1)] == (1000000, 0, 1000000)
     assert got[(2, 8)][0] < 1000000
+
+
+def test_markov_transitions_hand_computed(spark):
+    """Counts and micro-unit probabilities match the closed form on a
+    hand-built two-user sequence; rows per from-state sum to ~1."""
+    import datetime as dt
+
+    from dask_obj_spark.operators.timeseries import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq1 = ["view", "view", "click", "view", "purchase"]
+    seq2 = ["view", "click", "click"]
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), s) for i, s in enumerate(seq1)]
+    rows += [(2, 100 + i, t0 + dt.timedelta(minutes=i), s)
+             for i, s in enumerate(seq2)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {(r.s_from, r.s_to): (r.n, r.p_x1m)
+           for r in markov_transitions(df, "user_id", "ts", "event_id",
+                                       "event_type").collect()}
+    # from view: view->view 1, view->click 2, view->purchase 1 (4 total)
+    assert got[("view", "view")] == (1, 250_000)
+    assert got[("view", "click")] == (2, 500_000)
+    assert got[("view", "purchase")] == (1, 250_000)
+    # from click: click->view 1, click->click 1
+    assert got[("click", "view")] == (1, 500_000)
+    assert got[("click", "click")] == (1, 500_000)
+    assert ("purchase", "view") not in got  # terminal in this fixture
