@@ -3971,3 +3971,70 @@ def corpus_ngram_novelty_q(spark, sf_dir):
     curve behind dedup/budget ROI."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_novelty(docs, "doc_id", "text", 3)
+
+
+# -- per-source quantile normalization of quality ------------------------------
+
+
+def quality_quantile_norm(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source QUANTILE normalization of the heuristic quality score
+    — the calibration step before any GLOBAL quality threshold: raw
+    quality distributions differ by domain (a mid-tier academic page
+    outscores a top-tier forum post on raw ratios), so thresholding raw
+    scores silently reweights the mixture.  Rank-normalizing within
+    each source makes "top 20% of every domain" mean the same thing
+    everywhere.
+
+    q_norm = rank·1e6 DIV n_source (average-free, exact integers; ties
+    broken by doc id so the normalized score is deterministic).  One
+    corpus scan (quality + source in one projection), one per-source
+    window — no global sort anywhere."""
+    from dask_obj_spark.operators.text import quality_scores
+
+    scored = quality_scores(df, id_col, text_col, keep_cols=[source_col])
+    w = Window.partitionBy(source_col).orderBy(
+        "quality", F.col(id_col)
+    )
+    nw = Window.partitionBy(source_col)
+    return scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.floor(F.col("quality") * 1e6).cast("bigint").alias("quality_u"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(nw).alias("n_src"),
+    ).select(
+        "doc_id",
+        "source",
+        "quality_u",
+        F.expr("rnk * CAST(1000000 AS BIGINT) div n_src").alias("qnorm_x1m"),
+    )
+
+
+def _qnorm_oracle() -> str:
+    from dask_obj_spark.operators.text import duck_quality_select
+
+    return f"""
+    WITH q AS ({duck_quality_select()}),
+    j AS (
+      SELECT q.doc_id, d.source, q.quality,
+             floor(q.quality * 1e6)::BIGINT AS quality_u
+      FROM q JOIN documents d ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, quality_u,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY quality, doc_id)
+                * 1000000 // count(*) OVER (PARTITION BY source)
+                AS BIGINT) AS qnorm_x1m
+    FROM j
+    """
+
+
+@query("corpus_quality_qnorm", oracle=_qnorm_oracle())
+def corpus_quality_qnorm_q(spark, sf_dir):
+    """Per-source quantile-normalized quality: rank·1e6 DIV group size,
+    ties by doc id — "top k% of every domain" calibrated identically
+    across sources, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_quantile_norm(docs, "doc_id", "text", "source")

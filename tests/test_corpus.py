@@ -975,3 +975,24 @@ def test_ngram_novelty_first_doc_full_late_dup_zero(spark):
     # doc3 3-shingles: 4 total; "one two three","two three four" seen -> 2 novel
     assert got[3].n_distinct_grams == 4 and got[3].n_novel == 2
     assert got[3].novelty_x1m == 500_000
+
+
+def test_quality_qnorm_uniform_within_source(spark):
+    """Ranks normalize to k/n within each source regardless of raw
+    scale; the best doc of every source scores exactly 1e6."""
+    from dask_obj_spark.operators.corpus import quality_quantile_norm
+
+    good = "the cat is on the mat and it is a fine day for the dog"
+    mid = "the cat sat on a mat"
+    junk = "@@@ ### !!!"
+    rows = [(1, good, "a"), (2, mid, "a"), (3, junk, "a"),
+            (4, good, "b"), (5, junk, "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in
+           quality_quantile_norm(df, "doc_id", "text", "source").collect()}
+    a = sorted([got[1], got[2], got[3]], key=lambda r: r.qnorm_x1m)
+    assert [r.qnorm_x1m for r in a] == [333333, 666666, 1000000]
+    assert a[-1].doc_id == 1  # best raw quality ranks last (highest)
+    b = sorted([got[4], got[5]], key=lambda r: r.qnorm_x1m)
+    assert [r.qnorm_x1m for r in b] == [500000, 1000000]
+    assert b[-1].doc_id == 4
