@@ -1357,3 +1357,75 @@ def events_markov_transitions_q(spark, sf_dir):
     probabilities — exact counts, one keyed shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return markov_transitions(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def rfm_features(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user features with quintile
+    scores — the classic behavioral segmentation every events pipeline
+    ships: one aggregate per user, then three ntile(5) windows (ordered
+    with the user id as tiebreak, so scores are deterministic), folded
+    into the familiar 3-digit RFM code.
+
+    Monetary sums are per-row floor-quantized to micro-units before the
+    integer SUM (order-free under any partitioning — the standing
+    floor-quantize rule); recency is BIGINT epoch seconds.  One shuffle
+    for the per-user aggregate; the quintile windows are single-pass
+    over |users| rows."""
+    es = F.unix_timestamp(F.col(ts_col)).cast("long")
+    agg = df.select(
+        F.col(key_col).alias("user_id"),
+        es.alias("es"),
+        F.floor(F.col(value_col) * 1e6).cast("bigint").alias("v_u"),
+    ).groupBy("user_id").agg(
+        F.max("es").cast("bigint").alias("recency_secs"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("v_u").cast("bigint").alias("monetary_u"),
+    )
+    r_w = Window.orderBy(F.desc("recency_secs"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_u"), F.asc("user_id"))
+    scored = agg.select(
+        "user_id",
+        "recency_secs",
+        "frequency",
+        "monetary_u",
+        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("bigint"),
+    )
+
+
+@query(
+    "events_rfm_features",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             CAST(max(floor(epoch(ts))::BIGINT) AS BIGINT) AS recency_secs,
+             count(*)::BIGINT AS frequency,
+             CAST(sum(floor(value * 1e6)::BIGINT) AS BIGINT) AS monetary_u
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_secs, frequency, monetary_u,
+           ntile(5) OVER (ORDER BY recency_secs DESC, user_id)::BIGINT AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id)::BIGINT AS f_score,
+           ntile(5) OVER (ORDER BY monetary_u DESC, user_id)::BIGINT AS m_score,
+           (ntile(5) OVER (ORDER BY recency_secs DESC, user_id) * 100
+            + ntile(5) OVER (ORDER BY frequency DESC, user_id) * 10
+            + ntile(5) OVER (ORDER BY monetary_u DESC, user_id))::BIGINT AS rfm
+    FROM agg
+    """,
+)
+def events_rfm_features_q(spark, sf_dir):
+    """Per-user RFM segmentation: recency/frequency/monetary with
+    deterministic quintile scores and the folded 3-digit code; exact
+    integer sums throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_features(ev, "user_id", "ts", "value")

@@ -210,3 +210,26 @@ def test_markov_transitions_hand_computed(spark):
     assert got[("click", "view")] == (1, 500_000)
     assert got[("click", "click")] == (1, 500_000)
     assert ("purchase", "view") not in got  # terminal in this fixture
+
+
+def test_rfm_features_scores_and_code(spark):
+    """Aggregates match hand math; quintiles are deterministic with
+    the id tiebreak; the code folds r/f/m digits."""
+    import datetime as dt
+
+    from dask_obj_spark.operators.timeseries import rfm_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(5):
+        for i in range(u + 1):  # user u has u+1 events
+            rows.append((u, t0 + dt.timedelta(days=u, minutes=i), float(u)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r.user_id: r for r in rfm_features(df, "user_id", "ts", "value").collect()}
+    assert got[4].frequency == 5 and got[0].frequency == 1
+    assert got[4].monetary_u == 5 * 4_000_000 and got[0].monetary_u == 0
+    # user 4 is most recent, most frequent, highest spend -> 111
+    assert (got[4].r_score, got[4].f_score, got[4].m_score) == (1, 1, 1)
+    assert got[4].rfm == 111
+    assert got[0].rfm == 555  # oldest, least frequent, lowest spend
+    assert all(1 <= got[u].r_score <= 5 for u in got)
