@@ -977,3 +977,72 @@ def layout_compaction_plan_q(spark, sf_dir):
         ).alias("file")
     ).groupBy("file").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     return compaction_plan(stats, 100)
+
+
+# -- functional-dependency profiling -------------------------------------------
+
+
+def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Does ``lhs`` functionally determine ``rhs``?  The data-profiling
+    primitive behind key discovery, denormalization checks, and CDC
+    sanity ("order_id → customer_id should never have two customers"):
+    per lhs group, the distinct-rhs count; the summary row reports how
+    many groups violate the FD and the worst fan-out.
+
+    Two hash aggregates ((lhs, rhs) distinct, then lhs) — map-side
+    combine does the heavy lifting; output is ONE row per checked
+    dependency."""
+    per = (
+        df.select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+        .distinct()
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rhs"))
+    )
+    return per.agg(
+        F.lit(f"{lhs}->{rhs}").alias("fd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("n_rhs").cast("bigint").alias("max_fanout"),
+    )
+
+
+@query(
+    "profile_fd_violations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd, o_custkey AS l,
+             o_orderpriority AS r FROM orders
+      UNION ALL
+      SELECT 'l_orderkey->l_suppkey', l_orderkey, l_suppkey::VARCHAR
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag', l_orderkey, l_returnflag
+      FROM lineitem
+    ), per AS (
+      SELECT fd, l, count(DISTINCT r)::BIGINT AS n_rhs
+      FROM checks GROUP BY fd, l
+    )
+    SELECT fd, count(*)::BIGINT AS n_groups,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(n_rhs) AS BIGINT) AS max_fanout
+    FROM per GROUP BY fd
+    """,
+)
+def profile_fd_violations_q(spark, sf_dir):
+    """FD violation profile over three candidate dependencies: a
+    customer's order priorities vary (violating), an order's suppliers
+    vary (violating by design), an order's return flags may or may not
+    — one summary row each, two hash aggregates per check."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = fd_violations(orders, "o_custkey", "o_orderpriority")
+    b = fd_violations(
+        li.select("l_orderkey", F.col("l_suppkey").cast("string").alias("l_suppkey")),
+        "l_orderkey",
+        "l_suppkey",
+    )
+    c = fd_violations(li, "l_orderkey", "l_returnflag")
+    return a.unionByName(b).unionByName(c)

@@ -625,3 +625,20 @@ def test_compaction_plan_bins_and_file_stats(spark, tmp_path):
     assert [plan[f].merge_bin for f in "abcd"] == [0, 0, 0, 1]
     assert plan["a"].bin_files == 3 and plan["a"].bin_rows == 30
     assert plan["d"].bin_files == 1 and plan["d"].bin_rows == 200
+
+
+def test_fd_violations_detects_and_clears(spark):
+    """A perfect FD reports zero violations with fanout 1; a broken one
+    counts exactly the violating groups and the worst fanout."""
+    from dask_obj_spark.operators.scale import fd_violations
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x"), (2, "b", "x"),
+         (3, "c", "y"), (3, "d", "y"), (3, "e", "y")],
+        ["k", "v", "w"],
+    )
+    ok = fd_violations(df, "k", "v").collect()[0]
+    assert (ok.n_groups, ok.n_violating, ok.max_fanout) == (3, 1, 3)
+    clean = fd_violations(df, "k", "w").collect()[0]
+    assert (clean.n_groups, clean.n_violating, clean.max_fanout) == (3, 0, 1)
+    assert clean.fd == "k->w"
