@@ -1429,3 +1429,67 @@ def events_rfm_features_q(spark, sf_dir):
     integer sums throughout."""
     ev = load_table(spark, sf_dir, "events")
     return rfm_features(ev, "user_id", "ts", "value")
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    state_col: str,
+    depth: int = 3,
+) -> DataFrame:
+    """Common-journey mining: each key's FIRST ``depth`` states (in
+    time order) concatenated into a path string, counted across keys —
+    "what do new users actually do first?", the onboarding-funnel
+    readout a fixed funnel definition can't give because it assumes
+    the path instead of discovering it.
+
+    One keyed shuffle: the row_number window and the path assembly
+    (array_sort over (rank, state) structs — never raw collect_list
+    order) share the key partitioning; the path count is a second,
+    path-keyed aggregate over |keys| rows."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    firstn = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(state_col).alias("s"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= depth)
+    )
+    path = firstn.groupBy("k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "s"))),
+                lambda x: x["s"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return path.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, count(*)::BIGINT AS n_keys FROM p GROUP BY path
+    """,
+)
+def events_top_paths_q(spark, sf_dir):
+    """First-3-event journey paths per user with frequencies — the
+    discovered-funnel readout; order-exact path assembly."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_paths(ev, "user_id", "ts", "event_id", "event_type", 3)

@@ -233,3 +233,26 @@ def test_rfm_features_scores_and_code(spark):
     assert got[4].rfm == 111
     assert got[0].rfm == 555  # oldest, least frequent, lowest spend
     assert all(1 <= got[u].r_score <= 5 for u in got)
+
+
+def test_top_paths_order_and_truncation(spark):
+    """Paths assemble in time order regardless of layout, truncate at
+    depth, and count keys per distinct path."""
+    import datetime as dt
+
+    from dask_obj_spark.operators.timeseries import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, seq in ((1, ["view", "click", "purchase", "view"]),
+                   (2, ["view", "click", "purchase"]),
+                   (3, ["view"])):
+        for i, s in enumerate(seq):
+            rows.append((u, 10 * u + i, t0 + dt.timedelta(minutes=i), s))
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    ).repartition(5)
+    got = {r.path: r.n_keys
+           for r in top_paths(df, "user_id", "ts", "event_id",
+                              "event_type", 3).collect()}
+    assert got == {"view>click>purchase": 2, "view": 1}
