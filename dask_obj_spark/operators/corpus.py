@@ -4038,3 +4038,66 @@ def corpus_quality_qnorm_q(spark, sf_dir):
     across sources, no global sort."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_quantile_norm(docs, "doc_id", "text", "source")
+
+
+# -- log2-bucketed sequence-length histogram ------------------------------------
+
+
+def length_histogram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Doc-length histogram in power-of-two buckets — the
+    sequence-length distribution a packing/padding decision reads
+    (padding waste at max_len=2048 is read STRAIGHT off this table:
+    everything in buckets ≤ 2^k wastes 2048 − ~2^k per row).
+
+    Bucket = bit_length(n_tokens), computed by a pure-integer
+    comparison chain (the HLL rho discipline — never floor(log2):
+    libm at exact powers of two is a cross-engine hazard).  One scan,
+    one ≤64-row aggregate; token sums exact BIGINTs."""
+    n = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    ).cast("bigint")
+    expr = None
+    for b in range(31, 0, -1):
+        cond = n >= (1 << (b - 1))
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    bucket = expr.otherwise(0)
+    per = df.select(n.alias("n_tokens"), bucket.cast("bigint").alias("bucket"))
+    return per.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+def _length_hist_oracle() -> str:
+    arms = " ".join(
+        f"WHEN n >= {1 << (b - 1)} THEN {b}" for b in range(31, 0, -1)
+    )
+    return f"""
+    WITH t AS (
+      SELECT len(list_filter(
+               string_split_regex(trim(coalesce(text, '')), '\\s+'),
+               x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ), b AS (
+      SELECT n, CAST(CASE {arms} ELSE 0 END AS BIGINT) AS bucket FROM t
+    )
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM b GROUP BY bucket
+    """
+
+
+@query("corpus_length_histogram", oracle=_length_hist_oracle())
+def corpus_length_histogram_q(spark, sf_dir):
+    """Power-of-two token-length histogram (bit_length buckets via the
+    pure-integer comparison chain) with per-bucket doc/token totals —
+    the padding-waste/packing readout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return length_histogram(docs, "doc_id", "text")

@@ -996,3 +996,21 @@ def test_quality_qnorm_uniform_within_source(spark):
     b = sorted([got[4], got[5]], key=lambda r: r.qnorm_x1m)
     assert [r.qnorm_x1m for r in b] == [500000, 1000000]
     assert b[-1].doc_id == 4
+
+
+def test_length_histogram_bit_buckets(spark):
+    """Buckets are bit_length(n): n in [2^(b-1), 2^b); zero-length docs
+    land in bucket 0; totals conserved."""
+    from dask_obj_spark.operators.corpus import length_histogram
+
+    rows = [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d"),
+            (5, " ".join(["w"] * 17)), (6, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.bucket: r for r in length_histogram(df, "doc_id", "text").collect()}
+    assert got[1].n_docs == 1 and got[1].min_tokens == 1   # n=1
+    assert got[2].n_docs == 2 and got[2].min_tokens == 2 and got[2].max_tokens == 3
+    assert got[3].n_docs == 1 and got[3].min_tokens == 4   # n=4 -> bucket 3
+    assert got[5].n_docs == 1 and got[5].min_tokens == 17  # n=17 -> bucket 5
+    assert got[0].n_docs == 1 and got[0].max_tokens == 0   # null text
+    assert sum(r.n_docs for r in got.values()) == 6
+    assert sum(r.sum_tokens for r in got.values()) == 1 + 2 + 3 + 4 + 17
