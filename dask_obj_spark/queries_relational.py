@@ -3306,3 +3306,58 @@ def profile_completeness(spark, sf_dir):
             6,
         ).alias("completeness"),
     )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(floor(o_totalprice * 100)::BIGINT) AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev_c,
+             ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS decile
+      FROM per_cust
+    ), dec AS (
+      SELECT decile, count(*)::BIGINT AS n_customers,
+             CAST(sum(rev_c) AS BIGINT) AS revenue_c
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, revenue_c,
+           CAST(sum(revenue_c) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // (sum(revenue_c) OVER ()) AS BIGINT)
+             AS cum_share_x1m
+    FROM dec
+    """,
+)
+def orders_pareto_concentration(spark, sf_dir):
+    """Pareto/Lorenz revenue concentration: customers ntile(10)-ranked
+    by total spend (cents — per-row floor-quantized exact integers),
+    per-decile revenue and the cumulative revenue share in micro-units
+    — "do 20% of customers drive 80% of revenue?" as one keyed
+    aggregate + two dimension-sized windows."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+    ).groupBy("o_custkey").agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    ranked = per.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_c").cast("bigint").alias("revenue_c"),
+    )
+    return dec.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "revenue_c",
+        F.expr(
+            "CAST(sum(revenue_c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) * CAST(1000000 AS BIGINT) div "
+            "sum(revenue_c) OVER () AS BIGINT)"
+        ).alias("cum_share_x1m"),
+    )

@@ -393,3 +393,22 @@ def test_approx_top_k_matches_exact_on_separated_counts(spark):
         "(SELECT explode(approx_top_k(t, 2)) AS s FROM hh_toks)"
     ).collect()
     assert [(r.item, r["count"]) for r in got] == [("a", 50), ("b", 20)]
+
+
+def test_pareto_concentration_shares_monotone_and_exact(spark, oracle_sf_dir):
+    """Cumulative shares are monotone, end at exactly 1e6, and the
+    top decile holds the largest share."""
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["orders_pareto_concentration"](
+            spark, oracle_sf_dir
+        ).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_x1m for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 1_000_000
+    revs = [r.revenue_c for r in rows]
+    assert revs[0] == max(revs)  # decile 1 = biggest spenders
