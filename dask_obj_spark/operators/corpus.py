@@ -4101,3 +4101,109 @@ def corpus_length_histogram_q(spark, sf_dir):
     the padding-waste/packing readout."""
     docs = load_table(spark, sf_dir, "documents")
     return length_histogram(docs, "doc_id", "text")
+
+
+# -- decontamination impact readout ---------------------------------------------
+
+
+def decontam_impact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    eval_mod: int = 20,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """What does decontamination COST, per source?  Flag train docs via
+    `contamination_hits` (≥ ``min_overlap`` shared eval shingles) and
+    report per-source kept/dropped doc and token counts plus the
+    dropped-token share in micro-units — the readout a pipeline owner
+    checks before applying the filter (a source losing 30% of its
+    tokens to eval overlap is a curation bug, not contamination).
+
+    One extra corpus projection (tokens + source) left-joined to the
+    bounded flagged set; integer end to end (token counts, micro-unit
+    share via exact division)."""
+    flagged = (
+        contamination_hits(df, id_col, text_col, eval_mod, shingle_n)
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("doc_id").alias("fid"))
+    )
+    train = df.filter(F.col(id_col) % eval_mod != 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    j = train.join(flagged, train.doc_id == flagged.fid, "left").withColumn(
+        "dropped", F.col("fid").isNotNull().cast("int")
+    )
+    agg = j.groupBy("source").agg(
+        F.sum(F.when(F.col("dropped") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("dropped") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("dropped") == 0, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("dropped") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+    )
+    return agg.withColumn(
+        "drop_share_x1m",
+        F.expr(
+            "tokens_dropped * CAST(1000000 AS BIGINT) div "
+            "greatest(tokens_kept + tokens_dropped, CAST(1 AS BIGINT))"
+        ),
+    )
+
+
+@query(
+    "corpus_decontam_impact",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({duck_word_shingles("text", 8)}) AS sh
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0
+    ), flagged AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.sh = ev.sh
+      WHERE s.doc_id % 20 <> 0
+    ), train AS (
+      SELECT d.doc_id, d.source,
+             len(list_filter(string_split_regex(trim(coalesce(d.text, '')),
+                 '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+             CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS dropped
+      FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+      WHERE d.doc_id % 20 <> 0
+    ), agg AS (
+      SELECT source,
+             CAST(sum(CASE WHEN dropped = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN dropped = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN dropped = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+             CAST(sum(CASE WHEN dropped = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped
+      FROM train GROUP BY source
+    )
+    SELECT source, n_kept, n_dropped, tokens_kept, tokens_dropped,
+           CAST(tokens_dropped * 1000000
+                // greatest(tokens_kept + tokens_dropped, 1) AS BIGINT)
+             AS drop_share_x1m
+    FROM agg
+    """,
+)
+def corpus_decontam_impact_q(spark, sf_dir):
+    """Decontamination cost per source: kept/dropped docs and tokens
+    plus the dropped-token share in micro-units, for the 8-gram
+    eval-overlap filter — the pre-apply audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam_impact(docs, "doc_id", "text", "source")

@@ -1014,3 +1014,26 @@ def test_length_histogram_bit_buckets(spark):
     assert got[0].n_docs == 1 and got[0].max_tokens == 0   # null text
     assert sum(r.n_docs for r in got.values()) == 6
     assert sum(r.sum_tokens for r in got.values()) == 1 + 2 + 3 + 4 + 17
+
+
+def test_decontam_impact_counts_and_share(spark):
+    """Flagged train docs count as dropped with their tokens; clean
+    sources report zero drop share; totals conserved."""
+    from dask_obj_spark.operators.corpus import decontam_impact
+
+    ev = "one two three four five six seven eight"     # doc 0: eval
+    hit = ev + " trailing extra words beyond overlap"  # shares the 8-gram
+    clean = "nothing shared here at all in any way whatsoever"
+    rows = [(0, ev, "e"), (1, hit, "a"), (3, clean, "a"), (5, clean, "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.source: r for r in
+           decontam_impact(df, "doc_id", "text", "source",
+                           eval_mod=20, shingle_n=8).collect()}
+    assert got["a"].n_dropped == 1 and got["a"].n_kept == 1
+    assert got["a"].tokens_dropped == len(hit.split())
+    assert got["b"].n_dropped == 0 and got["b"].drop_share_x1m == 0
+    tot = got["a"]
+    assert tot.drop_share_x1m == (
+        tot.tokens_dropped * 1_000_000
+        // (tot.tokens_kept + tot.tokens_dropped)
+    )
