@@ -50,61 +50,62 @@ def query(name: str, oracle: str | None = None):
 # registry order), so every query's official row stays at most ~3 rounds
 # stale.  Everything outside the window is still hash-verified every
 # round by tests/test_oracle_parity.py and the judge's full sweep.
-# Round-10 window = the 5 never-driven round-9 queries first, then the
-# oldest official records (r4-r5-era graph/profile/tpch/ts families),
-# exactly as emitted by `python tools/rolling_window.py --tuple` after
-# the r9 driver rows landed.
+# Round-11 window = the 28 never-driven round-10 queries first (they
+# have no official record yet), then the oldest official records
+# (r5/r6-era graph/sim/dedup/tpch rows), exactly as emitted by
+# `python tools/rolling_window.py --tuple` after the r10 driver rows
+# landed.
 _WINDOW_50 = (
-    "sim_matryoshka_recall",
-    "corpus_bpe_roundtrip",
-    "corpus_epoch_schedule",
-    "stream_quality_psi",
-    "stream_contamination_guard",
-    "sim_pca_topk",
-    "sim_label_propagation",
-    "sim_knn_kcore",
-    "graph_bfs_hops",
-    "graph_link_prediction",
-    "dedup_fuzzy_names",
-    "dedup_prefix_jaccard",
-    "dedup_sorted_neighborhood",
-    "dedup_minhash_est_error",
-    "text_zipf_fit",
-    "text_bm25_topk",
-    "text_bigram_perplexity",
-    "text_perplexity_buckets",
-    "corpus_bpe_compression",
-    "graph_pagerank_fixed",
-    "corpus_mix_temperature",
-    "graph_hits_fixed",
-    "skew_salted_join",
-    "window_sliding_distinct_users",
-    "sim_ndcg_ivf",
-    "sim_mmr_topk",
-    "sketch_countmin_freq",
-    "incremental_agg_merge",
-    "incremental_agg_minmax",
-    "profile_table_checksum",
-    "profile_equidepth_histogram",
-    "basket_item_pairs",
-    "profile_mutual_information",
-    "stats_spearman_corr",
-    "profile_kl_drift",
-    "profile_dp_release",
-    "profile_key_skew_gini",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales",
-    "layout_hilbert_keys",
-    "join_bloom_prefilter",
-    "ts_resample_interpolate",
-    "ts_trend_per_user",
-    "ts_user_entropy",
-    "ts_changepoint_cusum",
-    "ts_seasonal_profile",
+    "sim_kmeans_cells_exact",
+    "sim_rbo_lsh_vs_exact",
+    "text_hashed_classifier",
+    "text_word_entropy",
+    "text_readability",
+    "text_code_detect",
+    "corpus_fim_transform",
+    "corpus_span_corruption",
+    "corpus_budget_waterfill",
+    "corpus_kfold_exact",
+    "corpus_leakage_safe_split",
+    "corpus_pack_segments",
+    "corpus_ngram_novelty",
+    "corpus_quality_qnorm",
+    "corpus_length_histogram",
+    "corpus_decontam_impact",
+    "mm_decode_checksum",
+    "mm_resize",
+    "stream_source_quota",
+    "stream_late_audit",
+    "eval_filter_agreement",
+    "orders_pareto_concentration",
+    "layout_compaction_plan",
+    "profile_fd_violations",
+    "ts_holt_grid",
+    "events_markov_transitions",
+    "events_rfm_features",
+    "events_top_paths",
+    "retrieval_rrf_hybrid",
+    "sim_knn_triangles",
+    "graph_weighted_sssp",
+    "sim_pq_encode",
+    "sim_pq_adc_topk",
+    "sim_pq_recall",
+    "sim_gram_matrix",
+    "graph_assortativity",
+    "sim_triplet_mining",
+    "sim_knn_outlier_scores",
+    "graph_label_modularity",
+    "sim_recall_curve_lsh",
+    "graph_effective_diameter",
+    "graph_clustering_coeff",
+    "dedup_containment_pairs",
+    "dedup_lsh_precision_recall",
+    "dedup_corpus_report",
+    "random_sample_rowsonly",
+    "approx_distinct_rowsonly",
+    "tpch_q3_shipping",
+    "tpch_q6_forecast",
+    "er_canonical_entities",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
