@@ -893,12 +893,22 @@ def sketch_heavy_hitters_q(spark, sf_dir):
 def file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-file row counts of a parquet table via `input_file_name()`
     — the stats pass a compaction job runs first.  One scan, one hash
-    aggregate onto |files| rows; file names normalized to basenames so
-    the plan is location-independent."""
+    aggregate onto |files| rows.  Files are keyed by their path
+    RELATIVE to the table root (scheme + root prefix stripped), not
+    the basename: in a partitioned layout (date=…/part-00000-….parquet)
+    distinct files in different partition directories can share a
+    basename, and merging them would produce a wrong compaction plan
+    (round-10 advice).  The relative key keeps the plan
+    location-independent without the collision."""
+    import os
+
+    root = os.path.abspath(path).rstrip("/")
     return (
         spark.read.parquet(path)
         .select(
-            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+            F.substring_index(F.input_file_name(), root + "/", -1).alias(
+                "file"
+            )
         )
         .groupBy("file")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))

@@ -616,6 +616,27 @@ def test_compaction_plan_bins_and_file_stats(spark, tmp_path):
     assert len(got) == 4 and sorted(got.values()) == [5, 10, 15, 200]
     assert all(f.endswith(".parquet") and "/" not in f for f in got)
 
+    # partitioned layout: same basename under two partition dirs must
+    # stay TWO stats rows keyed by the root-relative path (round-10
+    # advice: basename keying silently merged them)
+    import os
+    import shutil
+
+    pp = str(tmp_path / "part")
+    for d, n in (("date=2024-01-01", 7), ("date=2024-01-02", 11)):
+        sub = str(tmp_path / f"stage_{n}")
+        spark.range(0, n).coalesce(1).write.parquet(sub)
+        (pf,) = [x for x in os.listdir(sub) if x.endswith(".parquet")]
+        os.makedirs(os.path.join(pp, d), exist_ok=True)
+        shutil.move(
+            os.path.join(sub, pf), os.path.join(pp, d, "part-00000.parquet")
+        )
+    pgot = {r.file: r.n_rows for r in file_stats(spark, pp).collect()}
+    assert pgot == {
+        "date=2024-01-01/part-00000.parquet": 7,
+        "date=2024-01-02/part-00000.parquet": 11,
+    }
+
     # deterministic synthetic stats: name order a,b,c,d
     sdf = spark.createDataFrame(
         [("a", 10), ("b", 15), ("c", 5), ("d", 200)], ["file", "n_rows"]

@@ -571,6 +571,30 @@ def test_stream_contamination_guard_flags_once_under_replay(spark, tmp_path):
     assert spark.read.parquet(target).count() == 2  # no duplicates
 
 
+def _stage_batch_df(spark, df, tmp_path, in_dir, idx):
+    """One micro-batch = one parquet file with a DETERMINISTIC mtime
+    (base + 100·idx): FileStreamSource orders ties arbitrarily, so
+    near-identical mtimes made arrival order flaky (round-10 advice).
+    Accepts an empty DataFrame (zero-row parquet = empty micro-batch)."""
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    sub = str(tmp_path / f"stage{idx}")
+    df.coalesce(1).write.parquet(sub)
+    (pf,) = [p for p in os.listdir(sub) if p.endswith(".parquet")]
+    dst = os.path.join(in_dir, f"{idx:02d}_batch.parquet")
+    os.rename(os.path.join(sub, pf), dst)
+    now = 1_700_000_000
+    os.utime(dst, (now + 100 * idx, now + 100 * idx))
+    return df.schema
+
+
+def _write_batch_file(spark, rows, cols, tmp_path, in_dir, idx):
+    return _stage_batch_df(
+        spark, spark.createDataFrame(rows, cols), tmp_path, in_dir, idx
+    )
+
+
 def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
     """Quota binds across batches in arrival order (batch 1 uses part
     of the budget, batch 2 only the remainder); sources under quota
@@ -580,15 +604,15 @@ def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
 
     from dask_obj_spark.streaming.windows import stream_source_quota_sink
 
-    # batch files: arrival order = file name order
+    # batch files: arrival order = explicit mtime order
     in_dir = str(tmp_path / "in")
     b0 = [(i, "big") for i in range(4)] + [(100 + i, "small") for i in range(2)]
     b1 = [(10 + i, "big") for i in range(4)] + [(110, "small")]
     schema = None
-    for name, batch in (("00_a", b0), ("01_b", b1)):
-        df = spark.createDataFrame(batch, ["doc_id", "source"])
-        schema = df.schema
-        df.coalesce(1).write.mode("append").parquet(in_dir)
+    for idx, batch in enumerate((b0, b1)):
+        schema = _write_batch_file(
+            spark, batch, ["doc_id", "source"], tmp_path, in_dir, idx
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -613,6 +637,68 @@ def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
     assert {(r.doc_id, r.source) for r in spark.read.parquet(target).collect()} == got
 
 
+def test_stream_source_quota_exact_under_kill_between_writes(spark, tmp_path):
+    """Crash-window replay (round-10 verdict #1): the job dies AFTER
+    the accepted append but BEFORE the counts append.  The redelivered
+    batch misses the seq guard; because `used` is derived from the
+    quota-bounded TARGET (not the counts tally), the quota arithmetic
+    sees the already-written rows, the anti-join suppresses them, and
+    a later batch cannot over-admit.  Under the old counts-derived
+    tally this exact scenario permanently undercounted `big` by one
+    and admitted a 6th doc past quota."""
+    import shutil
+
+    from dask_obj_spark.streaming.windows import stream_source_quota_sink
+
+    in_dir = str(tmp_path / "in")
+    cols = ["doc_id", "source"]
+    b0 = [(i, "big") for i in range(4)] + [(100 + i, "small") for i in range(2)]
+    b1 = [(10 + i, "big") for i in range(4)] + [(110, "small")]
+    b2 = [(20 + i, "big") for i in range(4)] + [(120 + i, "small") for i in range(2)]
+    target = str(tmp_path / "acc")
+
+    # run batch 0 to completion (both writes committed)
+    schema = _write_batch_file(spark, b0, cols, tmp_path, in_dir, 0)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_source_quota_sink(spark, stream, target, quota=5)
+
+    # simulate the crash mid-batch-1: its accepted rows (big:10 is the
+    # 5th big doc; small:110 the 3rd small) land in the target, the
+    # counts row does NOT, and the checkpoint never commits the batch
+    _write_batch_file(spark, b1, cols, tmp_path, in_dir, 1)
+    spark.createDataFrame([(10, "big"), (110, "small")], cols).coalesce(
+        1
+    ).write.mode("append").parquet(target)
+
+    # restart: same checkpoint redelivers batch 1, then batch 2 arrives
+    _write_batch_file(spark, b2, cols, tmp_path, in_dir, 2)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_source_quota_sink(spark, stream2, target, quota=5)
+
+    got = sorted(
+        (r.doc_id, r.source) for r in spark.read.parquet(target).collect()
+    )
+    want = sorted(
+        [(0, "big"), (1, "big"), (2, "big"), (3, "big"), (10, "big"),
+         (100, "small"), (101, "small"), (110, "small"),
+         (120, "small"), (121, "small")]
+    )
+    # exactly quota=5 per source, no duplicates, no over-admission
+    assert got == want
+    # the counts table is audit-only: seq rows exist for every batch
+    seqs = {r.seq for r in spark.read.parquet(target + "_counts").collect()}
+    assert seqs == {0, 1, 2}
+    shutil.rmtree(target + "_ckpt")
+
+
 def test_stream_late_audit_counts_and_replay(spark, tmp_path):
     """Batch 1 rows older than (batch-0 max ts - delay) count as late;
     the first batch never does; the watermark value is recorded;
@@ -628,10 +714,10 @@ def test_stream_late_audit_counts_and_replay(spark, tmp_path):
     b1 = [(3, t(0)), (4, t(19)), (5, t(20)), (6, t(40))]
     in_dir = str(tmp_path / "in")
     schema = None
-    for name, batch in (("00_a", b0), ("01_b", b1)):
-        df = spark.createDataFrame(batch, ["event_id", "ts"])
-        schema = df.schema
-        df.coalesce(1).write.mode("append").parquet(in_dir)
+    for idx, batch in enumerate((b0, b1)):
+        schema = _write_batch_file(
+            spark, batch, ["event_id", "ts"], tmp_path, in_dir, idx
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -653,3 +739,36 @@ def test_stream_late_audit_counts_and_replay(spark, tmp_path):
     )
     stream_late_audit_sink(spark, stream2, target, delay_secs=600)
     assert spark.read.parquet(target).count() == 2
+
+
+def test_stream_late_audit_survives_empty_batch(spark, tmp_path):
+    """An empty micro-batch (zero-row parquet file; other sources can
+    produce them too) must not kill the query on int(None) — it writes
+    a (seq, 0, 0, -1, wm) audit line and the running watermark carries
+    through to the next real batch unchanged (round-10 advice)."""
+    from datetime import datetime
+
+    from dask_obj_spark.streaming.windows import stream_late_audit_sink
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    cols = ["event_id", "ts"]
+    in_dir = str(tmp_path / "in")
+    schema = _write_batch_file(spark, [(1, t(0)), (2, t(30))], cols, tmp_path, in_dir, 0)
+    _stage_batch_df(
+        spark, spark.createDataFrame([], schema), tmp_path, in_dir, 1
+    )  # empty micro-batch
+    _write_batch_file(spark, [(3, t(0)), (4, t(40))], cols, tmp_path, in_dir, 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "audit")
+    stream_late_audit_sink(spark, stream, target, delay_secs=600)
+    got = {r.seq: r for r in spark.read.parquet(target).collect()}
+    assert set(got) == {0, 1, 2}
+    wm = int(t(30).timestamp()) - 600
+    assert got[1].n_rows == 0 and got[1].n_late == 0 and got[1].max_es == -1
+    assert got[1].wm_secs == wm  # watermark carried, not reset
+    # batch 2 still audits against the batch-0 watermark: 10:00 is late
+    assert got[2].n_rows == 2 and got[2].n_late == 1 and got[2].wm_secs == wm
