@@ -355,6 +355,70 @@ def test_neardup_band_history_compaction_and_retention(spark, tmp_path):
     assert hist.agg(F.min("et")).collect()[0][0] >= 149.0
 
 
+def test_neardup_band_history_survives_compaction_crash(spark, tmp_path):
+    """Kill-between-renames recovery: the compaction swap is
+    `rename(bands→old); rename(tmp→bands)` — a crash in between leaves
+    NO live band history, and the bands are DECISION state (losing
+    them un-flags every future dup of an old doc).  The sink must
+    restore from the completed .tmp (_SUCCESS present) or else .old
+    on its next start."""
+    import os
+
+    from dask_obj_spark.streaming.windows import stream_neardup_minhash
+
+    def text_of(i: int) -> str:
+        if i >= 10:
+            i -= 10  # ids 10+ duplicate ids 0+
+        return " ".join(f"tok{i}x{j} filler{i}y{j}" for j in range(8))
+
+    cols = "doc_id long, text string"
+
+    for crash_state in ("old", "tmp"):
+        in_dir = str(tmp_path / f"in_{crash_state}")
+        target = str(tmp_path / f"flags_{crash_state}")
+        bands_dir = target + "_bands"
+        b0 = [(i, text_of(i)) for i in range(5)]
+        df0 = spark.createDataFrame(b0, cols)
+        _stage_batch_df(spark, df0, tmp_path / f"s_{crash_state}0", in_dir, 0)
+        stream = (
+            spark.readStream.schema(df0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream_neardup_minhash(spark, stream, target)
+        assert spark.read.parquet(target).count() == 0  # all unique so far
+
+        # simulate the mid-swap crash: live history vanished, the copy
+        # survives under the crash-state name
+        if crash_state == "old":
+            os.rename(bands_dir, bands_dir + ".compact.old")
+        else:
+            os.rename(bands_dir, bands_dir + ".compact.tmp")
+            # Spark wrote _SUCCESS into the original dir, so the moved
+            # copy is a "completed tmp" exactly as a finished compaction
+            # write leaves it
+            assert os.path.isfile(
+                os.path.join(bands_dir + ".compact.tmp", "_SUCCESS")
+            )
+
+        b1 = [(10 + i, text_of(10 + i)) for i in range(3)]  # dup ids 0..2
+        _stage_batch_df(
+            spark,
+            spark.createDataFrame(b1, cols),
+            tmp_path / f"s_{crash_state}1",
+            in_dir,
+            1,
+        )
+        stream2 = (
+            spark.readStream.schema(df0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        stream_neardup_minhash(spark, stream2, target)
+        flagged = {r.doc_id for r in spark.read.parquet(target).collect()}
+        assert flagged == {10, 11, 12}, (crash_state, sorted(flagged))
+
+
 def test_stream_heavy_hitters_state_bounded_and_replay_safe(spark, tmp_path):
     """Drive the MG upsert directly for 20 synthetic batches: state must
     stay ≤ counters slots + exact total throughout; a replayed batch_id
