@@ -62,7 +62,23 @@ def write_bucketed(
 ) -> None:
     """Persist a table bucketed (and sorted) by the join key — pays the
     shuffle once so every later equi-join/agg on that key is
-    exchange-free."""
+    exchange-free.
+
+    Crash-robust: a writer killed mid-save can leave the warehouse
+    LOCATION on disk without the catalog entry, and `saveAsTable` then
+    fails LOCATION_ALREADY_EXISTS forever (mode("overwrite") only
+    overwrites CATALOGED tables).  If the table is not in the catalog
+    but its default location exists, clear the orphan first."""
+    sess = df.sparkSession
+    if "." not in table and not sess.catalog.tableExists(table):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(sess.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        orphan = os.path.join(wh.path or wh.netloc, table.lower())
+        if os.path.isdir(orphan):
+            shutil.rmtree(orphan, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
