@@ -805,6 +805,70 @@ def test_stream_late_audit_counts_and_replay(spark, tmp_path):
     assert spark.read.parquet(target).count() == 2
 
 
+def test_other_sinks_survive_empty_batch(spark, tmp_path):
+    """The late-audit empty-batch crash (round-10 advice) was a CLASS
+    hazard: every foreachBatch sink must tolerate a zero-row
+    micro-batch (file sources rarely emit one, other sources can).
+    Drive dedup, contamination, quota, and PSI sinks over a 3-batch
+    stream whose middle batch is EMPTY and assert the final state
+    equals the no-empty-batch run's."""
+    import os
+
+    from dask_obj_spark.streaming.windows import (
+        stream_contamination_sink,
+        stream_dedup_upsert,
+        stream_quality_psi_sink,
+        stream_source_quota_sink,
+    )
+
+    cols = "doc_id long, text string, source string"
+    mk = lambda rows: spark.createDataFrame(rows, cols)
+    b0 = [(i, f"alpha beta doc {i} " * 5, "s0") for i in range(4)]
+    b2 = [(10, "alpha beta doc 0 " * 5, "s0"), (11, "fresh text gamma " * 5, "s1")]
+    schema = mk(b0).schema
+
+    def drive(name, sink, *args, **kw):
+        in_dir = str(tmp_path / f"in_{name}")
+        _stage_batch_df(spark, mk(b0), tmp_path / f"st_{name}0", in_dir, 0)
+        _stage_batch_df(
+            spark, spark.createDataFrame([], schema), tmp_path / f"st_{name}1", in_dir, 1
+        )
+        _stage_batch_df(spark, mk(b2), tmp_path / f"st_{name}2", in_dir, 2)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        target = str(tmp_path / f"out_{name}")
+        sink(spark, stream, target, *args, **kw)
+        return spark.read.parquet(target)
+
+    # exact dedup: 11 is novel, 10 duplicates doc 0's content
+    got = drive("dedup", stream_dedup_upsert)
+    assert {r.doc_id for r in got.collect()} == {0, 1, 2, 3, 11}
+
+    # quota: all 6 docs fit under quota 5 per source
+    got = drive("quota", stream_source_quota_sink, 5)
+    assert {r.doc_id for r in got.collect()} == {0, 1, 2, 3, 10, 11}
+
+    # contamination: inventory = doc 0's shingles → flags 10 on arrival
+    inv_dir = str(tmp_path / "inv")
+    from dask_obj_spark.operators.corpus import doc_distinct_shingles
+
+    doc_distinct_shingles(mk(b0[:1]), "doc_id", "text", 8).select(
+        "sh"
+    ).distinct().write.parquet(inv_dir)
+    got = drive("contam", stream_contamination_sink, inv_dir)
+    assert {r.doc_id for r in got.collect()} == {0, 10}
+
+    # PSI: one histogram row-set per batch INCLUDING the empty one
+    got = drive("psi", stream_quality_psi_sink)
+    seqs = {r.seq for r in got.collect()}
+    assert seqs == {0, 1, 2}
+    empty = [r for r in got.collect() if r.seq == 1]
+    assert sum(r.c for r in empty) == 0 and len(empty) == 10
+
+
 def test_stream_late_audit_survives_empty_batch(spark, tmp_path):
     """An empty micro-batch (zero-row parquet file; other sources can
     produce them too) must not kill the query on int(None) — it writes
