@@ -867,6 +867,15 @@ def test_other_sinks_survive_empty_batch(spark, tmp_path):
     assert seqs == {0, 1, 2}
     empty = [r for r in got.collect() if r.seq == 1]
     assert sum(r.c for r in empty) == 0 and len(empty) == 10
+    # ...and the frozen-reference readout must EXCLUDE the zero-row
+    # batch (scoring it would 0/0 into NaN) while the reference batch
+    # still scores exactly 0 against itself
+    from dask_obj_spark.streaming.windows import quality_psi_vs_frozen
+
+    psi = {r.seq: r.psi_x1m for r in quality_psi_vs_frozen(
+        spark, str(tmp_path / "out_psi")
+    ).collect()}
+    assert set(psi) == {0, 2} and psi[0] == 0
 
 
 def test_stream_late_audit_survives_empty_batch(spark, tmp_path):
