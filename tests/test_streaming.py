@@ -526,11 +526,12 @@ def test_stream_quality_psi_drift_and_replay(spark, tmp_path):
     b1 = [(100 + i, junk) for i in range(40)]
     in_dir = str(tmp_path / "in")
     schema = None
-    for name, batch in (("00_ref", b0), ("01_drift", b1)):
-        df = spark.createDataFrame(batch, ["doc_id", "text"])
-        schema = df.schema
-        df.coalesce(1).write.mode("append").parquet(in_dir)
-    # two files, mtime order = write order
+    # the GOOD batch must arrive first (it freezes as the reference);
+    # explicit mtimes pin the order (near-tie mtimes are unspecified)
+    for idx, batch in enumerate((b0, b1)):
+        schema = _write_batch_file(
+            spark, batch, ["doc_id", "text"], tmp_path, in_dir, idx
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -608,10 +609,10 @@ def test_stream_contamination_guard_flags_once_under_replay(spark, tmp_path):
 
     in_dir = str(tmp_path / "in")
     schema = None
-    for batch in ([(1, dirty)], [(2, clean), (3, dirty)]):
-        df = spark.createDataFrame(batch, ["doc_id", "text"])
-        schema = df.schema
-        df.coalesce(1).write.mode("append").parquet(in_dir)
+    for idx, batch in enumerate(([(1, dirty)], [(2, clean), (3, dirty)])):
+        schema = _write_batch_file(
+            spark, batch, ["doc_id", "text"], tmp_path, in_dir, idx
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
