@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None):
 # round by tests/test_oracle_parity.py and the judge's full sweep.
 # ROUND-11+ POLICY: net-new operators are FROZEN (surface saturated per
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
-# worst-case official staleness stays bounded at ~⌈324/50⌉ ≈ 7 rounds
+# worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
 # Round-11 window = the 28 never-driven round-10 queries first (they
 # have no official record yet), then the oldest official records

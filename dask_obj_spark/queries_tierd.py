@@ -520,3 +520,29 @@ def source_json_roundtrip_q(spark, sf_dir):
 def source_orc_roundtrip_q(spark, sf_dir):
     """events → ORC → read → aggregate (the columnar non-parquet sink)."""
     return _rt_source(spark, sf_dir, "orc")
+
+
+@query("source_avro_roundtrip", oracle=_RT_ORACLE)
+def source_avro_roundtrip_q(spark, sf_dir):
+    """events → AVRO → read → aggregate: the Tier-D cell every audit
+    through round 10 carried as environment-blocked (no spark-avro jar).
+    The connector is absent but the format is a small open spec, so the
+    sink is the pure-Python container writer in sources/avro_io.py
+    (one file per partition via mapInArrow, JVM-DataFileReader-verified
+    in tests/test_core.py) and the read is its Python-DataSource twin —
+    ref surface ``read_avro`` / bag ``to_avro``
+    (src/dask_obj/core.py:6,45-47).  Hash-equal to the parquet-side
+    oracle iff the binary round-trip is lossless."""
+    from dask_obj_spark.sources.avro_io import read_avro, to_avro
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _roundtrip_dir("avro")
+    to_avro(ev, path)
+    back = read_avro(
+        spark,
+        path,
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    return _rt_agg(back)

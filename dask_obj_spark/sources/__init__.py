@@ -14,6 +14,7 @@ from dask_obj_spark.sources.tables import (
     load_tables,
     register_views,
 )
+from dask_obj_spark.sources.avro_io import read_avro, to_avro
 from dask_obj_spark.sources.io import (
     from_sequence,
     range_frame,
@@ -33,7 +34,9 @@ __all__ = [
     "range_frame",
     "read_csv",
     "read_json",
+    "read_avro",
     "read_parquet",
     "read_text",
+    "to_avro",
     "write_sink",
 ]

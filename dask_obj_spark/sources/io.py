@@ -67,16 +67,17 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
-    """Sink dispatcher: parquet/json/csv/text/orc (``to_textfiles`` etc.).
+    """Sink dispatcher: parquet/json/csv/text/orc/avro (``to_textfiles``,
+    ``to_avro`` etc.).
 
-    Avro needs the spark-avro jar (not in this image) — raises with a clear
-    message instead of failing inside the JVM.
-    """
+    Avro routes to the pure-Python container writer in avro_io.py (the
+    spark-avro connector jar is absent in this image; the format itself
+    is a small open spec, and the writer is JVM-reader-verified)."""
     if fmt == "avro":
-        raise NotImplementedError(
-            "avro sink requires the spark-avro package on the classpath; "
-            "not available in this image (stubbed per environment contract)"
-        )
+        from dask_obj_spark.sources.avro_io import to_avro
+
+        to_avro(df, path, mode=mode)
+        return
     df.write.mode(mode).options(**options).format(fmt).save(path)
 
 

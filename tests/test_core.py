@@ -380,6 +380,66 @@ def test_sinks_roundtrip(spark, nums, tmp_path):
     assert sorted(back.compute()) == [1, 2, 2, 3, 3, 3]
 
 
+def test_avro_sink_source_roundtrip_and_jvm_validation(spark, tmp_path):
+    """The pure-Python Avro container sink (sources/avro_io.py — the
+    spark-avro jar is absent; ref surface `read_avro`/bag `to_avro`,
+    src/dask_obj/core.py:6,45-47): nulls, NaN, unicode, binary, empty
+    and null arrays all round-trip through the distributed writer and
+    the Python-DataSource reader — AND the emitted bytes are read back
+    by the canonical Apache Avro JVM DataFileReader on Spark's own
+    classpath, so spec compliance is pinned by the reference
+    implementation, not just our own decoder."""
+    import math
+    import os
+
+    from dask_obj_spark.sources import read_avro, to_avro, write_sink
+
+    ddl = "id long, s string, d double, b boolean, raw binary, vec array<double>"
+    df = spark.createDataFrame(
+        [
+            (1, "hello", 3.5, True, bytearray(b"\x00\x01"), [1.0, 2.5]),
+            (2, None, float("nan"), None, None, []),
+            (3, "wörld", -1.25, False, bytearray(b""), None),
+        ],
+        ddl,
+    ).repartition(2)
+    path = str(tmp_path / "avro_out")
+    stats = to_avro(df, path)
+    assert sum(r.n_rows for r in stats.collect()) == 3
+
+    back = read_avro(spark, path, ddl)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].s == "hello" and rows[1].vec == [1.0, 2.5]
+    assert bytes(rows[1].raw) == b"\x00\x01"
+    assert rows[2].s is None and rows[2].b is None and rows[2].vec == []
+    assert math.isnan(rows[2].d)
+    assert rows[3].s == "wörld" and rows[3].vec is None and rows[3].b is False
+
+    # gold standard: Apache Avro JVM reader (avro-1.12.1.jar ships with
+    # Spark) must parse our bytes
+    jvm = spark._jvm
+    got = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".avro"):
+            continue
+        rd = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(path, f)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while rd.hasNext():
+            rec = rd.next()
+            s = rec.get("s")
+            got.append((rec.get("id"), None if s is None else str(s)))
+        rd.close()
+    assert sorted(got) == [(1, "hello"), (2, None), (3, "wörld")]
+
+    # the write_sink dispatcher routes fmt="avro" here (was a stub)
+    write_sink(df.select("id"), str(tmp_path / "avro2"), fmt="avro")
+    assert {
+        r.id for r in read_avro(spark, str(tmp_path / "avro2"), "id long").collect()
+    } == {1, 2, 3}
+
+
 def test_approx_top_k_matches_exact_on_separated_counts(spark):
     # heavy-hitter sketch is exact when counts are far apart and the
     # stream is tiny relative to sketch capacity
