@@ -15,9 +15,13 @@ running INSIDE ``df.mapInArrow`` — one container file per non-empty
 partition, written tmp-then-rename, with Arrow giving exact null
 semantics (pandas would fold integer nulls into NaN) — and the source
 is a Spark-4 Python DataSource (the ``synthetic_docs`` precedent in
-sources/io.py) decoding one file per input partition.  Both scale the
-same way every file source does: per-partition independent work, no
-driver bottleneck, no shuffle.
+sources/io.py) streaming length-prefixed blocks (O(block) memory, NOT
+whole-file) and splitting large files at sync-marker boundaries into
+multiple input partitions, exactly the way Hadoop's AvroInputFormat
+does: seek into the byte range, pattern-scan forward to the next sync
+marker, decode blocks whose start offset falls inside the range.  Both
+sides scale the way every file source does: per-partition independent
+work, no driver bottleneck, no shuffle.
 
 Spec compliance is pinned by round-tripping through the APACHE AVRO JVM
 reader (`org.apache.avro.file.DataFileReader`) that ships on Spark's
@@ -27,15 +31,31 @@ implementation, not merely by our own decoder.
 
 Supported Spark types (the testdata + reference surface): integral
 types → avro long, double/float, string, boolean, binary → bytes,
-ArrayType of any of those; every field nullable via ["null", T] unions.
+TimestampType → long+``timestamp-micros``, TimestampNTZType →
+long+``local-timestamp-micros``, DateType → int+``date`` (the Avro
+logical types, annotation-only on the wire — the JVM reader sees the
+annotated long/int), ArrayType of the non-temporal scalars; every
+field nullable via ["null", T] unions.  Codecs: ``null`` and
+``deflate`` (raw RFC-1951 via stdlib zlib, per the spec — no zlib
+wrapper, no checksum).
+
 Deterministic output: the sync marker is the md5 of (schema JSON,
-partition id), so identical data produces identical bytes — replays
-and retries rewrite the same file instead of scattering variants.
+partition id, write id), so identical data produces identical bytes —
+replays and retries rewrite the same file instead of scattering
+variants.
+
+Filesystem contract: the sink's overwrite/rename/cleanup and the
+source's directory listing use the LOCAL POSIX filesystem (os /
+shutil), which is the execution model of this image (local[32], shared
+FS).  On a real cluster with an object store or HDFS these paths would
+route through the Hadoop FileSystem API (``spark._jvm``) instead; the
+per-partition encode/decode is FS-agnostic.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +64,7 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     ByteType,
+    DateType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -51,6 +72,8 @@ from pyspark.sql.types import (
     ShortType,
     StringType,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 _PRIMS = {
@@ -65,6 +88,14 @@ _PRIMS = {
     BinaryType: "bytes",
 }
 
+# temporal Spark types ride as Avro logical types: an int/long on the
+# wire plus a schema annotation (spark-avro uses the same mapping)
+_LOGICAL = {
+    TimestampType: "ts-micros",       # long + logicalType timestamp-micros
+    TimestampNTZType: "ts-ntz-micros",  # long + local-timestamp-micros
+    DateType: "date",                 # int + logicalType date
+}
+
 
 def _field_kinds(schema: StructType) -> list[tuple[str, str, str | None]]:
     """(name, kind, item_kind) per field; kind 'array' carries the item."""
@@ -73,6 +104,8 @@ def _field_kinds(schema: StructType) -> list[tuple[str, str, str | None]]:
         t = type(f.dataType)
         if t in _PRIMS:
             out.append((f.name, _PRIMS[t], None))
+        elif t in _LOGICAL:
+            out.append((f.name, _LOGICAL[t], None))
         elif t is ArrayType:
             it = type(f.dataType.elementType)
             if it not in _PRIMS:
@@ -90,7 +123,16 @@ def _field_kinds(schema: StructType) -> list[tuple[str, str, str | None]]:
 
 def _avro_schema_json(kinds: list[tuple[str, str, str | None]], name: str) -> str:
     def t(kind, item):
-        base = {"type": "array", "items": item} if kind == "array" else kind
+        if kind == "array":
+            base = {"type": "array", "items": item}
+        elif kind == "ts-micros":
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        elif kind == "ts-ntz-micros":
+            base = {"type": "long", "logicalType": "local-timestamp-micros"}
+        elif kind == "date":
+            base = {"type": "int", "logicalType": "date"}
+        else:
+            base = kind
         return ["null", base]  # every Spark field is nullable
 
     return json.dumps(
@@ -111,6 +153,15 @@ def _make_avro_codec():
     `_make_bpe_greedy_encode` factory discipline from operators/corpus.py)."""
 
     import struct
+    import zlib
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+    from datetime import timedelta as _timedelta
+    from datetime import timezone as _timezone
+
+    _EPOCH_UTC = _datetime(1970, 1, 1, tzinfo=_timezone.utc)
+    _EPOCH_NAIVE = _datetime(1970, 1, 1)
+    _EPOCH_DATE = _date(1970, 1, 1)
 
     def zz(n):
         u = (n << 1) ^ (n >> 63)
@@ -122,7 +173,8 @@ def _make_avro_codec():
         return bytes(out)
 
     def enc_value(kind, v, buf):
-        if kind == "long":
+        # ts/date reach here already as int micros/days (arrow cast)
+        if kind in ("long", "ts-micros", "ts-ntz-micros", "date"):
             buf += zz(int(v))
         elif kind == "double":
             buf += struct.pack("<d", float(v))
@@ -155,11 +207,11 @@ def _make_avro_codec():
             else:
                 enc_value(kind, v, buf)
 
-    def header(schema_json, sync):
+    def header(schema_json, sync, codec="null"):
         buf = bytearray(b"Obj\x01")
         meta = [
             (b"avro.schema", schema_json.encode("utf-8")),
-            (b"avro.codec", b"null"),
+            (b"avro.codec", codec.encode("ascii")),
         ]
         buf += zz(len(meta))
         for k, v in meta:
@@ -167,6 +219,16 @@ def _make_avro_codec():
         buf += zz(0)
         buf += sync
         return bytes(buf)
+
+    def compress(codec, block):
+        if codec == "null":
+            return bytes(block)
+        if codec == "deflate":
+            # Avro deflate = raw RFC-1951 stream (wbits=-15): no zlib
+            # header, no checksum
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            return c.compress(bytes(block)) + c.flush()
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
 
     # ---- decoder (the read side of the same spec) ----
 
@@ -194,6 +256,15 @@ def _make_avro_codec():
             return (raw.decode("utf-8") if kind == "string" else raw), pos + n
         if kind == "boolean":
             return mv[pos] == 1, pos + 1
+        if kind == "ts-micros":
+            us, pos = rd_long(mv, pos)
+            return _EPOCH_UTC + _timedelta(microseconds=us), pos
+        if kind == "ts-ntz-micros":
+            us, pos = rd_long(mv, pos)
+            return _EPOCH_NAIVE + _timedelta(microseconds=us), pos
+        if kind == "date":
+            days, pos = rd_long(mv, pos)
+            return _EPOCH_DATE + _timedelta(days=days), pos
         raise ValueError(f"bad kind {kind}")
 
     def rd_row(kinds, mv, pos):
@@ -221,62 +292,187 @@ def _make_avro_codec():
                 row.append(v)
         return row, pos
 
-    def read_container(data, kinds):
-        mv = memoryview(data)
-        assert bytes(mv[:4]) == b"Obj\x01", "not an avro container file"
-        pos = 4
-        nmeta, pos = rd_long(mv, pos)
+    # -- streaming file-handle primitives (header parse + block scan) --
+
+    def rd_long_f(fh):
+        shift = u = 0
+        while True:
+            b = fh.read(1)[0]
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+    def read_header(fh):
+        """Parse magic + metadata map + sync from the current handle
+        position (must be 0).  Returns (codec:str, sync:bytes,
+        header_len:int).  Streams — never loads the file."""
+        if fh.read(4) != b"Obj\x01":
+            raise ValueError("not an avro container file")
         codec = b"null"
+        nmeta = rd_long_f(fh)
         while nmeta != 0:
             if nmeta < 0:
                 nmeta = -nmeta
-                _, pos = rd_long(mv, pos)
+                rd_long_f(fh)  # byte-size prefix of the map block
             for _ in range(nmeta):
-                kl, pos = rd_long(mv, pos)
-                key = bytes(mv[pos : pos + kl])
-                pos += kl
-                vl, pos = rd_long(mv, pos)
-                val = bytes(mv[pos : pos + vl])
-                pos += vl
+                kl = rd_long_f(fh)
+                key = fh.read(kl)
+                vl = rd_long_f(fh)
+                val = fh.read(vl)
                 if key == b"avro.codec":
                     codec = val
-            nmeta, pos = rd_long(mv, pos)
-        if codec not in (b"null", b""):
-            raise NotImplementedError(f"avro codec {codec!r} not supported")
-        pos += 16  # sync
-        rows = []
-        while pos < len(mv):
-            cnt, pos = rd_long(mv, pos)
-            _size, pos = rd_long(mv, pos)
+            nmeta = rd_long_f(fh)
+        codec_s = (codec or b"null").decode("ascii")
+        if codec_s not in ("null", "deflate"):
+            raise NotImplementedError(f"avro codec {codec_s!r} not supported")
+        sync = fh.read(16)
+        return codec_s, sync, fh.tell()
+
+    def _validate_anchor(fh, anchor, sync, filesize):
+        """True iff a well-formed block starts at `anchor`: positive row
+        count, in-bounds size, and the 16-byte sync marker sits exactly
+        after the data — a 128-bit check that makes a false sync-pattern
+        match in row data vanishingly unlikely to also validate."""
+        try:
+            fh.seek(anchor)
+            cnt = rd_long_f(fh)
+            size = rd_long_f(fh)
+            if cnt <= 0 or size < 0:
+                return False
+            data_end = fh.tell() + size
+            if data_end + 16 > filesize:
+                return False
+            fh.seek(data_end)
+            return fh.read(16) == sync
+        except (IndexError, OSError):
+            return False
+
+    def find_anchor(fh, sync, start, filesize):
+        """First validated block start (offset of its count varint)
+        >= `start`, found by scanning for the sync pattern the way
+        Avro's own DataFileReader.sync() does — chunked, O(1) memory,
+        15-byte overlap so markers straddling chunk edges are seen."""
+        pos = max(start - 16, 0)
+        tail = b""
+        base = pos
+        while True:
+            fh.seek(base + len(tail))
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                return None
+            buf = tail + chunk
+            off = 0
+            while True:
+                q = buf.find(sync, off)
+                if q < 0:
+                    break
+                anchor = base + q + 16
+                if anchor >= start and _validate_anchor(fh, anchor, sync, filesize):
+                    return anchor
+                off = q + 1
+            # keep a 15-byte overlap for markers spanning the boundary
+            base += len(buf) - 15
+            tail = buf[-15:]
+
+    def iter_block_rows(fh, anchor, hi, filesize, sync, codec, kinds):
+        """Decode blocks starting at `anchor` while their start offset
+        is < `hi` (split ownership rule: a block belongs to the split
+        containing its first byte).  O(one block) memory."""
+        import zlib as _zlib
+
+        pos = anchor
+        while pos is not None and pos < hi and pos + 16 < filesize:
+            fh.seek(pos)
+            cnt = rd_long_f(fh)
+            size = rd_long_f(fh)
+            data = fh.read(size)
+            if codec == "deflate":
+                data = _zlib.decompress(data, -15)
+            mv = memoryview(data)
+            p = 0
             for _ in range(cnt):
-                row, pos = rd_row(kinds, mv, pos)
-                rows.append(row)
-            pos += 16  # sync
-        return rows
+                row, p = rd_row(kinds, mv, p)
+                yield row
+            got = fh.read(16)
+            if got != sync:
+                raise ValueError(
+                    f"avro: bad sync after block at offset {pos} "
+                    f"(corrupt file or mid-write read)"
+                )
+            pos = fh.tell()
 
-    return zz, enc_row, header, read_container
+    return {
+        "zz": zz,
+        "enc_row": enc_row,
+        "header": header,
+        "compress": compress,
+        "read_header": read_header,
+        "find_anchor": find_anchor,
+        "iter_block_rows": iter_block_rows,
+    }
 
 
-def to_avro(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
+def to_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "null",
+    block_rows: int = 4096,
+    write_id: str | None = None,
+) -> DataFrame:
     """Distributed Avro sink: one container file per non-empty partition
-    via ``mapInArrow`` (exact nulls), tmp-then-rename per file.  Returns
-    the per-file stats frame (file, n_rows) — dimension-sized — after
-    materializing it (the write IS the action)."""
+    via ``mapInArrow`` (exact nulls), tmp-then-rename per file, rows
+    chunked into blocks of at most ``block_rows`` so readers stay
+    O(block) and big files split at sync boundaries.  ``codec`` is
+    ``"null"`` or ``"deflate"`` (raw zlib per the spec).  Returns the
+    per-file stats frame (file, n_rows) — dimension-sized — after
+    materializing it (the write IS the action).
+
+    ``mode="append"`` REQUIRES a caller-supplied ``write_id``: files are
+    named ``part-{pid}-{write_id}.avro``, so distinct appends coexist
+    while a RETRY of the same (data, write_id) idempotently rewrites the
+    same files.  Without it, a second append's part-00000 would
+    ``os.replace`` the first one's — silent data loss (round-11 advice).
+
+    Overwrite/rename assume a local POSIX filesystem (true in this
+    image); on a cluster store, route through the Hadoop FS API.
+    """
     import shutil
 
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
+    if block_rows < 1:
+        raise ValueError("to_avro: block_rows must be >= 1")
     kinds = _field_kinds(df.schema)
     schema_json = _avro_schema_json(kinds, "spark_row")
     if mode == "overwrite":
-        shutil.rmtree(path, ignore_errors=True)
-    elif mode != "append":
+        shutil.rmtree(path, ignore_errors=True)  # local-FS contract (see docstring)
+    elif mode == "append":
+        if write_id is None:
+            raise ValueError(
+                "to_avro: mode='append' requires write_id= (a per-write "
+                "unique, retry-stable token) — otherwise part files from "
+                "an earlier append would be silently replaced"
+            )
+    else:
         raise ValueError(f"to_avro: unsupported mode {mode!r}")
     os.makedirs(path, exist_ok=True)
+    suffix = f"-{write_id}" if write_id is not None else ""
     # call the factory on the DRIVER: the returned nested (<locals>)
     # functions cloudpickle BY VALUE into the closure — capturing the
     # module-level factory itself would pickle by reference and fail
     # on executors without dask_obj_spark on PYTHONPATH (verify-skill
     # worker-closure rule; _make_bpe_greedy_encode precedent)
-    zz, enc_row, header, _ = _make_avro_codec()
+    cdc = _make_avro_codec()
+    zz, enc_row, header, compress = (
+        cdc["zz"], cdc["enc_row"], cdc["header"], cdc["compress"],
+    )
+    # temporal columns: have Arrow hand us the raw int micros/days —
+    # exact, tz-free, and ~free (a metadata-only cast)
+    cast_kinds = {"ts-micros": "int64", "ts-ntz-micros": "int64", "date": "int32"}
+    casts = [cast_kinds.get(k) for _, k, _ in kinds]
 
     def write_partition(batches):
         import hashlib
@@ -287,30 +483,37 @@ def to_avro(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
 
         pid = TaskContext.get().partitionId()
         sync = hashlib.md5(
-            (schema_json + f"#part{pid}").encode("utf-8")
+            (schema_json + f"#part{pid}{suffix}").encode("utf-8")
         ).digest()
         fh = None
-        final = _os.path.join(path, f"part-{pid:05d}.avro")
+        final = _os.path.join(path, f"part-{pid:05d}{suffix}.avro")
         tmp = final + ".tmp"
         n_rows = 0
         for batch in batches:
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            cols = [
+                (batch.column(i).cast(getattr(pa, c)()) if c else batch.column(i))
+                .to_pylist()
+                for i, c in enumerate(casts)
+            ]
             if not cols or not cols[0]:
                 continue
             if fh is None:
                 fh = open(tmp, "wb")
-                fh.write(header(schema_json, sync))
-            block = bytearray()
-            cnt = len(cols[0])
-            for r in range(cnt):
-                enc_row(kinds, [c[r] for c in cols], block)
-            fh.write(zz(cnt) + zz(len(block)) + bytes(block) + sync)
-            n_rows += cnt
+                fh.write(header(schema_json, sync, codec))
+            cnt_total = len(cols[0])
+            for lo in range(0, cnt_total, block_rows):
+                hi = min(lo + block_rows, cnt_total)
+                block = bytearray()
+                for r in range(lo, hi):
+                    enc_row(kinds, [c[r] for c in cols], block)
+                payload = compress(codec, block)
+                fh.write(zz(hi - lo) + zz(len(payload)) + payload + sync)
+            n_rows += cnt_total
         if fh is not None:
             fh.close()
             _os.replace(tmp, final)
             yield pa.RecordBatch.from_pydict(
-                {"file": [f"part-{pid:05d}.avro"], "n_rows": [n_rows]}
+                {"file": [f"part-{pid:05d}{suffix}.avro"], "n_rows": [n_rows]}
             )
 
     stats = df.mapInArrow(
@@ -319,38 +522,72 @@ def to_avro(df: DataFrame, path: str, mode: str = "overwrite") -> DataFrame:
     return stats
 
 
-def read_avro(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    split_bytes: int = 32 << 20,
+) -> DataFrame:
     """Distributed Avro source without the connector jar: a Spark-4
-    Python DataSource, one input partition per container file (the
-    ``synthetic_docs`` precedent), pure-Python block decoder per task.
-    ``schema`` is required (DDL string or StructType) — never inferred
-    at plan time, so the scan stays a single pass."""
+    Python DataSource whose reader STREAMS length-prefixed blocks
+    (O(block) memory, never the whole file) and SPLITS files larger
+    than ``split_bytes`` at sync-marker boundaries into multiple input
+    partitions — the Hadoop AvroInputFormat recipe: seek into the byte
+    range, pattern-scan to the next 16-byte sync, own every block whose
+    start offset falls inside [lo, hi).  A foreign multi-GB container
+    therefore fans out across tasks instead of pinning one task + one
+    file of memory.  ``schema`` is required (DDL string or StructType)
+    — never inferred at plan time, so the scan stays a single pass.
+    An empty directory (e.g. the round-trip of an all-empty frame)
+    yields an empty DataFrame, not an executor error.  The directory
+    listing assumes a local POSIX filesystem (true in this image)."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
     from pyspark.sql.types import _parse_datatype_string
 
     st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
     kinds = _field_kinds(st)
     # driver-side factory call → by-value pickling (see to_avro)
-    _, _, _, read_container = _make_avro_codec()
+    cdc = _make_avro_codec()
+    read_header, find_anchor, iter_block_rows = (
+        cdc["read_header"], cdc["find_anchor"], cdc["iter_block_rows"],
+    )
     files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
         if f.endswith(".avro")
     )
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        n = max(1, math.ceil(size / split_bytes))
+        for i in range(n):
+            splits.append((f, i * split_bytes, min((i + 1) * split_bytes, size), size))
 
-    class _File(InputPartition):
-        def __init__(self, f):
-            self.f = f
+    class _Split(InputPartition):
+        def __init__(self, f, lo, hi, size):
+            self.f, self.lo, self.hi, self.size = f, lo, hi, size
 
     class _Reader(DataSourceReader):
         def partitions(self):
-            return [_File(f) for f in files]
+            return [_Split(*s) for s in splits]
 
         def read(self, part):
+            # an empty dir → partitions() == [], which PySpark turns
+            # into a single None partition — yield nothing (r11 advice)
+            if part is None:
+                return
             with open(part.f, "rb") as fh:
-                data = fh.read()
-            for row in read_container(data, kinds):
-                yield tuple(row)
+                codec, sync, header_len = read_header(fh)
+                if part.lo == 0:
+                    anchor = header_len if header_len < part.hi else None
+                else:
+                    anchor = find_anchor(fh, sync, part.lo, part.size)
+                if anchor is None:
+                    return
+                for row in iter_block_rows(
+                    fh, anchor, part.hi, part.size, sync, codec, kinds
+                ):
+                    yield tuple(row)
 
     class _AvroSource(DataSource):
         @classmethod
