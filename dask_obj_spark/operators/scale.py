@@ -68,9 +68,21 @@ def write_bucketed(
     LOCATION on disk without the catalog entry, and `saveAsTable` then
     fails LOCATION_ALREADY_EXISTS forever (mode("overwrite") only
     overwrites CATALOGED tables).  If the table is not in the catalog
-    but its default location exists, clear the orphan first."""
+    but its default location exists, clear the orphan first.
+
+    The orphan check runs ONLY when the session's current database is
+    `default`: ``<warehouse>/<table>`` is the DEFAULT database's
+    location, so with another database current, tableExists(table)
+    resolves there and a cataloged default-db table of the same name
+    would be wrongly rmtree'd (round-11 advice).  Cleanup uses the
+    local POSIX filesystem — this image's warehouse; a cluster object
+    store would route through the Hadoop FS API instead."""
     sess = df.sparkSession
-    if "." not in table and not sess.catalog.tableExists(table):
+    if (
+        "." not in table
+        and sess.catalog.currentDatabase() == "default"
+        and not sess.catalog.tableExists(table)
+    ):
         import os
         import shutil
         from urllib.parse import urlparse
@@ -915,10 +927,19 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     distinct files in different partition directories can share a
     basename, and merging them would produce a wrong compaction plan
     (round-10 advice).  The relative key keeps the plan
-    location-independent without the collision."""
-    import os
+    location-independent without the collision.
 
-    root = os.path.abspath(path).rstrip("/")
+    `input_file_name()` returns a PERCENT-ENCODED file: URI, so the
+    root is quoted the same way before matching — a table root with a
+    space (`/tmp/my tables/t`) otherwise never matches and the key
+    silently degrades to the full URI (round-11 advice).  The relative
+    part keeps the URI encoding (`date=a%20b/part-….parquet`): keys
+    stay distinct and consistent, and decoding worker-side would risk
+    `+`→space corruption from URLDecoder semantics."""
+    import os
+    from urllib.parse import quote
+
+    root = quote(os.path.abspath(path).rstrip("/"), safe="/")
     return (
         spark.read.parquet(path)
         .select(

@@ -63,6 +63,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_write_bucketed_orphan_clear_skipped_outside_default_db(spark, sf_dir):
+    """The orphan-location cleanup resolves <warehouse>/<table>, which
+    is the DEFAULT database's location.  With another database current,
+    tableExists() looks there instead, so a cataloged default-db table
+    of the same name must NOT have its data rmtree'd (round-11
+    advice)."""
+    orders = load_table(spark, sf_dir, "orders").limit(100)
+    spark.sql("DROP TABLE IF EXISTS default.t_orphan_guard")
+    write_bucketed(orders, "t_orphan_guard", "o_orderkey", buckets=2)
+    assert spark.table("default.t_orphan_guard").count() == 100
+    spark.sql("CREATE DATABASE IF NOT EXISTS guard_db")
+    try:
+        spark.catalog.setCurrentDatabase("guard_db")
+        # same bare name, non-default db current: must create
+        # guard_db.t_orphan_guard WITHOUT touching the default-db data
+        write_bucketed(orders.limit(10), "t_orphan_guard", "o_orderkey", buckets=2)
+        assert spark.table("guard_db.t_orphan_guard").count() == 10
+        assert spark.table("default.t_orphan_guard").count() == 100
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS guard_db.t_orphan_guard")
+        spark.sql("DROP DATABASE IF EXISTS guard_db")
+        spark.sql("DROP TABLE IF EXISTS default.t_orphan_guard")
+
+
 def test_stratified_sample_fractions(spark, oracle_sf_dir):
     ev = load_table(spark, oracle_sf_dir, "events")
     fractions = {"view": 0.5, "click": 0.2, "purchase": 1.0, "signup": 0.1, "error": 0.0}
@@ -636,6 +661,18 @@ def test_compaction_plan_bins_and_file_stats(spark, tmp_path):
         "date=2024-01-01/part-00000.parquet": 7,
         "date=2024-01-02/part-00000.parquet": 11,
     }
+
+    # a table root with a URI-escaped character (space): input_file_name
+    # returns a percent-encoded URI, so the root must be quoted the same
+    # way or the relative keying silently degrades to the full URI
+    # (round-11 advice)
+    sp = str(tmp_path / "with space" / "t")
+    spark.range(0, 9).coalesce(1).write.parquet(sp)
+    sgot = {r.file: r.n_rows for r in file_stats(spark, sp).collect()}
+    assert sgot and all(
+        f.endswith(".parquet") and "/" not in f and "%" not in f for f in sgot
+    ), sgot
+    assert sorted(sgot.values()) == [9]
 
     # deterministic synthetic stats: name order a,b,c,d
     sdf = spark.createDataFrame(

@@ -879,6 +879,66 @@ def test_other_sinks_survive_empty_batch(spark, tmp_path):
     assert set(psi) == {0, 2} and psi[0] == 0
 
 
+def test_stream_decayed_topk_survives_empty_batch(spark, tmp_path):
+    """Last sink of the empty-batch class sweep (r11 verdict item 7):
+    a zero-row micro-batch must not crash the decayed heavy-hitters
+    upsert, and its semantics are PINNED — an empty batch is a time
+    tick: it consumes a decay position (later batches' relative weight
+    doubles past it) while contributing zero weight, so
+    w = n0·1 + 0·2 + n2·4 exactly, and the confirm pass replays that
+    weighting."""
+    import json
+
+    from dask_obj_spark.streaming.windows import (
+        stream_decayed_topk,
+        stream_decayed_topk_confirm,
+    )
+
+    cols = "doc_id long, text string"
+    b0 = [(0, "hot hot hot cold"), (1, "hot warm")]          # n0 = 6 terms
+    b2 = [(2, "hot cold cold"), (3, "cold cold")]            # n2 = 5 terms
+    in_dir = str(tmp_path / "in")
+    schema = _write_batch_file(spark, b0, cols, tmp_path / "s0", in_dir, 0)
+    _stage_batch_df(
+        spark, spark.createDataFrame([], schema), tmp_path / "s1", in_dir, 1
+    )
+    _write_batch_file(spark, b2, cols, tmp_path / "s2", in_dir, 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    target = str(tmp_path / "dtopk")
+    stream_decayed_topk(spark, stream, target, k=2, counters=8)
+
+    state = json.load(open(target + "_dmg.json"))
+    assert len(state["done"]) == 3  # the empty batch was merged, not skipped
+    assert state["w"] == 6 * 1 + 0 * 2 + 5 * 4  # empty tick carried weight 2
+    # small vocab ≤ counters → slots are exact decayed scores
+    assert state["slots"]["hot"] == 4 * 1 + 1 * 4  # 4 in b0, 1 in b2
+    assert state["slots"]["cold"] == 1 * 1 + 4 * 4
+
+    # confirm replays the decay: batch 0 rows weight 1, batch 2 rows 4
+    src = spark.createDataFrame(b0 + b2, cols)
+    wt = F.when(F.col("doc_id") <= 1, F.lit(1)).otherwise(F.lit(4))
+    got = {
+        r.term: r.score
+        for r in stream_decayed_topk_confirm(
+            spark, src, target + "_dmg.json", wt, k=4
+        ).collect()
+    }
+    assert got == {"hot": 8, "cold": 17}  # score*4 >= W=26 keeps both
+    # tighter threshold: at k=2 only cold (17*2 >= 26) survives
+    got2 = {
+        r.term: r.score
+        for r in stream_decayed_topk_confirm(
+            spark, src, target + "_dmg.json", wt, k=2
+        ).collect()
+    }
+    assert got2 == {"cold": 17}
+
+
 def test_stream_late_audit_survives_empty_batch(spark, tmp_path):
     """An empty micro-batch (zero-row parquet file; other sources can
     produce them too) must not kill the query on int(None) — it writes
