@@ -54,62 +54,62 @@ def query(name: str, oracle: str | None = None):
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
 # worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
-# Round-11 window = the 28 never-driven round-10 queries first (they
-# have no official record yet), then the oldest official records
-# (r5/r6-era graph/sim/dedup/tpch rows), exactly as emitted by
-# `python tools/rolling_window.py --tuple` after the r10 driver rows
-# landed.
+# Round-12 window = source_avro_roundtrip first (extended with the ts
+# logical-type probe this round; no official record yet), then the
+# oldest official records (r6/r7-era tpch/stats/sketch/ml/graph rows),
+# exactly as emitted by `python tools/rolling_window.py --tuple` after
+# the r11 driver rows landed.
 _WINDOW_50 = (
-    "sim_kmeans_cells_exact",
-    "sim_rbo_lsh_vs_exact",
-    "text_hashed_classifier",
-    "text_word_entropy",
-    "text_readability",
-    "text_code_detect",
-    "corpus_fim_transform",
-    "corpus_span_corruption",
-    "corpus_budget_waterfill",
-    "corpus_kfold_exact",
-    "corpus_leakage_safe_split",
-    "corpus_pack_segments",
-    "corpus_ngram_novelty",
-    "corpus_quality_qnorm",
-    "corpus_length_histogram",
-    "corpus_decontam_impact",
-    "mm_decode_checksum",
-    "mm_resize",
-    "stream_source_quota",
-    "stream_late_audit",
-    "eval_filter_agreement",
-    "orders_pareto_concentration",
-    "layout_compaction_plan",
-    "profile_fd_violations",
-    "ts_holt_grid",
-    "events_markov_transitions",
-    "events_rfm_features",
-    "events_top_paths",
-    "retrieval_rrf_hybrid",
-    "sim_knn_triangles",
-    "graph_weighted_sssp",
-    "sim_pq_encode",
-    "sim_pq_adc_topk",
-    "sim_pq_recall",
-    "sim_gram_matrix",
-    "graph_assortativity",
-    "sim_triplet_mining",
-    "sim_knn_outlier_scores",
-    "graph_label_modularity",
-    "sim_recall_curve_lsh",
-    "graph_effective_diameter",
-    "graph_clustering_coeff",
-    "dedup_containment_pairs",
-    "dedup_lsh_precision_recall",
-    "dedup_corpus_report",
-    "random_sample_rowsonly",
-    "approx_distinct_rowsonly",
-    "tpch_q3_shipping",
-    "tpch_q6_forecast",
-    "er_canonical_entities",
+    "source_avro_roundtrip",
+    "tpch_q5_local_volume",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "stats_mad_outliers",
+    "stats_chi2_independence",
+    "stats_bootstrap_ci",
+    "funnel_conversion_lag",
+    "events_cohort_ltv",
+    "stats_ks_test",
+    "stats_mannwhitney_u",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q11_important_parts",
+    "tpch_q12_shipmode_lateness",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q20_promotion_suppliers",
+    "approx_percentile_rowsonly",
+    "sketch_hll_distinct",
+    "sketch_hll_sliding_users",
+    "ts_ewma_exact",
+    "ml_logreg_gd",
+    "ml_calibration_bins",
+    "ml_ols_normal_equations",
+    "graph_knn_ann_edges",
+    "graph_bfs_ann",
+    "sim_pca_power",
+    "sim_pq_tuned_recall_rowsonly",
+    "sim_pq_trained_rowsonly",
+    "facade_tree_reduction",
+    "delayed_map_fleet_rowsonly",
+    "exists_subquery",
+    "scalar_subquery_avg",
+    "stats_aggregates",
+    "window_ranks",
+    "multi_distinct_agg",
+    "agg_filter_clause",
+    "inverted_index_postings",
+    "centroid_per_label",
+    "sqlrec_components",
+    "eval_vocab_oov",
+    "unpivot_metrics",
+    "approx_topk_terms_rowsonly",
+    "profile_value_histogram",
+    "ts_latest_per_key",
+    "profile_benford_digits",
+    "eval_ab_lift",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
