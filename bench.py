@@ -85,6 +85,10 @@ WORKLOAD = {
     # linear-in-N interpreted fold (BASELINE.md §5 round-10 note)
     "b40_hashed_classifier": "text_hashed_classifier",
     "b41_span_corruption": "corpus_span_corruption",
+    # round-12 addition: the completed avro component (write events to a
+    # container + split-stream it back + aggregate) gets a per-round
+    # official perf record like every other first-class source/sink
+    "b42_avro_roundtrip": "source_avro_roundtrip",
 }
 
 # per-row (warmup, timed) overrides: b28 is a 4096-task SCHEDULING probe
@@ -100,6 +104,10 @@ RUNS_OVERRIDE = {
     # b38 stands up a fresh three-batch streaming pipeline per run (same
     # fixed streaming-job machinery as b31)
     "b38_decayed_topk": (1, 3),
+    # b42 re-WRITES the container and re-reads it every run (the write IS
+    # the operator under test) — 3 timed runs bound the bench total the
+    # same way the streaming rows' overrides do
+    "b42_avro_roundtrip": (1, 3),
 }
 
 WARMUP_RUNS = 1
