@@ -594,6 +594,64 @@ def test_avro_snappy_roundtrip_split_and_jvm(spark, tmp_path):
     assert (n, tot) == (1000, 499500)
 
 
+def test_snappy_primitives_property_and_foreign_tags():
+    """Property coverage for the pure-Python snappy primitives (no Spark
+    needed): (a) hypothesis round-trip over adversarial byte strings —
+    repetitive, structured, and incompressible shapes exercise literal
+    length escapes (>=60), copy-1/copy-2 emission, and overlapping
+    (RLE) copies; (b) a hand-assembled stream using the 4-byte-offset
+    copy tag, which OUR encoder never emits (fragments cap offsets at
+    64 Ki) but a foreign encoder may — the decoder must handle it; (c)
+    truncation/corruption raises instead of returning wrong bytes."""
+    import pytest
+    from hypothesis import given, settings, strategies as st
+
+    from dask_obj_spark.sources.avro_io import _make_avro_codec
+
+    cdc = _make_avro_codec()
+    sc_, sd_ = cdc["snappy_compress"], cdc["snappy_decompress"]
+
+    blob = st.one_of(
+        st.binary(min_size=0, max_size=2000),
+        # highly repetitive: long matches, overlapping copies
+        st.builds(
+            lambda unit, reps: unit * reps,
+            st.binary(min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=40000),
+        ),
+        # structured text-ish with shared prefixes
+        st.lists(
+            st.sampled_from([b"alpha ", b"beta ", b"gamma ", b"<tag>", b"12345"]),
+            min_size=0,
+            max_size=5000,
+        ).map(b"".join),
+    )
+
+    @given(blob)
+    @settings(max_examples=150, deadline=None)
+    def roundtrip(data):
+        assert sd_(sc_(data)) == data
+
+    roundtrip()
+
+    # (b) foreign stream with a copy-4 tag: literal "abcd", then copy
+    # length 4 at 4-byte-LE offset 4, twice → "abcdabcdabcd"
+    foreign = bytes(
+        [12]  # preamble varint: uncompressed length 12
+        + [(4 - 1) << 2] + list(b"abcd")  # literal, len 4
+        + [3 | ((4 - 1) << 2)] + [4, 0, 0, 0]  # copy-4: len 4, off 4
+        + [3 | ((4 - 1) << 2)] + [4, 0, 0, 0]
+    )
+    assert sd_(foreign) == b"abcdabcdabcd"
+
+    # (c) corrupt: declared length mismatch and bad offsets raise
+    good = sc_(b"hello world hello world hello world")
+    with pytest.raises(ValueError):
+        sd_(good[:-3])  # truncated stream → length mismatch
+    with pytest.raises(ValueError):
+        sd_(bytes([4, 2 | ((4 - 1) << 2), 9, 0]))  # copy before start
+
+
 def test_avro_empty_dir_and_append_semantics(spark, tmp_path):
     """r11 advice closures: (a) the round-trip of an all-empty frame is
     an EMPTY DataFrame, not an executor AttributeError (PySpark hands
