@@ -389,17 +389,32 @@ def _make_avro_codec():
         if kind == "ts-ntz-micros":
             us, pos = rd_long(mv, pos)
             return _EPOCH_NAIVE + _timedelta(microseconds=us), pos
+        if kind == "ts-millis":  # foreign files: timestamp-millis
+            ms, pos = rd_long(mv, pos)
+            return _EPOCH_UTC + _timedelta(milliseconds=ms), pos
+        if kind == "ts-ntz-millis":
+            ms, pos = rd_long(mv, pos)
+            return _EPOCH_NAIVE + _timedelta(milliseconds=ms), pos
         if kind == "date":
             days, pos = rd_long(mv, pos)
             return _EPOCH_DATE + _timedelta(days=days), pos
         raise ValueError(f"bad kind {kind}")
 
-    def rd_row(kinds, mv, pos):
-        row = []
-        for name, kind, item in kinds:
-            branch, pos = rd_long(mv, pos)
-            if branch == 0:
-                row.append(None)
+    def rd_row(plan, nsel, mv, pos):
+        """Decode one record per the FILE's schema plan, projecting into
+        `nsel` output slots.  plan rows: (kind, item_kind, mode, slot) —
+        mode is 'plain' (non-nullable), 'null0' (["null",T]), or 'null1'
+        ([T,"null"]); slot is the output index, or -1 for a file field
+        the caller did not request (its bytes are still consumed —
+        Avro rows have no per-field offsets)."""
+        row = [None] * nsel
+        for kind, item, mode, slot in plan:
+            if mode == "plain":
+                is_null = False
+            else:
+                branch, pos = rd_long(mv, pos)
+                is_null = (branch == 0) if mode == "null0" else (branch == 1)
+            if is_null:
                 continue
             if kind == "array":
                 vals = []
@@ -413,10 +428,12 @@ def _make_avro_codec():
                     for _ in range(n):
                         v, pos = rd_value(item, mv, pos)
                         vals.append(v)
-                row.append(vals)
+                if slot >= 0:
+                    row[slot] = vals
             else:
                 v, pos = rd_value(kind, mv, pos)
-                row.append(v)
+                if slot >= 0:
+                    row[slot] = v
         return row, pos
 
     # -- streaming file-handle primitives (header parse + block scan) --
@@ -433,11 +450,12 @@ def _make_avro_codec():
 
     def read_header(fh):
         """Parse magic + metadata map + sync from the current handle
-        position (must be 0).  Returns (codec:str, sync:bytes,
-        header_len:int).  Streams — never loads the file."""
+        position (must be 0).  Returns (codec:str, schema_json:str,
+        sync:bytes, header_len:int).  Streams — never loads the file."""
         if fh.read(4) != b"Obj\x01":
             raise ValueError("not an avro container file")
         codec = b"null"
+        schema_raw = None
         nmeta = rd_long_f(fh)
         while nmeta != 0:
             if nmeta < 0:
@@ -450,12 +468,84 @@ def _make_avro_codec():
                 val = fh.read(vl)
                 if key == b"avro.codec":
                     codec = val
+                elif key == b"avro.schema":
+                    schema_raw = val
             nmeta = rd_long_f(fh)
         codec_s = (codec or b"null").decode("ascii")
         if codec_s not in ("null", "deflate", "snappy"):
             raise NotImplementedError(f"avro codec {codec_s!r} not supported")
+        if schema_raw is None:
+            raise ValueError("avro container missing avro.schema metadata")
         sync = fh.read(16)
-        return codec_s, sync, fh.tell()
+        return codec_s, schema_raw.decode("utf-8"), sync, fh.tell()
+
+    def _avro_type_to_kind(t):
+        """Map one (non-union) avro schema type to our kind tag."""
+        prims = {
+            "long": "long", "int": "long", "double": "double",
+            "float": "float", "string": "string", "bytes": "bytes",
+            "boolean": "boolean",
+        }
+        if isinstance(t, str):
+            if t in prims:
+                return prims[t], None
+            raise NotImplementedError(f"avro type {t!r} not supported")
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "timestamp-micros":
+                return "ts-micros", None
+            if lt == "local-timestamp-micros":
+                return "ts-ntz-micros", None
+            if lt == "timestamp-millis":
+                return "ts-millis", None
+            if lt == "local-timestamp-millis":
+                return "ts-ntz-millis", None
+            if lt == "date":
+                return "date", None
+            if t.get("type") == "array":
+                it = t["items"]
+                if isinstance(it, dict) and "logicalType" not in it:
+                    it = it.get("type")
+                ik, sub = _avro_type_to_kind(it)
+                if sub is not None or ik == "array":
+                    raise NotImplementedError("avro: nested arrays not supported")
+                return "array", ik
+            if t.get("type") in prims or "logicalType" in t:
+                # dict-wrapped primitive (unknown logical types fall back
+                # to their base wire type, per the avro spec)
+                base = t.get("type")
+                if base in prims:
+                    return prims[base], None
+            raise NotImplementedError(f"avro type {t!r} not supported")
+        raise NotImplementedError(f"avro type {t!r} not supported")
+
+    def kinds_from_schema_json(schema_json):
+        """FILE-schema decode plan: [(name, kind, item_kind, mode)] where
+        mode records nullability + union null-branch index ('plain',
+        'null0', 'null1').  This is what makes foreign containers —
+        arbitrary field order, [T,"null"] unions, non-nullable fields —
+        decode correctly instead of per the caller's requested layout."""
+        import json as _json
+
+        sch = _json.loads(schema_json)
+        if not isinstance(sch, dict) or sch.get("type") != "record":
+            raise NotImplementedError("avro: top-level schema must be a record")
+        out = []
+        for f in sch.get("fields", []):
+            t = f["type"]
+            mode = "plain"
+            if isinstance(t, list):
+                if len(t) == 2 and "null" in t:
+                    ni = t.index("null")
+                    mode = "null0" if ni == 0 else "null1"
+                    t = t[1 - ni]
+                else:
+                    raise NotImplementedError(
+                        f"avro: unsupported union {t} for field {f['name']!r}"
+                    )
+            kind, item = _avro_type_to_kind(t)
+            out.append((f["name"], kind, item, mode))
+        return out
 
     def _validate_anchor(fh, anchor, sync, filesize):
         """True iff a well-formed block starts at `anchor`: positive row
@@ -503,7 +593,7 @@ def _make_avro_codec():
             base += len(buf) - 15
             tail = buf[-15:]
 
-    def iter_block_rows(fh, anchor, hi, filesize, sync, codec, kinds):
+    def iter_block_rows(fh, anchor, hi, filesize, sync, codec, plan, nsel):
         """Decode blocks starting at `anchor` while their start offset
         is < `hi` (split ownership rule: a block belongs to the split
         containing its first byte).  O(one block) memory."""
@@ -527,7 +617,7 @@ def _make_avro_codec():
             mv = memoryview(data)
             p = 0
             for _ in range(cnt):
-                row, p = rd_row(kinds, mv, p)
+                row, p = rd_row(plan, nsel, mv, p)
                 yield row
             got = fh.read(16)
             if got != sync:
@@ -545,6 +635,7 @@ def _make_avro_codec():
         "read_header": read_header,
         "find_anchor": find_anchor,
         "iter_block_rows": iter_block_rows,
+        "kinds_from_schema_json": kinds_from_schema_json,
         "snappy_compress": snappy_compress,
         "snappy_decompress": snappy_decompress,
     }
@@ -675,6 +766,16 @@ def read_avro(
     therefore fans out across tasks instead of pinning one task + one
     file of memory.  ``schema`` is required (DDL string or StructType)
     — never inferred at plan time, so the scan stays a single pass.
+
+    Schema RESOLUTION, per file: each task decodes per the FILE's own
+    writer schema (parsed from the container header) and projects the
+    requested columns by NAME — so foreign containers with a different
+    field order, ``[T, "null"]`` union order, non-nullable fields,
+    extra fields (consumed and dropped), or ``timestamp-millis``
+    temporals (promoted to the requested micros class, as are
+    int/long/float → double) all read correctly.  A requested field
+    missing from a file, or present with an incompatible type, raises
+    a ValueError naming the field and both types.
     An empty directory (e.g. the round-trip of an all-empty frame)
     yields an empty DataFrame, not an executor error.  The directory
     listing assumes a local POSIX filesystem (true in this image)."""
@@ -685,9 +786,59 @@ def read_avro(
     kinds = _field_kinds(st)
     # driver-side factory call → by-value pickling (see to_avro)
     cdc = _make_avro_codec()
-    read_header, find_anchor, iter_block_rows = (
+    read_header, find_anchor, iter_block_rows, kinds_from_schema_json = (
         cdc["read_header"], cdc["find_anchor"], cdc["iter_block_rows"],
+        cdc["kinds_from_schema_json"],
     )
+
+    # requested kind per output slot; a file kind is accepted for a
+    # requested kind per avro schema-resolution promotions (float→double,
+    # millis→the requested micros timestamp class)
+    _COMPAT = {
+        "double": ("double", "float", "long"),
+        "float": ("float",),
+        "long": ("long",),
+        "string": ("string",),
+        "bytes": ("bytes",),
+        "boolean": ("boolean",),
+        "ts-micros": ("ts-micros", "ts-millis"),
+        "ts-ntz-micros": ("ts-ntz-micros", "ts-ntz-millis"),
+        "date": ("date",),
+    }
+
+    def _resolve_plan(file_kinds, fname):
+        """Project the FILE's decode order onto the requested columns:
+        every file field is decoded (rows have no per-field offsets),
+        requested fields land in their output slot, extras are consumed
+        and dropped.  Raises loudly on missing/incompatible fields."""
+        slot_of = {}
+        for i, (name, kind, item) in enumerate(kinds):
+            slot_of[name] = (i, kind, item)
+        plan, seen = [], set()
+        for name, fkind, fitem, mode in file_kinds:
+            if name not in slot_of:
+                plan.append((fkind, fitem, mode, -1))
+                continue
+            i, rkind, ritem = slot_of[name]
+            seen.add(name)
+            if rkind == "array":
+                ok = fkind == "array" and fitem in _COMPAT.get(ritem, ())
+            else:
+                ok = fkind in _COMPAT.get(rkind, ())
+            if not ok:
+                raise ValueError(
+                    f"read_avro: field {name!r} in {fname} has avro kind "
+                    f"{fkind!r}{f'<{fitem}>' if fitem else ''}, incompatible "
+                    f"with requested {rkind!r}"
+                )
+            plan.append((fkind, fitem, mode, i))
+        missing = [n for n, _, _ in kinds if n not in seen]
+        if missing:
+            raise ValueError(
+                f"read_avro: fields {missing} not present in {fname} "
+                f"(file has {[n for n, *_ in file_kinds]})"
+            )
+        return plan
     files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -714,7 +865,13 @@ def read_avro(
             if part is None:
                 return
             with open(part.f, "rb") as fh:
-                codec, sync, header_len = read_header(fh)
+                codec, schema_json, sync, header_len = read_header(fh)
+                # decode per the FILE's writer schema, project by name —
+                # foreign field order / union order / non-nullable
+                # fields / extra fields all resolve correctly
+                plan = _resolve_plan(
+                    kinds_from_schema_json(schema_json), part.f
+                )
                 if part.lo == 0:
                     anchor = header_len if header_len < part.hi else None
                 else:
@@ -722,7 +879,8 @@ def read_avro(
                 if anchor is None:
                     return
                 for row in iter_block_rows(
-                    fh, anchor, part.hi, part.size, sync, codec, kinds
+                    fh, anchor, part.hi, part.size, sync, codec,
+                    plan, len(kinds),
                 ):
                     yield tuple(row)
 

@@ -594,6 +594,91 @@ def test_avro_snappy_roundtrip_split_and_jvm(spark, tmp_path):
     assert (n, tot) == (1000, 499500)
 
 
+def test_avro_foreign_file_schema_resolution(spark, tmp_path):
+    """read_avro decodes per the FILE's writer schema and projects by
+    name (avro schema resolution) — proven against a container written
+    by the canonical JVM avro library with every foreign trait at once:
+    different field order, a NON-nullable field, a [T,\"null\"] union
+    (null branch at index 1), an EXTRA field we don't request, an
+    ``int`` field requested as long, a ``float`` requested as double,
+    and ``timestamp-millis`` requested as a (micros) timestamp.  Also:
+    requesting a missing field, or a type-incompatible one, raises a
+    ValueError naming the field — never silently decodes garbage."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_obj_spark.sources import read_avro
+
+    jvm = spark._jvm
+    schema_json = (
+        '{"type":"record","name":"foreign","fields":['
+        '{"name":"extra","type":"string"},'
+        '{"name":"score","type":"float"},'
+        '{"name":"id","type":"int"},'
+        '{"name":"label","type":["string","null"]},'
+        '{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}'
+        "]}"
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "foreign_avro")
+    os.makedirs(path)
+    wr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    wr.create(sch, jvm.java.io.File(os.path.join(path, "f.avro")))
+    base_ms = 1700000000000  # > 2^31 so py4j ships a Long
+    for i in range(5):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("extra", f"junk{i}")
+        rec.put("score", jvm.java.lang.Float(f"{i}.5"))
+        rec.put("id", i)
+        rec.put("label", None if i == 2 else f"L{i}")
+        rec.put("ts", base_ms + i * 1000)
+        wr.append(rec)
+    wr.close()
+
+    df = read_avro(spark, path, "id long, label string, ts timestamp, score double")
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert [r.id for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.label for r in rows] == ["L0", "L1", None, "L3", "L4"]
+    assert [r.score for r in rows] == [0.5, 1.5, 2.5, 3.5, 4.5]
+    ms = [
+        r.m
+        for r in df.select(F.unix_millis("ts").alias("m"), "id")
+        .orderBy("id")
+        .collect()
+    ]
+    assert ms == [base_ms + i * 1000 for i in range(5)]
+
+    with pytest.raises(Exception, match="nope.*not present|not present.*nope"):
+        read_avro(spark, path, "nope string").collect()
+    with pytest.raises(Exception, match="incompatible"):
+        read_avro(spark, path, "label double").collect()
+
+
+def test_avro_projection_of_own_files(spark, tmp_path):
+    """Column projection through schema resolution: requesting a SUBSET
+    of the columns our own sink wrote decodes only-needed slots (extra
+    file fields are consumed and dropped) and returns correct values."""
+    from pyspark.sql import functions as F
+
+    from dask_obj_spark.sources import read_avro, to_avro
+
+    df = spark.range(0, 100, 1, 2).select(
+        F.col("id"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    path = str(tmp_path / "avro_proj")
+    to_avro(df, path)
+    back = read_avro(spark, path, "v double, id long")  # subset, reordered
+    assert back.columns == ["v", "id"]
+    got = back.agg(F.sum("id").alias("si"), F.sum("v").alias("sv")).collect()[0]
+    assert (got.si, got.sv) == (4950, 9900.0)
+
+
 def test_snappy_primitives_property_and_foreign_tags():
     """Property coverage for the pure-Python snappy primitives (no Spark
     needed): (a) hypothesis round-trip over adversarial byte strings —
