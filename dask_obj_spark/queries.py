@@ -54,13 +54,16 @@ def query(name: str, oracle: str | None = None):
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
 # worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
-# Round-12 window = source_avro_roundtrip first (extended with the ts
-# logical-type probe this round; no official record yet), then the
-# oldest official records (r6/r7-era tpch/stats/sketch/ml/graph rows),
-# exactly as emitted by `python tools/rolling_window.py --tuple` after
-# the r11 driver rows landed.
+# Round-12 window = the two never-driven rows first
+# (source_avro_roundtrip, extended with the ts logical-type probe this
+# round, and source_from_url_lines, the r11-verdict-named missing cell
+# closed this round), then the oldest official records (r6/r7-era
+# tpch/stats/sketch/ml/graph rows), exactly as emitted by
+# `python tools/rolling_window.py --tuple` after the r11 driver rows
+# landed.
 _WINDOW_50 = (
     "source_avro_roundtrip",
+    "source_from_url_lines",
     "tpch_q5_local_volume",
     "tpch_q10_returns",
     "tpch_q14_promo",
@@ -109,7 +112,6 @@ _WINDOW_50 = (
     "profile_value_histogram",
     "ts_latest_per_key",
     "profile_benford_digits",
-    "eval_ab_lift",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

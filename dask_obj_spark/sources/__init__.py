@@ -17,6 +17,7 @@ from dask_obj_spark.sources.tables import (
 from dask_obj_spark.sources.avro_io import read_avro, to_avro
 from dask_obj_spark.sources.io import (
     from_sequence,
+    from_url,
     range_frame,
     read_csv,
     read_json,
@@ -31,6 +32,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "from_sequence",
+    "from_url",
     "range_frame",
     "read_csv",
     "read_json",
