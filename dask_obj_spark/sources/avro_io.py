@@ -772,8 +772,8 @@ def read_avro(
     requested columns by NAME — so foreign containers with a different
     field order, ``[T, "null"]`` union order, non-nullable fields,
     extra fields (consumed and dropped), or ``timestamp-millis``
-    temporals (promoted to the requested micros class, as are
-    int/long/float → double) all read correctly.  A requested field
+    temporals (promoted to the requested micros class, as are int →
+    long and float → double) all read correctly.  A requested field
     missing from a file, or present with an incompatible type, raises
     a ValueError naming the field and both types.
     An empty directory (e.g. the round-trip of an all-empty frame)
@@ -793,9 +793,11 @@ def read_avro(
 
     # requested kind per output slot; a file kind is accepted for a
     # requested kind per avro schema-resolution promotions (float→double,
-    # millis→the requested micros timestamp class)
+    # millis→the requested micros timestamp class).  long→double is NOT
+    # accepted: the decoder would hand Spark a Python int in a double
+    # slot — read as long and cast instead.
     _COMPAT = {
-        "double": ("double", "float", "long"),
+        "double": ("double", "float"),
         "float": ("float",),
         "long": ("long",),
         "string": ("string",),
