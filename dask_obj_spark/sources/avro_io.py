@@ -795,7 +795,14 @@ def read_avro(
     # requested kind per avro schema-resolution promotions (float→double,
     # millis→the requested micros timestamp class).  long→double is NOT
     # accepted: the decoder would hand Spark a Python int in a double
-    # slot — read as long and cast instead.
+    # slot — read as long and cast instead.  Timestamps resolve ACROSS
+    # the instant/naive classes: the wire value is the same long either
+    # way, the UNIT (millis/micros) comes from the file, and the
+    # AWARENESS comes from the reader's declared type — exactly the
+    # interpretation contract Spark's session gives those columns (and
+    # what the pre-resolution reader did; events.ts round-trips as
+    # TimestampType written / timestamp_ntz requested).
+    _TS_KINDS = ("ts-micros", "ts-millis", "ts-ntz-micros", "ts-ntz-millis")
     _COMPAT = {
         "double": ("double", "float"),
         "float": ("float",),
@@ -803,8 +810,8 @@ def read_avro(
         "string": ("string",),
         "bytes": ("bytes",),
         "boolean": ("boolean",),
-        "ts-micros": ("ts-micros", "ts-millis"),
-        "ts-ntz-micros": ("ts-ntz-micros", "ts-ntz-millis"),
+        "ts-micros": _TS_KINDS,
+        "ts-ntz-micros": _TS_KINDS,
         "date": ("date",),
     }
 
@@ -833,6 +840,10 @@ def read_avro(
                     f"{fkind!r}{f'<{fitem}>' if fitem else ''}, incompatible "
                     f"with requested {rkind!r}"
                 )
+            if rkind in ("ts-micros", "ts-ntz-micros"):
+                # unit from the file, awareness from the request
+                unit = "millis" if fkind.endswith("millis") else "micros"
+                fkind = ("ts-ntz-" if rkind == "ts-ntz-micros" else "ts-") + unit
             plan.append((fkind, fitem, mode, i))
         missing = [n for n, _, _ in kinds if n not in seen]
         if missing:

@@ -688,6 +688,22 @@ def test_avro_foreign_file_schema_resolution(spark, tmp_path):
     ]
     assert ms == [base_ms + i * 1000 for i in range(5)]
 
+    # cross-awareness resolution: the same instant column requested as
+    # timestamp_ntz — unit (millis) from the file, awareness from the
+    # request; the wire long is identical, so the UTC wall-clock micros
+    # must match (this is how events.ts round-trips: written from a
+    # normalized TimestampType, read back as timestamp_ntz)
+    ntz = read_avro(spark, path, "id long, ts timestamp_ntz")
+    ntz_us = [
+        r.m
+        for r in ntz.select(
+            F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")).alias("m"), "id"
+        )
+        .orderBy("id")
+        .collect()
+    ]
+    assert ntz_us == [(base_ms + i * 1000) * 1000 for i in range(5)]
+
     with pytest.raises(Exception, match="nope.*not present|not present.*nope"):
         read_avro(spark, path, "nope string").collect()
     with pytest.raises(Exception, match="incompatible"):
