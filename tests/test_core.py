@@ -629,6 +629,12 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
     n_ours = from_url(spark, f"file://{f1}").count()
     assert n_ours == spark.read.text(str(f1)).count() == 3
 
+    # a missing resource fails the task loudly — never an empty frame
+    import pytest
+
+    with pytest.raises(Exception, match="nope.txt|URLError|No such file"):
+        from_url(spark, f"file://{tmp_path}/nope.txt").collect()
+
 
 def test_avro_foreign_file_schema_resolution(spark, tmp_path):
     """read_avro decodes per the FILE's writer schema and projects by
