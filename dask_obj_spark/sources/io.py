@@ -52,6 +52,7 @@ def from_url(
     spark: SparkSession,
     urls: str | Sequence[str],
     timeout: float = 30.0,
+    urls_per_partition: int = 1,
 ) -> DataFrame:
     """``db.from_url`` equivalent (reference surface ``core.py:6``; dask
     semantics: one partition per URL, one element per line of the
@@ -69,6 +70,12 @@ def from_url(
     Every stdlib urllib scheme works: ``http(s)``/``ftp`` on a
     networked cluster, ``file://`` and ``data:`` offline (how this
     image's tests drive it).
+
+    ``urls_per_partition`` is the scale knob: the dask default (1) is
+    right up to thousands of URLs, but a crawl list of millions would
+    flood the scheduler with single-fetch tasks — batch K URLs per
+    partition (fetched sequentially inside the task, still streamed
+    line-by-line) to keep the task count ~len(urls)/K.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -77,27 +84,34 @@ def from_url(
     )
 
     url_list = [urls] if isinstance(urls, str) else list(urls)
+    if urls_per_partition < 1:
+        raise ValueError("from_url: urls_per_partition must be >= 1")
 
     class _UrlPart(InputPartition):
-        def __init__(self, url):
-            self.url = url
+        def __init__(self, batch):
+            self.batch = batch
 
     class _Reader(DataSourceReader):
         def partitions(self):
-            return [_UrlPart(u) for u in url_list]
+            k = urls_per_partition
+            return [
+                _UrlPart(url_list[i : i + k])
+                for i in range(0, len(url_list), k)
+            ]
 
         def read(self, part):
             if part is None:  # empty url list → empty frame
                 return
             from urllib.request import urlopen
 
-            with urlopen(part.url, timeout=timeout) as resp:
-                for i, raw in enumerate(resp):
-                    yield (
-                        part.url,
-                        i,
-                        raw.decode("utf-8", errors="replace").rstrip("\r\n"),
-                    )
+            for url in part.batch:
+                with urlopen(url, timeout=timeout) as resp:
+                    for i, raw in enumerate(resp):
+                        yield (
+                            url,
+                            i,
+                            raw.decode("utf-8", errors="replace").rstrip("\r\n"),
+                        )
 
     class _UrlSource(DataSource):
         @classmethod

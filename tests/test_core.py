@@ -629,6 +629,15 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
     n_ours = from_url(spark, f"file://{f1}").count()
     assert n_ours == spark.read.text(str(f1)).count() == 3
 
+    # scale knob: batch K urls per partition (task count len/K), same rows
+    f3 = tmp_path / "c.txt"
+    f3.write_text("zeta\n")
+    batched = from_url(spark, urls + [f"file://{f3}"], urls_per_partition=2)
+    assert batched.rdd.getNumPartitions() == 2  # ceil(3/2)
+    assert sorted(r.value for r in batched.collect()) == sorted(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    )
+
     # a missing resource fails the task loudly — never an empty frame
     import pytest
 
