@@ -29,13 +29,23 @@ own classpath (avro-1.12.1.jar) — see tests/test_core.py — so the
 bytes this writer emits are proven readable by the canonical
 implementation, not merely by our own decoder.
 
-Supported Spark types (the testdata + reference surface): integral
-types → avro long, double/float, string, boolean, binary → bytes,
-TimestampType → long+``timestamp-micros``, TimestampNTZType →
+Supported Spark types (the testdata + reference surface, plus the
+full complex-type spec as of round 12): integral types → avro long,
+double/float, string, boolean, binary → bytes, TimestampType →
+long+``timestamp-micros``, TimestampNTZType →
 long+``local-timestamp-micros``, DateType → int+``date`` (the Avro
 logical types, annotation-only on the wire — the JVM reader sees the
-annotated long/int), ArrayType of the non-temporal scalars; every
-field nullable via ["null", T] unions.  Codecs: ``null``, ``deflate``
+annotated long/int), DecimalType → bytes+``decimal`` (unscaled
+two's-complement big-endian, per the spec), and RECURSIVELY:
+ArrayType (``containsNull`` → ["null", T] items), MapType with
+string keys (avro maps are string-keyed by definition), and
+StructType → nested records (nested nullability from the Spark
+flags).  Every top-level field rides nullable via ["null", T] unions.
+The READER additionally resolves avro types Spark lacks: enum → its
+symbol string, fixed → binary, decimal on the fixed wire, uuid (and
+any unknown logical type) → its base type, and any unrequested
+field — however complex — is consumed and dropped (avro rows have no
+per-field offsets).  Codecs: ``null``, ``deflate``
 (raw RFC-1951 via stdlib zlib, per the spec — no zlib wrapper, no
 checksum), and ``snappy`` (pure-Python encoder/decoder per the public
 snappy format description + the spec's 4-byte big-endian CRC32 of the
@@ -60,6 +70,8 @@ import json
 import math
 import os
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
@@ -67,10 +79,12 @@ from pyspark.sql.types import (
     BooleanType,
     ByteType,
     DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     ShortType,
     StringType,
     StructType,
@@ -99,51 +113,114 @@ _LOGICAL = {
 }
 
 
-def _field_kinds(schema: StructType) -> list[tuple[str, str, str | None]]:
-    """(name, kind, item_kind) per field; kind 'array' carries the item."""
-    out = []
-    for f in schema.fields:
-        t = type(f.dataType)
-        if t in _PRIMS:
-            out.append((f.name, _PRIMS[t], None))
-        elif t in _LOGICAL:
-            out.append((f.name, _LOGICAL[t], None))
-        elif t is ArrayType:
-            it = type(f.dataType.elementType)
-            if it not in _PRIMS:
-                raise NotImplementedError(
-                    f"avro sink: unsupported array element type "
-                    f"{f.dataType.elementType} for field {f.name!r}"
-                )
-            out.append((f.name, "array", _PRIMS[it]))
-        else:
+def _spark_type_desc(dt, fieldpath: str):
+    """Recursive type DESCRIPTOR ``(kind, extra)`` for one Spark type.
+
+    kind is a wire-level tag; extra depends on it:
+      prims/temporals  -> None
+      'decimal'        -> (precision, scale)          (bytes wire)
+      'array'          -> (elem_desc, elem_nullable)
+      'map'            -> (value_desc, value_nullable) (string keys)
+      'record'         -> [(name, desc, nullable), ...]
+    """
+    t = type(dt)
+    if t in _PRIMS:
+        return (_PRIMS[t], None)
+    if t in _LOGICAL:
+        return (_LOGICAL[t], None)
+    if t is DecimalType:
+        return ("decimal", (dt.precision, dt.scale))
+    if t is ArrayType:
+        return (
+            "array",
+            (_spark_type_desc(dt.elementType, fieldpath + "_item"), dt.containsNull),
+        )
+    if t is MapType:
+        if type(dt.keyType) is not StringType:
             raise NotImplementedError(
-                f"avro sink: unsupported type {f.dataType} for field {f.name!r}"
+                f"avro: map keys must be strings (avro maps are string-keyed); "
+                f"field {fieldpath!r} has key type {dt.keyType}"
             )
-    return out
+        return (
+            "map",
+            (_spark_type_desc(dt.valueType, fieldpath + "_value"),
+             dt.valueContainsNull),
+        )
+    if t is StructType:
+        return (
+            "record",
+            [
+                (f.name, _spark_type_desc(f.dataType, fieldpath + "_" + f.name),
+                 f.nullable)
+                for f in dt.fields
+            ],
+        )
+    raise NotImplementedError(
+        f"avro: unsupported type {dt} for field {fieldpath!r}"
+    )
 
 
-def _avro_schema_json(kinds: list[tuple[str, str, str | None]], name: str) -> str:
-    def t(kind, item):
-        if kind == "array":
-            base = {"type": "array", "items": item}
-        elif kind == "ts-micros":
-            base = {"type": "long", "logicalType": "timestamp-micros"}
-        elif kind == "ts-ntz-micros":
-            base = {"type": "long", "logicalType": "local-timestamp-micros"}
-        elif kind == "date":
-            base = {"type": "int", "logicalType": "date"}
-        else:
-            base = kind
-        return ["null", base]  # every Spark field is nullable
+def _field_kinds(schema: StructType) -> list[tuple[str, tuple]]:
+    """[(name, desc)] per top-level field (descs per _spark_type_desc)."""
+    return [(f.name, _spark_type_desc(f.dataType, f.name)) for f in schema.fields]
 
+
+def _safe_avro_name(path: str) -> str:
+    """Avro names must match [A-Za-z_][A-Za-z0-9_]*."""
+    s = _re.sub(r"[^A-Za-z0-9_]", "_", path)
+    return s if s and not s[0].isdigit() else "_" + s
+
+
+def _avro_type_json(desc, path: str):
+    """Avro JSON schema node for one descriptor (recursive)."""
+    kind, extra = desc
+    if kind == "ts-micros":
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if kind == "ts-ntz-micros":
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
+    if kind == "date":
+        return {"type": "int", "logicalType": "date"}
+    if kind == "decimal":
+        prec, scale = extra
+        return {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": prec, "scale": scale,
+        }
+    if kind == "array":
+        edesc, enull = extra
+        items = _avro_type_json(edesc, path + "_item")
+        return {"type": "array", "items": ["null", items] if enull else items}
+    if kind == "map":
+        vdesc, vnull = extra
+        values = _avro_type_json(vdesc, path + "_value")
+        return {"type": "map", "values": ["null", values] if vnull else values}
+    if kind == "record":
+        fields = []
+        for n, d, nullable in extra:
+            tj = _avro_type_json(d, path + "_" + n)
+            if nullable:
+                fields.append({"name": n, "type": ["null", tj], "default": None})
+            else:
+                fields.append({"name": n, "type": tj})
+        return {
+            "type": "record",
+            "name": _safe_avro_name("r_" + path),
+            "fields": fields,
+        }
+    return kind  # plain primitive
+
+
+def _avro_schema_json(kinds: list[tuple[str, tuple]], name: str) -> str:
     return json.dumps(
         {
             "type": "record",
             "name": name,
             "fields": [
-                {"name": n, "type": t(k, i), "default": None}
-                for n, k, i in kinds
+                # every TOP-LEVEL Spark column is nullable on the wire
+                # (unchanged from the pre-complex-type format)
+                {"name": n, "type": ["null", _avro_type_json(d, n)],
+                 "default": None}
+                for n, d in kinds
             ],
         }
     )
@@ -154,6 +231,7 @@ def _make_avro_codec():
     ships them by value; workers never import this module — the
     `_make_bpe_greedy_encode` factory discipline from operators/corpus.py)."""
 
+    import decimal as _decimal
     import struct
     import zlib
     from datetime import date as _date
@@ -174,10 +252,25 @@ def _make_avro_codec():
         out.append(u)
         return bytes(out)
 
-    def enc_value(kind, v, buf):
-        # ts/date reach here already as int micros/days (arrow cast)
-        if kind in ("long", "ts-micros", "ts-ntz-micros", "date"):
+    def enc_any(kind, extra, v, buf):
+        # top-level ts/date reach here as int micros/days (arrow cast);
+        # NESTED temporals arrive as datetime/date objects from
+        # Arrow's to_pylist — both are accepted
+        if kind == "long":
             buf += zz(int(v))
+        elif kind in ("ts-micros", "ts-ntz-micros"):
+            if isinstance(v, int):
+                buf += zz(v)
+            else:  # exact: timedelta holds days/seconds/micros integrally
+                epoch = _EPOCH_UTC if v.tzinfo is not None else _EPOCH_NAIVE
+                td = v - epoch
+                buf += zz(
+                    td.days * 86_400_000_000
+                    + td.seconds * 1_000_000
+                    + td.microseconds
+                )
+        elif kind == "date":
+            buf += zz(v if isinstance(v, int) else (v - _EPOCH_DATE).days)
         elif kind == "double":
             buf += struct.pack("<d", float(v))
         elif kind == "float":
@@ -190,24 +283,80 @@ def _make_avro_codec():
             buf += zz(len(b)) + b
         elif kind == "boolean":
             buf += b"\x01" if v else b"\x00"
+        elif kind == "decimal":
+            # unscaled two's-complement big-endian bytes (avro spec)
+            _, scale = extra
+            with _decimal.localcontext() as ctx:
+                ctx.prec = 78  # > max DecimalType precision (38) + scale
+                unscaled = int(v.scaleb(scale))
+            raw = unscaled.to_bytes(
+                max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+            )
+            buf += zz(len(raw)) + raw
+        elif kind == "array":
+            (ekind, eextra), enull = extra
+            vals = list(v)
+            if vals:
+                buf += zz(len(vals))
+                for x in vals:
+                    if enull:
+                        if x is None:
+                            buf += zz(0)
+                            continue
+                        buf += zz(1)
+                    elif x is None:
+                        raise ValueError(
+                            "avro sink: null array element in a "
+                            "containsNull=false column"
+                        )
+                    enc_any(ekind, eextra, x, buf)
+            buf += zz(0)
+        elif kind == "map":
+            (vkind, vextra), vnull = extra
+            items = list(v.items()) if isinstance(v, dict) else list(v)
+            if items:
+                buf += zz(len(items))
+                for k, x in items:
+                    kb = k.encode("utf-8")
+                    buf += zz(len(kb)) + kb
+                    if vnull:
+                        if x is None:
+                            buf += zz(0)
+                            continue
+                        buf += zz(1)
+                    elif x is None:
+                        raise ValueError(
+                            "avro sink: null map value in a "
+                            "valueContainsNull=false column"
+                        )
+                    enc_any(vkind, vextra, x, buf)
+            buf += zz(0)
+        elif kind == "record":
+            # v is a dict (arrow to_pylist) or a positional tuple/Row
+            by_name = isinstance(v, dict)
+            for i, (fname, (fkind, fextra), fnull) in enumerate(extra):
+                x = v.get(fname) if by_name else v[i]
+                if fnull:
+                    if x is None:
+                        buf += zz(0)
+                        continue
+                    buf += zz(1)
+                elif x is None:
+                    raise ValueError(
+                        f"avro sink: null in non-nullable struct field "
+                        f"{fname!r}"
+                    )
+                enc_any(fkind, fextra, x, buf)
         else:
             raise ValueError(f"bad kind {kind}")
 
     def enc_row(kinds, row, buf):
-        for (name, kind, item), v in zip(kinds, row):
+        for (name, (kind, extra)), v in zip(kinds, row):
             if v is None:
                 buf += zz(0)  # union branch 0 = null
                 continue
             buf += zz(1)  # union branch 1 = value
-            if kind == "array":
-                vals = list(v)
-                if vals:
-                    buf += zz(len(vals))
-                    for x in vals:
-                        enc_value(item, x, buf)
-                buf += zz(0)
-            else:
-                enc_value(kind, v, buf)
+            enc_any(kind, extra, v, buf)
 
     def header(schema_json, sync, codec="null"):
         buf = bytearray(b"Obj\x01")
@@ -370,7 +519,13 @@ def _make_avro_codec():
             shift += 7
         return (u >> 1) ^ -(u & 1), pos
 
-    def rd_value(kind, mv, pos):
+    def rd_any(kind, extra, mv, pos):
+        """Decode one value of a RESOLVED descriptor.  Complex extras:
+        'array'/'map' -> (item_rdesc, item_mode); 'record' ->
+        ([(rdesc, mode, slot)], nslots) with slot -1 for file fields
+        the caller did not request (bytes still consumed); 'enum' ->
+        symbols tuple (decodes to the symbol string); 'fixed' -> size;
+        'decimal' -> (wire, size, scale)."""
         if kind == "long":
             return rd_long(mv, pos)
         if kind == "double":
@@ -398,43 +553,89 @@ def _make_avro_codec():
         if kind == "date":
             days, pos = rd_long(mv, pos)
             return _EPOCH_DATE + _timedelta(days=days), pos
-        raise ValueError(f"bad kind {kind}")
-
-    def rd_row(plan, nsel, mv, pos):
-        """Decode one record per the FILE's schema plan, projecting into
-        `nsel` output slots.  plan rows: (kind, item_kind, mode, slot) —
-        mode is 'plain' (non-nullable), 'null0' (["null",T]), or 'null1'
-        ([T,"null"]); slot is the output index, or -1 for a file field
-        the caller did not request (its bytes are still consumed —
-        Avro rows have no per-field offsets)."""
-        row = [None] * nsel
-        for kind, item, mode, slot in plan:
-            if mode == "plain":
-                is_null = False
+        if kind == "enum":
+            i, pos = rd_long(mv, pos)
+            return extra[i], pos
+        if kind == "fixed":
+            return bytes(mv[pos : pos + extra]), pos + extra
+        if kind == "decimal":
+            wire, size, scale = extra
+            if wire == "fixed":
+                raw = bytes(mv[pos : pos + size])
+                pos += size
             else:
-                branch, pos = rd_long(mv, pos)
-                is_null = (branch == 0) if mode == "null0" else (branch == 1)
-            if is_null:
-                continue
-            if kind == "array":
-                vals = []
-                while True:
-                    n, pos = rd_long(mv, pos)
-                    if n == 0:
-                        break
-                    if n < 0:  # block with byte-size prefix
-                        n = -n
-                        _, pos = rd_long(mv, pos)
-                    for _ in range(n):
-                        v, pos = rd_value(item, mv, pos)
-                        vals.append(v)
-                if slot >= 0:
-                    row[slot] = vals
-            else:
-                v, pos = rd_value(kind, mv, pos)
+                n, pos = rd_long(mv, pos)
+                raw = bytes(mv[pos : pos + n])
+                pos += n
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            with _decimal.localcontext() as ctx:
+                ctx.prec = 78
+                return _decimal.Decimal(unscaled).scaleb(-scale), pos
+        if kind == "array":
+            (ik, ie), imode = extra
+            vals = []
+            while True:
+                n, pos = rd_long(mv, pos)
+                if n == 0:
+                    break
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _, pos = rd_long(mv, pos)
+                for _ in range(n):
+                    v, pos = rd_nullable(ik, ie, imode, mv, pos)
+                    vals.append(v)
+            return vals, pos
+        if kind == "map":
+            (vk, ve), vmode = extra
+            out = {}
+            while True:
+                n, pos = rd_long(mv, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    _, pos = rd_long(mv, pos)
+                for _ in range(n):
+                    kl, pos = rd_long(mv, pos)
+                    key = bytes(mv[pos : pos + kl]).decode("utf-8")
+                    pos += kl
+                    out[key], pos = rd_nullable(vk, ve, vmode, mv, pos)
+            return out, pos
+        if kind == "record":
+            plan, nslots = extra
+            row = [None] * nslots
+            for (fk, fe), mode, slot in plan:
+                if mode == "plain":
+                    is_null = False
+                else:
+                    branch, pos = rd_long(mv, pos)
+                    is_null = (branch == 0) if mode == "null0" else (branch == 1)
+                if is_null:
+                    continue
+                v, pos = rd_any(fk, fe, mv, pos)
                 if slot >= 0:
                     row[slot] = v
-        return row, pos
+            return tuple(row), pos
+        raise ValueError(f"bad kind {kind}")
+
+    def rd_nullable(kind, extra, mode, mv, pos):
+        """One possibly-union-wrapped value (mode 'plain'/'null0'/'null1')."""
+        if mode != "plain":
+            branch, pos = rd_long(mv, pos)
+            if (branch == 0) if mode == "null0" else (branch == 1):
+                return None, pos
+        return rd_any(kind, extra, mv, pos)
+
+    def rd_row(plan, nsel, mv, pos):
+        """Decode one top-level record per the FILE's schema plan,
+        projecting into `nsel` output slots.  plan rows:
+        ((kind, extra), mode, slot) — mode is 'plain' (non-nullable),
+        'null0' (["null",T]), or 'null1' ([T,"null"]); slot is the
+        output index, or -1 for a file field the caller did not request
+        (its bytes are still consumed — Avro rows have no per-field
+        offsets)."""
+        v, pos = rd_any("record", (plan, nsel), mv, pos)
+        return list(v), pos
 
     # -- streaming file-handle primitives (header parse + block scan) --
 
@@ -479,8 +680,24 @@ def _make_avro_codec():
         sync = fh.read(16)
         return codec_s, schema_raw.decode("utf-8"), sync, fh.tell()
 
-    def _avro_type_to_kind(t):
-        """Map one (non-union) avro schema type to our kind tag."""
+    def _split_union(t, where):
+        """(non-null type, mode) for a possibly-union schema node."""
+        if not isinstance(t, list):
+            return t, "plain"
+        if len(t) == 2 and "null" in t:
+            ni = t.index("null")
+            return t[1 - ni], ("null0" if ni == 0 else "null1")
+        raise NotImplementedError(
+            f"avro: unsupported union {t} at {where!r} "
+            f"(only 2-branch null unions)"
+        )
+
+    def _avro_type_to_desc(t, where):
+        """Recursive FILE-side descriptor (kind, extra) for one
+        (non-union) avro schema node.  Complex extras: 'array'/'map' ->
+        (item_desc, item_mode); 'record' -> [(name, desc, mode)];
+        'enum' -> symbols tuple; 'fixed' -> size; 'decimal' ->
+        (wire, size, precision, scale)."""
         prims = {
             "long": "long", "int": "long", "double": "double",
             "float": "float", "string": "string", "bytes": "bytes",
@@ -488,64 +705,74 @@ def _make_avro_codec():
         }
         if isinstance(t, str):
             if t in prims:
-                return prims[t], None
-            raise NotImplementedError(f"avro type {t!r} not supported")
+                return (prims[t], None)
+            raise NotImplementedError(
+                f"avro type {t!r} at {where!r} not supported "
+                f"(named-type references are not resolved)"
+            )
         if isinstance(t, dict):
+            base = t.get("type")
             lt = t.get("logicalType")
             if lt == "timestamp-micros":
-                return "ts-micros", None
+                return ("ts-micros", None)
             if lt == "local-timestamp-micros":
-                return "ts-ntz-micros", None
+                return ("ts-ntz-micros", None)
             if lt == "timestamp-millis":
-                return "ts-millis", None
+                return ("ts-millis", None)
             if lt == "local-timestamp-millis":
-                return "ts-ntz-millis", None
+                return ("ts-ntz-millis", None)
             if lt == "date":
-                return "date", None
-            if t.get("type") == "array":
-                it = t["items"]
-                if isinstance(it, dict) and "logicalType" not in it:
-                    it = it.get("type")
-                ik, sub = _avro_type_to_kind(it)
-                if sub is not None or ik == "array":
-                    raise NotImplementedError("avro: nested arrays not supported")
-                return "array", ik
-            if t.get("type") in prims or "logicalType" in t:
+                return ("date", None)
+            if lt == "decimal" and base in ("bytes", "fixed"):
+                return ("decimal", (
+                    base, t.get("size"), t.get("precision"), t.get("scale", 0),
+                ))
+            if base == "array":
+                it, imode = _split_union(t["items"], where + ".items")
+                return ("array", (_avro_type_to_desc(it, where + ".items"), imode))
+            if base == "map":
+                vt, vmode = _split_union(t["values"], where + ".values")
+                return ("map", (_avro_type_to_desc(vt, where + ".values"), vmode))
+            if base == "record":
+                fields = []
+                for f in t.get("fields", []):
+                    ft, fmode = _split_union(
+                        f["type"], where + "." + f["name"]
+                    )
+                    fields.append((
+                        f["name"],
+                        _avro_type_to_desc(ft, where + "." + f["name"]),
+                        fmode,
+                    ))
+                return ("record", fields)
+            if base == "enum":
+                return ("enum", tuple(t["symbols"]))
+            if base == "fixed":
+                return ("fixed", int(t["size"]))
+            if base in prims:
                 # dict-wrapped primitive (unknown logical types fall back
                 # to their base wire type, per the avro spec)
-                base = t.get("type")
-                if base in prims:
-                    return prims[base], None
-            raise NotImplementedError(f"avro type {t!r} not supported")
-        raise NotImplementedError(f"avro type {t!r} not supported")
+                return (prims[base], None)
+            raise NotImplementedError(
+                f"avro type {t!r} at {where!r} not supported"
+            )
+        raise NotImplementedError(f"avro type {t!r} at {where!r} not supported")
 
     def kinds_from_schema_json(schema_json):
-        """FILE-schema decode plan: [(name, kind, item_kind, mode)] where
-        mode records nullability + union null-branch index ('plain',
-        'null0', 'null1').  This is what makes foreign containers —
-        arbitrary field order, [T,"null"] unions, non-nullable fields —
-        decode correctly instead of per the caller's requested layout."""
+        """FILE-schema decode plan: [(name, desc, mode)] where mode
+        records nullability + union null-branch index ('plain', 'null0',
+        'null1') and desc is the recursive (kind, extra) descriptor.
+        This is what makes foreign containers — arbitrary field order,
+        [T,"null"] unions, non-nullable fields, nested records, maps,
+        enums, fixed, decimals — decode correctly instead of per the
+        caller's requested layout."""
         import json as _json
 
         sch = _json.loads(schema_json)
         if not isinstance(sch, dict) or sch.get("type") != "record":
             raise NotImplementedError("avro: top-level schema must be a record")
-        out = []
-        for f in sch.get("fields", []):
-            t = f["type"]
-            mode = "plain"
-            if isinstance(t, list):
-                if len(t) == 2 and "null" in t:
-                    ni = t.index("null")
-                    mode = "null0" if ni == 0 else "null1"
-                    t = t[1 - ni]
-                else:
-                    raise NotImplementedError(
-                        f"avro: unsupported union {t} for field {f['name']!r}"
-                    )
-            kind, item = _avro_type_to_kind(t)
-            out.append((f["name"], kind, item, mode))
-        return out
+        desc = _avro_type_to_desc(sch, "<root>")
+        return [(n, d, m) for n, d, m in desc[1]]
 
     def _validate_anchor(fh, anchor, sync, filesize):
         """True iff a well-formed block starts at `anchor`: positive row
@@ -697,10 +924,12 @@ def to_avro(
     zz, enc_row, header, compress = (
         cdc["zz"], cdc["enc_row"], cdc["header"], cdc["compress"],
     )
-    # temporal columns: have Arrow hand us the raw int micros/days —
-    # exact, tz-free, and ~free (a metadata-only cast)
+    # TOP-LEVEL temporal columns: have Arrow hand us the raw int
+    # micros/days — exact, tz-free, and ~free (a metadata-only cast).
+    # Nested temporals (inside structs/arrays/maps) arrive as
+    # datetime/date objects from to_pylist; enc_any handles both.
     cast_kinds = {"ts-micros": "int64", "ts-ntz-micros": "int64", "date": "int32"}
-    casts = [cast_kinds.get(k) for _, k, _ in kinds]
+    casts = [cast_kinds.get(k) for _, (k, _) in kinds]
 
     def write_partition(batches):
         import hashlib
@@ -771,11 +1000,14 @@ def read_avro(
     writer schema (parsed from the container header) and projects the
     requested columns by NAME — so foreign containers with a different
     field order, ``[T, "null"]`` union order, non-nullable fields,
-    extra fields (consumed and dropped), or ``timestamp-millis``
-    temporals (promoted to the requested micros class, as are int →
-    long and float → double) all read correctly.  A requested field
-    missing from a file, or present with an incompatible type, raises
-    a ValueError naming the field and both types.
+    extra fields (consumed and dropped — even complex ones), or
+    ``timestamp-millis`` temporals (promoted to the requested micros
+    class, as are int → long, float → double, enum → string, fixed →
+    binary, decimal-on-fixed → the requested DecimalType) all read
+    correctly; nested records resolve RECURSIVELY by name with the
+    same promotions.  A requested field missing from a file, or
+    present with an incompatible type (including a decimal scale
+    mismatch), raises a ValueError naming the field and both types.
     An empty directory (e.g. the round-trip of an all-empty frame)
     yields an empty DataFrame, not an executor error.  The directory
     listing assumes a local POSIX filesystem (true in this image)."""
@@ -807,50 +1039,102 @@ def read_avro(
         "double": ("double", "float"),
         "float": ("float",),
         "long": ("long",),
-        "string": ("string",),
-        "bytes": ("bytes",),
+        "string": ("string", "enum"),
+        "bytes": ("bytes", "fixed"),
         "boolean": ("boolean",),
         "ts-micros": _TS_KINDS,
         "ts-ntz-micros": _TS_KINDS,
         "date": ("date",),
+        "decimal": ("decimal",),
+        "array": ("array",),
+        "map": ("map",),
+        "record": ("record",),
     }
 
-    def _resolve_plan(file_kinds, fname):
-        """Project the FILE's decode order onto the requested columns:
-        every file field is decoded (rows have no per-field offsets),
-        requested fields land in their output slot, extras are consumed
-        and dropped.  Raises loudly on missing/incompatible fields."""
-        slot_of = {}
-        for i, (name, kind, item) in enumerate(kinds):
-            slot_of[name] = (i, kind, item)
-        plan, seen = [], set()
-        for name, fkind, fitem, mode in file_kinds:
-            if name not in slot_of:
-                plan.append((fkind, fitem, mode, -1))
-                continue
-            i, rkind, ritem = slot_of[name]
-            seen.add(name)
-            if rkind == "array":
-                ok = fkind == "array" and fitem in _COMPAT.get(ritem, ())
-            else:
-                ok = fkind in _COMPAT.get(rkind, ())
-            if not ok:
-                raise ValueError(
-                    f"read_avro: field {name!r} in {fname} has avro kind "
-                    f"{fkind!r}{f'<{fitem}>' if fitem else ''}, incompatible "
-                    f"with requested {rkind!r}"
-                )
-            if rkind in ("ts-micros", "ts-ntz-micros"):
-                # unit from the file, awareness from the request
-                unit = "millis" if fkind.endswith("millis") else "micros"
-                fkind = ("ts-ntz-" if rkind == "ts-ntz-micros" else "ts-") + unit
-            plan.append((fkind, fitem, mode, i))
-        missing = [n for n, _, _ in kinds if n not in seen]
-        if missing:
+    def _identity_desc(fdesc):
+        """Decode desc for a file field the caller did NOT request —
+        its bytes must still be consumed (rows have no per-field
+        offsets), so decode fully and discard (record slots all -1)."""
+        fkind, fextra = fdesc
+        if fkind in ("array", "map"):
+            idesc, imode = fextra
+            return (fkind, (_identity_desc(idesc), imode))
+        if fkind == "record":
+            return ("record", (
+                [(_identity_desc(d), m, -1) for _, d, m in fextra], 0,
+            ))
+        if fkind == "decimal":
+            wire, size, _prec, scale = fextra
+            return ("decimal", (wire, size, scale))
+        return (fkind, fextra)
+
+    def _resolve_desc(rdesc, fdesc, where, fname):
+        """Recursive avro schema resolution: the RESOLVED decode desc
+        for a requested desc against the file's desc — promotions
+        (int→long, float→double, millis→the requested micros class,
+        enum→string, fixed→bytes), by-name nested-record projection
+        (extra file fields consumed and dropped), and loud errors on
+        missing/incompatible fields."""
+        rkind, rextra = rdesc
+        fkind, fextra = fdesc
+        if fkind not in _COMPAT.get(rkind, ()):
             raise ValueError(
-                f"read_avro: fields {missing} not present in {fname} "
-                f"(file has {[n for n, *_ in file_kinds]})"
+                f"read_avro: field {where!r} in {fname} has avro kind "
+                f"{fkind!r}, incompatible with requested {rkind!r}"
             )
+        if rkind in ("ts-micros", "ts-ntz-micros"):
+            # unit from the file, awareness from the request
+            unit = "millis" if fkind.endswith("millis") else "micros"
+            return (("ts-ntz-" if rkind == "ts-ntz-micros" else "ts-") + unit,
+                    None)
+        if rkind == "decimal":
+            rprec, rscale = rextra
+            wire, size, fprec, fscale = fextra
+            if fscale != rscale or (fprec or 0) > rprec:
+                raise ValueError(
+                    f"read_avro: field {where!r} in {fname} is "
+                    f"decimal({fprec},{fscale}), incompatible with "
+                    f"requested decimal({rprec},{rscale}) (scales must "
+                    f"match; file precision must fit)"
+                )
+            return ("decimal", (wire, size, fscale))
+        if rkind in ("array", "map"):
+            (ridesc, _rnull) = rextra
+            fidesc, fimode = fextra
+            sub = "items" if rkind == "array" else "values"
+            return (rkind, (
+                _resolve_desc(ridesc, fidesc, f"{where}.{sub}", fname), fimode,
+            ))
+        if rkind == "record":
+            slot_of = {n: (i, d) for i, (n, d, _null) in enumerate(rextra)}
+            plan, seen = [], set()
+            for n, d, m in fextra:
+                if n not in slot_of:
+                    plan.append((_identity_desc(d), m, -1))
+                    continue
+                i, rd = slot_of[n]
+                seen.add(n)
+                plan.append((
+                    _resolve_desc(rd, d, f"{where}.{n}", fname), m, i,
+                ))
+            missing = [n for n, _, _null in rextra if n not in seen]
+            if missing:
+                raise ValueError(
+                    f"read_avro: fields {missing} of {where!r} not present "
+                    f"in {fname} (file has {[n for n, _, _m in fextra]})"
+                )
+            return ("record", (plan, len(rextra)))
+        return (fkind, fextra)  # prims incl. enum/fixed promotions
+
+    def _resolve_plan(file_kinds, fname):
+        """Project the FILE's decode order onto the requested top-level
+        columns (see _resolve_desc).  Returns the rd_row plan:
+        [((kind, extra), mode, slot)]."""
+        _, (plan, _n) = _resolve_desc(
+            ("record", [(n, d, True) for n, d in kinds]),
+            ("record", list(file_kinds)),
+            "<row>", fname,
+        )
         return plan
     files = sorted(
         os.path.join(path, f)

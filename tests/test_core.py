@@ -746,6 +746,203 @@ def test_avro_projection_of_own_files(spark, tmp_path):
     assert (got.si, got.sv) == (4950, 9900.0)
 
 
+def test_avro_complex_types_roundtrip_and_jvm(spark, tmp_path):
+    """Full-spec complex types through the pure-Python sink+source
+    (round-12 extension of the r11-'partial' component, ref surface
+    ``read_avro``/``to_avro`` src/dask_obj/core.py:6,45-47): nested
+    records (incl. a nested TimestampType — datetime path, not the
+    top-level Arrow int cast), string-keyed maps, arrays with null
+    elements, DecimalType → bytes+decimal logical type, and
+    array<struct>.  Round-trips exactly (nulls at every level), splits
+    still work (tiny split_bytes), and the bytes are validated by the
+    canonical JVM DataFileReader — including the decimal's unscaled
+    big-endian two's-complement and the union-wrapped nested fields."""
+    import datetime
+    import decimal
+    import os
+
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType, DecimalType, DoubleType, LongType, MapType, StringType,
+        StructField, StructType, TimestampType,
+    )
+
+    from dask_obj_spark.sources import read_avro, to_avro
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("s", StructType([
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("ts", TimestampType()),
+        ])),
+        StructField("m", MapType(StringType(), LongType())),
+        StructField("arr", ArrayType(LongType(), containsNull=True)),
+        StructField("dec", DecimalType(10, 2)),
+        StructField("aos", ArrayType(StructType([
+            StructField("x", DoubleType()),
+        ]))),
+    ])
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    rows = [
+        (1, (10, "hi", ts), {"k1": 1, "k2": None}, [1, None, 3],
+         decimal.Decimal("123.45"), [(1.5,), (2.5,)]),
+        (2, None, {}, [], decimal.Decimal("-0.01"), None),
+        (3, (None, "x", None), None, None, None, [(0.0,)]),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    path = str(tmp_path / "avro_complex")
+    to_avro(df, path, codec="deflate", block_rows=2)
+
+    for kwargs in ({}, {"split_bytes": 256}):
+        back = read_avro(spark, path, schema, **kwargs)
+        got = sorted((r.asDict(True) for r in back.collect()),
+                     key=lambda r: r["id"])
+        exp = sorted((r.asDict(True) for r in df.collect()),
+                     key=lambda r: r["id"])
+        assert got == exp
+
+    # nested projection: a sub-struct field dropped, map still resolved
+    sub = read_avro(spark, path, "id long, s struct<b: string>")
+    got = {r.id: (r.s.b if r.s is not None else None)
+           for r in sub.collect()}
+    assert got == {1: "hi", 2: None, 3: "x"}
+
+    # gold standard: the canonical JVM reader decodes the same files
+    jvm = spark._jvm
+    seen = {}
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".avro"):
+            continue
+        rd = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(path, f)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert rd.getMetaString("avro.codec") == "deflate"
+        while rd.hasNext():
+            rec = rd.next()
+            seen[int(str(rec.get("id")))] = rec
+        rd.close()
+    assert sorted(seen) == [1, 2, 3]
+    r1 = seen[1]
+    assert str(r1.get("s").get("b")) == "hi"
+    assert int(str(r1.get("s").get("ts"))) == 1704164645123456  # micros
+    # decimal 123.45 → unscaled 12345 → big-endian bytes 0x30 0x39
+    buf = r1.get("dec")
+    raw = bytes(buf.array()[buf.position():buf.limit()])
+    assert int.from_bytes(raw, "big", signed=True) == 12345
+    assert [float(str(e.get("x"))) for e in r1.get("aos")] == [1.5, 2.5]
+    m1 = {str(k): r1.get("m").get(k) for k in r1.get("m").keySet()}
+    assert m1 == {"k1": 1, "k2": None}
+    buf2 = seen[2].get("dec")
+    raw2 = bytes(buf2.array()[buf2.position():buf2.limit()])
+    assert int.from_bytes(raw2, "big", signed=True) == -1  # -0.01
+
+    # loud failures, not silent garbage
+    with pytest.raises(NotImplementedError, match="string-keyed"):
+        to_avro(
+            spark.createDataFrame(
+                [(1, {2: "x"})], "id long, bad map<int, string>"
+            ),
+            str(tmp_path / "badmap"),
+        )
+    with pytest.raises(Exception, match="decimal.*incompatible|incompatible.*decimal|scales must match"):
+        read_avro(spark, path, "id long, dec decimal(10,3)").collect()
+
+
+def test_avro_foreign_complex_types_resolution(spark, tmp_path):
+    """Foreign containers with avro types Spark LACKS resolve onto
+    Spark types per the spec's promotions: enum → string, fixed →
+    binary, decimal on BOTH wire types (bytes and fixed), uuid → its
+    base string, a nested record with different field order + an extra
+    nested field + a [T,\"null\"] union, a plain (non-nullable-value)
+    map, and an UNREQUESTED array<record> column whose bytes must be
+    consumed and dropped.  Written by the canonical JVM avro library."""
+    import json
+    import os
+
+    from dask_obj_spark.sources import read_avro
+
+    jvm = spark._jvm
+    schema_json = json.dumps({
+        "type": "record", "name": "foreign", "fields": [
+            {"name": "color", "type": {
+                "type": "enum", "name": "Color",
+                "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+            {"name": "price", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 9, "scale": 2}},
+            {"name": "price_f", "type": {
+                "type": "fixed", "name": "PF", "size": 5,
+                "logicalType": "decimal", "precision": 11, "scale": 3}},
+            {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "N", "fields": [
+                    {"name": "extra", "type": "int"},
+                    {"name": "b", "type": ["string", "null"]},
+                    {"name": "a", "type": "long"}]}},
+            {"name": "tags", "type": {"type": "map", "values": "int"}},
+            {"name": "dropme", "type": {
+                "type": "array", "items": {
+                    "type": "record", "name": "D", "fields": [
+                        {"name": "z", "type": "double"}]}}},
+        ]})
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "foreign_complex")
+    os.makedirs(path)
+    wr = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    wr.create(sch, jvm.java.io.File(os.path.join(path, "f.avro")))
+    GD = jvm.org.apache.avro.generic.GenericData
+    BigDecimal = jvm.java.math.BigDecimal
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    for i in range(3):
+        rec = GD.Record(sch)
+        rec.put("color", GD.EnumSymbol(
+            sch.getField("color").schema(), ["RED", "GREEN", "BLUE"][i % 3]))
+        rec.put("fp", GD.Fixed(sch.getField("fp").schema(),
+                               bytes([i, 1, 2, 3])))
+        ps = sch.getField("price").schema()
+        rec.put("price", conv.toBytes(
+            BigDecimal.valueOf(i * 100 + 5, 2), ps, ps.getLogicalType()))
+        pf = sch.getField("price_f").schema()
+        rec.put("price_f", conv.toFixed(
+            BigDecimal.valueOf(-i * 1000 - 7, 3), pf, pf.getLogicalType()))
+        rec.put("uid", f"0000-{i}")
+        n = GD.Record(sch.getField("nested").schema())
+        n.put("extra", 99)
+        n.put("b", None if i == 1 else f"b{i}")
+        n.put("a", i * 10)
+        rec.put("nested", n)
+        m = jvm.java.util.HashMap()
+        m.put(f"k{i}", i)
+        rec.put("tags", m)
+        arr = jvm.java.util.ArrayList()
+        d = GD.Record(sch.getField("dropme").schema().getElementType())
+        d.put("z", 1.0)
+        arr.add(d)
+        rec.put("dropme", arr)
+        wr.append(rec)
+    wr.close()
+
+    import decimal
+    req = ("color string, fp binary, price decimal(9,2), "
+           "price_f decimal(12,3), uid string, "
+           "nested struct<a: long, b: string>, tags map<string, int>")
+    rows = sorted(read_avro(spark, path, req).collect(), key=lambda r: r.uid)
+    assert [r.color for r in rows] == ["RED", "GREEN", "BLUE"]
+    assert [r.fp for r in rows] == [bytes([i, 1, 2, 3]) for i in range(3)]
+    assert [r.price for r in rows] == [
+        decimal.Decimal(f"{i}.05") for i in range(3)]
+    assert [r.price_f for r in rows] == [
+        decimal.Decimal(f"-{i}.007") for i in range(3)]
+    assert [(r.nested.a, r.nested.b) for r in rows] == [
+        (0, "b0"), (10, None), (20, "b2")]
+    assert [r.tags for r in rows] == [{f"k{i}": i} for i in range(3)]
+
+
 def test_snappy_primitives_property_and_foreign_tags():
     """Property coverage for the pure-Python snappy primitives (no Spark
     needed): (a) hypothesis round-trip over adversarial byte strings —
