@@ -87,6 +87,7 @@ from pyspark.sql.types import (
     MapType,
     ShortType,
     StringType,
+    StructField,
     StructType,
     TimestampNTZType,
     TimestampType,
@@ -979,10 +980,47 @@ def to_avro(
     return stats
 
 
+def _spark_type_from_desc(desc):
+    """Spark DataType for one FILE-side descriptor — the INFERENCE
+    direction (schema=None), reversing _spark_type_desc with the
+    reader's promotions: enum → string, fixed → binary, int → long,
+    millis → the corresponding timestamp class."""
+    kind, extra = desc
+    scalars = {
+        "long": LongType, "double": DoubleType, "float": FloatType,
+        "string": StringType, "bytes": BinaryType, "boolean": BooleanType,
+        "enum": StringType, "date": DateType,
+    }
+    if kind in scalars:
+        return scalars[kind]()
+    if kind in ("ts-micros", "ts-millis"):
+        return TimestampType()
+    if kind in ("ts-ntz-micros", "ts-ntz-millis"):
+        return TimestampNTZType()
+    if kind == "fixed":
+        return BinaryType()
+    if kind == "decimal":
+        _wire, _size, prec, scale = extra
+        return DecimalType(min(prec or 38, 38), scale)
+    if kind == "array":
+        idesc, imode = extra
+        return ArrayType(_spark_type_from_desc(idesc), imode != "plain")
+    if kind == "map":
+        vdesc, vmode = extra
+        return MapType(StringType(), _spark_type_from_desc(vdesc),
+                       vmode != "plain")
+    if kind == "record":
+        return StructType([
+            StructField(n, _spark_type_from_desc(d), m != "plain")
+            for n, d, m in extra
+        ])
+    raise NotImplementedError(f"avro: cannot infer Spark type for {kind!r}")
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
-    schema: StructType | str,
+    schema: StructType | str | None = None,
     split_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Distributed Avro source without the connector jar: a Spark-4
@@ -993,8 +1031,12 @@ def read_avro(
     range, pattern-scan to the next 16-byte sync, own every block whose
     start offset falls inside [lo, hi).  A foreign multi-GB container
     therefore fans out across tasks instead of pinning one task + one
-    file of memory.  ``schema`` is required (DDL string or StructType)
-    — never inferred at plan time, so the scan stays a single pass.
+    file of memory.  ``schema`` is a DDL string or StructType; when
+    omitted (``None``, the dask ``read_avro`` calling convention) it is
+    INFERRED from the first file's writer schema — one ~KB header read
+    on the driver, so the data scan stays a single pass (enum → string,
+    fixed → binary, int → long, millis → the corresponding timestamp
+    class; per-file resolution still reconciles heterogeneous files).
 
     Schema RESOLUTION, per file: each task decodes per the FILE's own
     writer schema (parsed from the container header) and projects the
@@ -1014,14 +1056,33 @@ def read_avro(
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
     from pyspark.sql.types import _parse_datatype_string
 
-    st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
-    kinds = _field_kinds(st)
     # driver-side factory call → by-value pickling (see to_avro)
     cdc = _make_avro_codec()
     read_header, find_anchor, iter_block_rows, kinds_from_schema_json = (
         cdc["read_header"], cdc["find_anchor"], cdc["iter_block_rows"],
         cdc["kinds_from_schema_json"],
     )
+    if schema is None:
+        # dask's read_avro parity: infer from the data.  One ~KB header
+        # read of the first file on the DRIVER — still a single-pass
+        # scan (per-file resolution below reconciles the other files).
+        first = sorted(
+            f for f in os.listdir(path) if f.endswith(".avro")
+        )
+        if not first:
+            raise ValueError(
+                f"read_avro: schema=None requires at least one .avro "
+                f"file in {path!r} to infer from"
+            )
+        with open(os.path.join(path, first[0]), "rb") as fh:
+            _codec, schema_json0, _sync, _hl = read_header(fh)
+        st = StructType([
+            StructField(n, _spark_type_from_desc(d), m != "plain")
+            for n, d, m in kinds_from_schema_json(schema_json0)
+        ])
+    else:
+        st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    kinds = _field_kinds(st)
 
     # requested kind per output slot; a file kind is accepted for a
     # requested kind per avro schema-resolution promotions (float→double,

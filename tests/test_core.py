@@ -942,6 +942,27 @@ def test_avro_foreign_complex_types_resolution(spark, tmp_path):
         (0, "b0"), (10, None), (20, "b2")]
     assert [r.tags for r in rows] == [{f"k{i}": i} for i in range(3)]
 
+    # schema=None (the dask read_avro calling convention): inferred
+    # from the file's writer schema — enum → string, fixed → binary,
+    # decimal(p,s) carried, nested record/map/array shapes rebuilt,
+    # int → long, and nullability from the union modes
+    inf = read_avro(spark, path)
+    dt = dict(inf.dtypes)
+    assert dt["color"] == "string" and dt["fp"] == "binary"
+    assert dt["price"] == "decimal(9,2)" and dt["price_f"] == "decimal(11,3)"
+    assert dt["nested"] == "struct<extra:bigint,b:string,a:bigint>"
+    assert dt["tags"] == "map<string,bigint>"
+    assert dt["dropme"] == "array<struct<z:double>>"
+    irows = sorted(inf.collect(), key=lambda r: r.uid)
+    assert [r.color for r in irows] == ["RED", "GREEN", "BLUE"]
+    assert [r.nested.extra for r in irows] == [99, 99, 99]
+    assert [r.dropme for r in irows] == [[(1.0,)]] * 3
+    import pytest
+    empty = tmp_path / "no_avro_files"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="at least one"):
+        read_avro(spark, str(empty))
+
 
 def test_snappy_primitives_property_and_foreign_tags():
     """Property coverage for the pure-Python snappy primitives (no Spark
