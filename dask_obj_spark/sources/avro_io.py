@@ -681,6 +681,8 @@ def _make_avro_codec():
         sync = fh.read(16)
         return codec_s, schema_raw.decode("utf-8"), sync, fh.tell()
 
+    _IN_PROGRESS = ("<in-progress>", None)  # named-type recursion guard
+
     def _split_union(t, where):
         """(non-null type, mode) for a possibly-union schema node."""
         if not isinstance(t, list):
@@ -693,23 +695,47 @@ def _make_avro_codec():
             f"(only 2-branch null unions)"
         )
 
-    def _avro_type_to_desc(t, where):
+    def _avro_type_to_desc(t, where, names=None, ns=""):
         """Recursive FILE-side descriptor (kind, extra) for one
         (non-union) avro schema node.  Complex extras: 'array'/'map' ->
         (item_desc, item_mode); 'record' -> [(name, desc, mode)];
         'enum' -> symbols tuple; 'fixed' -> size; 'decimal' ->
-        (wire, size, precision, scale)."""
+        (wire, size, precision, scale).  `names` registers defined
+        record/enum/fixed types by fullname so later string REFERENCES
+        to them resolve (namespace-aware: a bare reference resolves in
+        the enclosing namespace `ns` first, then as a fullname);
+        RECURSIVE references (a type reaching itself) raise — our
+        descs are finite trees."""
         prims = {
             "long": "long", "int": "long", "double": "double",
             "float": "float", "string": "string", "bytes": "bytes",
             "boolean": "boolean",
         }
+        if names is None:
+            names = {}
+
+        def _fullname(t, ns):
+            n = t["name"]
+            if "." in n:
+                return n
+            space = t.get("namespace", ns)
+            return f"{space}.{n}" if space else n
+
         if isinstance(t, str):
             if t in prims:
                 return (prims[t], None)
+            ref = names.get(f"{ns}.{t}" if ns and "." not in t else t,
+                            names.get(t))
+            if ref is _IN_PROGRESS:
+                raise NotImplementedError(
+                    f"avro type {t!r} at {where!r} is RECURSIVE "
+                    f"(self-referential schemas are not supported)"
+                )
+            if ref is not None:
+                return ref
             raise NotImplementedError(
                 f"avro type {t!r} at {where!r} not supported "
-                f"(named-type references are not resolved)"
+                f"(not a defined named type in this schema)"
             )
         if isinstance(t, dict):
             base = t.get("type")
@@ -725,16 +751,26 @@ def _make_avro_codec():
             if lt == "date":
                 return ("date", None)
             if lt == "decimal" and base in ("bytes", "fixed"):
-                return ("decimal", (
+                desc = ("decimal", (
                     base, t.get("size"), t.get("precision"), t.get("scale", 0),
                 ))
+                if base == "fixed":
+                    names[_fullname(t, ns)] = desc
+                return desc
             if base == "array":
                 it, imode = _split_union(t["items"], where + ".items")
-                return ("array", (_avro_type_to_desc(it, where + ".items"), imode))
+                return ("array", (
+                    _avro_type_to_desc(it, where + ".items", names, ns), imode,
+                ))
             if base == "map":
                 vt, vmode = _split_union(t["values"], where + ".values")
-                return ("map", (_avro_type_to_desc(vt, where + ".values"), vmode))
+                return ("map", (
+                    _avro_type_to_desc(vt, where + ".values", names, ns), vmode,
+                ))
             if base == "record":
+                fullname = _fullname(t, ns)
+                names[fullname] = _IN_PROGRESS  # recursion guard
+                sub_ns = fullname.rsplit(".", 1)[0] if "." in fullname else ""
                 fields = []
                 for f in t.get("fields", []):
                     ft, fmode = _split_union(
@@ -742,14 +778,22 @@ def _make_avro_codec():
                     )
                     fields.append((
                         f["name"],
-                        _avro_type_to_desc(ft, where + "." + f["name"]),
+                        _avro_type_to_desc(
+                            ft, where + "." + f["name"], names, sub_ns
+                        ),
                         fmode,
                     ))
-                return ("record", fields)
+                desc = ("record", fields)
+                names[fullname] = desc
+                return desc
             if base == "enum":
-                return ("enum", tuple(t["symbols"]))
+                desc = ("enum", tuple(t["symbols"]))
+                names[_fullname(t, ns)] = desc
+                return desc
             if base == "fixed":
-                return ("fixed", int(t["size"]))
+                desc = ("fixed", int(t["size"]))
+                names[_fullname(t, ns)] = desc
+                return desc
             if base in prims:
                 # dict-wrapped primitive (unknown logical types fall back
                 # to their base wire type, per the avro spec)

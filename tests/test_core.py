@@ -964,6 +964,55 @@ def test_avro_foreign_complex_types_resolution(spark, tmp_path):
         read_avro(spark, str(empty))
 
 
+def test_avro_named_type_references():
+    """Avro schemas may define a record/enum/fixed ONCE and reference it
+    by name elsewhere (bare name in the enclosing namespace, or
+    fullname) — the schema parser resolves such references to the same
+    descriptor; RECURSIVE schemas (a type reaching itself, e.g. a
+    linked list) raise NotImplementedError instead of looping.  Parser
+    level, no Spark session needed."""
+    import json
+
+    import pytest
+
+    from dask_obj_spark.sources.avro_io import _make_avro_codec
+
+    kfs = _make_avro_codec()["kinds_from_schema_json"]
+    sch = {
+        "type": "record", "name": "Top", "namespace": "com.x", "fields": [
+            {"name": "p1", "type": {
+                "type": "record", "name": "Point", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "y", "type": "double"}]}},
+            {"name": "p2", "type": "Point"},
+            {"name": "p3", "type": ["null", "com.x.Point"]},
+            {"name": "c", "type": {
+                "type": "enum", "name": "Color", "symbols": ["R", "G"]}},
+            {"name": "c2", "type": "Color"},
+            {"name": "h", "type": {"type": "fixed", "name": "H", "size": 2}},
+            {"name": "h2", "type": "com.x.H"},
+        ]}
+    out = {n: (d, m) for n, d, m in kfs(json.dumps(sch))}
+    point = ("record", [("x", ("double", None), "plain"),
+                        ("y", ("double", None), "plain")])
+    assert out["p1"] == (point, "plain")
+    assert out["p2"] == (point, "plain")
+    assert out["p3"] == (point, "null0")
+    assert out["c"] == out["c2"] == (("enum", ("R", "G")), "plain")
+    assert out["h"] == out["h2"] == (("fixed", 2), "plain")
+
+    recursive = {
+        "type": "record", "name": "LL", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "LL"]}]}
+    with pytest.raises(NotImplementedError, match="RECURSIVE"):
+        kfs(json.dumps(recursive))
+    with pytest.raises(NotImplementedError, match="not a defined named type"):
+        kfs(json.dumps({
+            "type": "record", "name": "B", "fields": [
+                {"name": "u", "type": "Undefined"}]}))
+
+
 def test_snappy_primitives_property_and_foreign_tags():
     """Property coverage for the pure-Python snappy primitives (no Spark
     needed): (a) hypothesis round-trip over adversarial byte strings —
