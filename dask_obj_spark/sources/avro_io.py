@@ -899,6 +899,125 @@ def _make_avro_codec():
                 )
             pos = fh.tell()
 
+    # ---- schema resolution (requested Spark-side descs vs the FILE's
+    # writer schema) ----
+    # a file kind is accepted for a requested kind per avro
+    # schema-resolution promotions (float→double, millis→the requested
+    # micros timestamp class, enum→string, fixed→bytes).  long→double
+    # is NOT accepted: the decoder would hand Spark a Python int in a
+    # double slot — read as long and cast instead.  Timestamps resolve
+    # ACROSS the instant/naive classes: the wire value is the same long
+    # either way, the UNIT (millis/micros) comes from the file, and the
+    # AWARENESS comes from the reader's declared type — exactly the
+    # interpretation contract Spark's session gives those columns
+    # (events.ts round-trips as TimestampType written / timestamp_ntz
+    # requested).
+
+    _TS_KINDS = ("ts-micros", "ts-millis", "ts-ntz-micros", "ts-ntz-millis")
+    _COMPAT = {
+        "double": ("double", "float"),
+        "float": ("float",),
+        "long": ("long",),
+        "string": ("string", "enum"),
+        "bytes": ("bytes", "fixed"),
+        "boolean": ("boolean",),
+        "ts-micros": _TS_KINDS,
+        "ts-ntz-micros": _TS_KINDS,
+        "date": ("date",),
+        "decimal": ("decimal",),
+        "array": ("array",),
+        "map": ("map",),
+        "record": ("record",),
+    }
+
+    def _identity_desc(fdesc):
+        """Decode desc for a file field the caller did NOT request —
+        its bytes must still be consumed (rows have no per-field
+        offsets), so decode fully and discard (record slots all -1)."""
+        fkind, fextra = fdesc
+        if fkind in ("array", "map"):
+            idesc, imode = fextra
+            return (fkind, (_identity_desc(idesc), imode))
+        if fkind == "record":
+            return ("record", (
+                [(_identity_desc(d), m, -1) for _, d, m in fextra], 0,
+            ))
+        if fkind == "decimal":
+            wire, size, _prec, scale = fextra
+            return ("decimal", (wire, size, scale))
+        return (fkind, fextra)
+
+    def _resolve_desc(rdesc, fdesc, where, fname):
+        """Recursive avro schema resolution: the RESOLVED decode desc
+        for a requested desc against the file's desc — promotions
+        (int→long, float→double, millis→the requested micros class,
+        enum→string, fixed→bytes), by-name nested-record projection
+        (extra file fields consumed and dropped), and loud errors on
+        missing/incompatible fields."""
+        rkind, rextra = rdesc
+        fkind, fextra = fdesc
+        if fkind not in _COMPAT.get(rkind, ()):
+            raise ValueError(
+                f"read_avro: field {where!r} in {fname} has avro kind "
+                f"{fkind!r}, incompatible with requested {rkind!r}"
+            )
+        if rkind in ("ts-micros", "ts-ntz-micros"):
+            # unit from the file, awareness from the request
+            unit = "millis" if fkind.endswith("millis") else "micros"
+            return (("ts-ntz-" if rkind == "ts-ntz-micros" else "ts-") + unit,
+                    None)
+        if rkind == "decimal":
+            rprec, rscale = rextra
+            wire, size, fprec, fscale = fextra
+            if fscale != rscale or (fprec or 0) > rprec:
+                raise ValueError(
+                    f"read_avro: field {where!r} in {fname} is "
+                    f"decimal({fprec},{fscale}), incompatible with "
+                    f"requested decimal({rprec},{rscale}) (scales must "
+                    f"match; file precision must fit)"
+                )
+            return ("decimal", (wire, size, fscale))
+        if rkind in ("array", "map"):
+            (ridesc, _rnull) = rextra
+            fidesc, fimode = fextra
+            sub = "items" if rkind == "array" else "values"
+            return (rkind, (
+                _resolve_desc(ridesc, fidesc, f"{where}.{sub}", fname), fimode,
+            ))
+        if rkind == "record":
+            slot_of = {n: (i, d) for i, (n, d, _null) in enumerate(rextra)}
+            plan, seen = [], set()
+            for n, d, m in fextra:
+                if n not in slot_of:
+                    plan.append((_identity_desc(d), m, -1))
+                    continue
+                i, rd = slot_of[n]
+                seen.add(n)
+                plan.append((
+                    _resolve_desc(rd, d, f"{where}.{n}", fname), m, i,
+                ))
+            missing = [n for n, _, _null in rextra if n not in seen]
+            if missing:
+                raise ValueError(
+                    f"read_avro: fields {missing} of {where!r} not present "
+                    f"in {fname} (file has {[n for n, _, _m in fextra]})"
+                )
+            return ("record", (plan, len(rextra)))
+        return (fkind, fextra)  # prims incl. enum/fixed promotions
+
+    def resolve_plan(req_kinds, file_kinds, fname):
+        """Project the FILE's decode order onto the requested top-level
+        columns (see _resolve_desc).  req_kinds: [(name, desc)] in the
+        requested output order; file_kinds: [(name, desc, mode)] from
+        kinds_from_schema_json.  Returns the rd_row plan:
+        [((kind, extra), mode, slot)]."""
+        _, (plan, _n) = _resolve_desc(
+            ("record", [(n, d, True) for n, d in req_kinds]),
+            ("record", list(file_kinds)),
+            "<row>", fname,
+        )
+        return plan
+
     return {
         "zz": zz,
         "enc_row": enc_row,
@@ -908,6 +1027,8 @@ def _make_avro_codec():
         "find_anchor": find_anchor,
         "iter_block_rows": iter_block_rows,
         "kinds_from_schema_json": kinds_from_schema_json,
+        "resolve_plan": resolve_plan,
+        "rd_row": rd_row,
         "snappy_compress": snappy_compress,
         "snappy_decompress": snappy_decompress,
     }
@@ -1128,119 +1249,12 @@ def read_avro(
         st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
     kinds = _field_kinds(st)
 
-    # requested kind per output slot; a file kind is accepted for a
-    # requested kind per avro schema-resolution promotions (float→double,
-    # millis→the requested micros timestamp class).  long→double is NOT
-    # accepted: the decoder would hand Spark a Python int in a double
-    # slot — read as long and cast instead.  Timestamps resolve ACROSS
-    # the instant/naive classes: the wire value is the same long either
-    # way, the UNIT (millis/micros) comes from the file, and the
-    # AWARENESS comes from the reader's declared type — exactly the
-    # interpretation contract Spark's session gives those columns (and
-    # what the pre-resolution reader did; events.ts round-trips as
-    # TimestampType written / timestamp_ntz requested).
-    _TS_KINDS = ("ts-micros", "ts-millis", "ts-ntz-micros", "ts-ntz-millis")
-    _COMPAT = {
-        "double": ("double", "float"),
-        "float": ("float",),
-        "long": ("long",),
-        "string": ("string", "enum"),
-        "bytes": ("bytes", "fixed"),
-        "boolean": ("boolean",),
-        "ts-micros": _TS_KINDS,
-        "ts-ntz-micros": _TS_KINDS,
-        "date": ("date",),
-        "decimal": ("decimal",),
-        "array": ("array",),
-        "map": ("map",),
-        "record": ("record",),
-    }
-
-    def _identity_desc(fdesc):
-        """Decode desc for a file field the caller did NOT request —
-        its bytes must still be consumed (rows have no per-field
-        offsets), so decode fully and discard (record slots all -1)."""
-        fkind, fextra = fdesc
-        if fkind in ("array", "map"):
-            idesc, imode = fextra
-            return (fkind, (_identity_desc(idesc), imode))
-        if fkind == "record":
-            return ("record", (
-                [(_identity_desc(d), m, -1) for _, d, m in fextra], 0,
-            ))
-        if fkind == "decimal":
-            wire, size, _prec, scale = fextra
-            return ("decimal", (wire, size, scale))
-        return (fkind, fextra)
-
-    def _resolve_desc(rdesc, fdesc, where, fname):
-        """Recursive avro schema resolution: the RESOLVED decode desc
-        for a requested desc against the file's desc — promotions
-        (int→long, float→double, millis→the requested micros class,
-        enum→string, fixed→bytes), by-name nested-record projection
-        (extra file fields consumed and dropped), and loud errors on
-        missing/incompatible fields."""
-        rkind, rextra = rdesc
-        fkind, fextra = fdesc
-        if fkind not in _COMPAT.get(rkind, ()):
-            raise ValueError(
-                f"read_avro: field {where!r} in {fname} has avro kind "
-                f"{fkind!r}, incompatible with requested {rkind!r}"
-            )
-        if rkind in ("ts-micros", "ts-ntz-micros"):
-            # unit from the file, awareness from the request
-            unit = "millis" if fkind.endswith("millis") else "micros"
-            return (("ts-ntz-" if rkind == "ts-ntz-micros" else "ts-") + unit,
-                    None)
-        if rkind == "decimal":
-            rprec, rscale = rextra
-            wire, size, fprec, fscale = fextra
-            if fscale != rscale or (fprec or 0) > rprec:
-                raise ValueError(
-                    f"read_avro: field {where!r} in {fname} is "
-                    f"decimal({fprec},{fscale}), incompatible with "
-                    f"requested decimal({rprec},{rscale}) (scales must "
-                    f"match; file precision must fit)"
-                )
-            return ("decimal", (wire, size, fscale))
-        if rkind in ("array", "map"):
-            (ridesc, _rnull) = rextra
-            fidesc, fimode = fextra
-            sub = "items" if rkind == "array" else "values"
-            return (rkind, (
-                _resolve_desc(ridesc, fidesc, f"{where}.{sub}", fname), fimode,
-            ))
-        if rkind == "record":
-            slot_of = {n: (i, d) for i, (n, d, _null) in enumerate(rextra)}
-            plan, seen = [], set()
-            for n, d, m in fextra:
-                if n not in slot_of:
-                    plan.append((_identity_desc(d), m, -1))
-                    continue
-                i, rd = slot_of[n]
-                seen.add(n)
-                plan.append((
-                    _resolve_desc(rd, d, f"{where}.{n}", fname), m, i,
-                ))
-            missing = [n for n, _, _null in rextra if n not in seen]
-            if missing:
-                raise ValueError(
-                    f"read_avro: fields {missing} of {where!r} not present "
-                    f"in {fname} (file has {[n for n, _, _m in fextra]})"
-                )
-            return ("record", (plan, len(rextra)))
-        return (fkind, fextra)  # prims incl. enum/fixed promotions
-
-    def _resolve_plan(file_kinds, fname):
-        """Project the FILE's decode order onto the requested top-level
-        columns (see _resolve_desc).  Returns the rd_row plan:
-        [((kind, extra), mode, slot)]."""
-        _, (plan, _n) = _resolve_desc(
-            ("record", [(n, d, True) for n, d in kinds]),
-            ("record", list(file_kinds)),
-            "<row>", fname,
-        )
-        return plan
+    # schema resolution lives in the codec factory (resolve_plan) so it
+    # ships by value to executors and is property-testable standalone;
+    # see the factory for the promotion rules (long→double rejected,
+    # timestamps resolve across the instant/naive classes with the UNIT
+    # from the file and the AWARENESS from the request)
+    resolve_plan = cdc["resolve_plan"]
     files = sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
@@ -1271,8 +1285,8 @@ def read_avro(
                 # decode per the FILE's writer schema, project by name —
                 # foreign field order / union order / non-nullable
                 # fields / extra fields all resolve correctly
-                plan = _resolve_plan(
-                    kinds_from_schema_json(schema_json), part.f
+                plan = resolve_plan(
+                    kinds, kinds_from_schema_json(schema_json), part.f
                 )
                 if part.lo == 0:
                     anchor = header_len if header_len < part.hi else None
