@@ -172,8 +172,30 @@ def _safe_avro_name(path: str) -> str:
     return s if s and not s[0].isdigit() else "_" + s
 
 
-def _avro_type_json(desc, path: str):
-    """Avro JSON schema node for one descriptor (recursive)."""
+_AVRO_NAME_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _check_field_name(name: str, where: str) -> str:
+    """Avro FIELD names cannot be sanitized silently — the reader
+    projects by name, so a mangled name would break round-trips (and
+    two Spark names could mangle to the same avro name).  Loud guard."""
+    if not _AVRO_NAME_RE.match(name):
+        raise NotImplementedError(
+            f"avro: field name {name!r} at {where!r} is not represent"
+            f"able (avro names must match [A-Za-z_][A-Za-z0-9_]*) — "
+            f"rename the column/struct field before writing"
+        )
+    return name
+
+
+def _avro_type_json(desc, path: str, used: set | None = None):
+    """Avro JSON schema node for one descriptor (recursive).  ``used``
+    dedups generated record TYPE names: sanitized field paths can
+    collide (struct columns ``a.b`` and ``a_b`` both yield ``r_a_b``),
+    and a duplicate named type is rejected by spec-compliant parsers
+    (the JVM ``Schema.Parser`` throws "Can't redefine")."""
+    if used is None:
+        used = set()
     kind, extra = desc
     if kind == "ts-micros":
         return {"type": "long", "logicalType": "timestamp-micros"}
@@ -189,29 +211,32 @@ def _avro_type_json(desc, path: str):
         }
     if kind == "array":
         edesc, enull = extra
-        items = _avro_type_json(edesc, path + "_item")
+        items = _avro_type_json(edesc, path + "_item", used)
         return {"type": "array", "items": ["null", items] if enull else items}
     if kind == "map":
         vdesc, vnull = extra
-        values = _avro_type_json(vdesc, path + "_value")
+        values = _avro_type_json(vdesc, path + "_value", used)
         return {"type": "map", "values": ["null", values] if vnull else values}
     if kind == "record":
         fields = []
         for n, d, nullable in extra:
-            tj = _avro_type_json(d, path + "_" + n)
+            _check_field_name(n, path)
+            tj = _avro_type_json(d, path + "_" + n, used)
             if nullable:
                 fields.append({"name": n, "type": ["null", tj], "default": None})
             else:
                 fields.append({"name": n, "type": tj})
-        return {
-            "type": "record",
-            "name": _safe_avro_name("r_" + path),
-            "fields": fields,
-        }
+        base = _safe_avro_name("r_" + path)
+        rec_name, i = base, 2
+        while rec_name in used:  # collision: a_b vs a.b → r_a_b
+            rec_name, i = f"{base}_{i}", i + 1
+        used.add(rec_name)
+        return {"type": "record", "name": rec_name, "fields": fields}
     return kind  # plain primitive
 
 
 def _avro_schema_json(kinds: list[tuple[str, tuple]], name: str) -> str:
+    used: set = set()
     return json.dumps(
         {
             "type": "record",
@@ -219,7 +244,8 @@ def _avro_schema_json(kinds: list[tuple[str, tuple]], name: str) -> str:
             "fields": [
                 # every TOP-LEVEL Spark column is nullable on the wire
                 # (unchanged from the pre-complex-type format)
-                {"name": n, "type": ["null", _avro_type_json(d, n)],
+                {"name": _check_field_name(n, "<row>"),
+                 "type": ["null", _avro_type_json(d, n, used)],
                  "default": None}
                 for n, d in kinds
             ],
@@ -609,8 +635,11 @@ def _make_avro_codec():
                 if mode == "plain":
                     is_null = False
                 else:
+                    nb, strict = _MODES[mode]
                     branch, pos = rd_long(mv, pos)
-                    is_null = (branch == 0) if mode == "null0" else (branch == 1)
+                    is_null = branch == nb
+                    if is_null and strict:
+                        raise ValueError(_STRICT_NULL_MSG)
                 if is_null:
                     continue
                 v, pos = rd_any(fk, fe, mv, pos)
@@ -619,11 +648,30 @@ def _make_avro_codec():
             return tuple(row), pos
         raise ValueError(f"bad kind {kind}")
 
+    # mode → (null-branch index, strict).  The '!' modes mark slots the
+    # REQUESTED schema declares non-nullable while the file's union
+    # allows null: Spark codegen trusts nullable=False, so delivering a
+    # silent None there corrupts downstream results — raise instead.
+    _MODES = {
+        "null0": (0, False), "null1": (1, False),
+        "null0!": (0, True), "null1!": (1, True),
+    }
+    _STRICT_NULL_MSG = (
+        "avro: null value in a slot the requested schema declares "
+        "non-nullable (containsNull/valueContainsNull/nullable=False) — "
+        "request a nullable type or clean the file"
+    )
+
     def rd_nullable(kind, extra, mode, mv, pos):
-        """One possibly-union-wrapped value (mode 'plain'/'null0'/'null1')."""
+        """One possibly-union-wrapped value (mode 'plain'/'null0'/
+        'null1', with a '!' suffix when the requested slot forbids
+        null — see _MODES)."""
         if mode != "plain":
+            nb, strict = _MODES[mode]
             branch, pos = rd_long(mv, pos)
-            if (branch == 0) if mode == "null0" else (branch == 1):
+            if branch == nb:
+                if strict:
+                    raise ValueError(_STRICT_NULL_MSG)
                 return None, pos
         return rd_any(kind, extra, mv, pos)
 
@@ -978,23 +1026,28 @@ def _make_avro_codec():
                 )
             return ("decimal", (wire, size, fscale))
         if rkind in ("array", "map"):
-            (ridesc, _rnull) = rextra
+            (ridesc, rnull) = rextra
             fidesc, fimode = fextra
             sub = "items" if rkind == "array" else "values"
+            # request forbids null but the file's union allows it →
+            # strict mode: an ACTUAL null raises at decode (files whose
+            # union is never exercised still read fine)
+            imode = fimode if (rnull or fimode == "plain") else fimode + "!"
             return (rkind, (
-                _resolve_desc(ridesc, fidesc, f"{where}.{sub}", fname), fimode,
+                _resolve_desc(ridesc, fidesc, f"{where}.{sub}", fname), imode,
             ))
         if rkind == "record":
-            slot_of = {n: (i, d) for i, (n, d, _null) in enumerate(rextra)}
+            slot_of = {n: (i, d, null) for i, (n, d, null) in enumerate(rextra)}
             plan, seen = [], set()
             for n, d, m in fextra:
                 if n not in slot_of:
                     plan.append((_identity_desc(d), m, -1))
                     continue
-                i, rd = slot_of[n]
+                i, rd, rnull = slot_of[n]
                 seen.add(n)
+                fmode = m if (rnull or m == "plain") else m + "!"
                 plan.append((
-                    _resolve_desc(rd, d, f"{where}.{n}", fname), m, i,
+                    _resolve_desc(rd, d, f"{where}.{n}", fname), fmode, i,
                 ))
             missing = [n for n, _, _null in rextra if n not in seen]
             if missing:
@@ -1166,7 +1219,15 @@ def _spark_type_from_desc(desc):
         return BinaryType()
     if kind == "decimal":
         _wire, _size, prec, scale = extra
-        return DecimalType(min(prec or 38, 38), scale)
+        if (prec or 38) > 38:
+            # clamping would make resolution reject the schema we just
+            # inferred (file precision > requested) — fail HERE, clearly
+            raise NotImplementedError(
+                f"avro: decimal precision {prec} exceeds Spark's "
+                f"DecimalType(38) — pass an explicit schema to read "
+                f"this column another way (e.g. skip it)"
+            )
+        return DecimalType(prec or 38, scale)
     if kind == "array":
         idesc, imode = extra
         return ArrayType(_spark_type_from_desc(idesc), imode != "plain")
@@ -1216,7 +1277,9 @@ def read_avro(
     present with an incompatible type (including a decimal scale
     mismatch), raises a ValueError naming the field and both types.
     An empty directory (e.g. the round-trip of an all-empty frame)
-    yields an empty DataFrame, not an executor error.  The directory
+    yields an empty DataFrame, not an executor error — WITH an explicit
+    ``schema``; under ``schema=None`` there is nothing to infer from,
+    so the empty directory raises and names the fix.  The directory
     listing assumes a local POSIX filesystem (true in this image)."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
     from pyspark.sql.types import _parse_datatype_string
@@ -1237,7 +1300,8 @@ def read_avro(
         if not first:
             raise ValueError(
                 f"read_avro: schema=None requires at least one .avro "
-                f"file in {path!r} to infer from"
+                f"file in {path!r} to infer from — pass an explicit "
+                f"schema to read an empty directory as an empty frame"
             )
         with open(os.path.join(path, first[0]), "rb") as fh:
             _codec, schema_json0, _sync, _hl = read_header(fh)

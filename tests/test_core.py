@@ -1013,6 +1013,75 @@ def test_avro_named_type_references():
                 {"name": "u", "type": "Undefined"}]}))
 
 
+def test_avro_schema_edge_guards():
+    """Review-pass guards on the complex-type surface, all LOUD instead
+    of silently writing spec-violating or wrong data: (a) generated
+    nested-record TYPE names dedup (sanitized field paths can collide —
+    `a.b_c` vs `a_b.c` → `r_a_b_c` — and the JVM Schema.Parser rejects
+    duplicate named types); (b) field names outside avro's name grammar
+    are rejected at plan time (sanitizing would break name-based
+    read-back projection); (c) schema inference refuses decimals with
+    precision > Spark's 38 cap (clamping would make resolution reject
+    the schema inference itself produced); (d) a null decoded into a
+    slot the REQUESTED schema declares non-nullable raises — Spark
+    codegen trusts nullable=False — while a nullable-schema file whose
+    data has no actual nulls still reads."""
+    import json
+    import re
+
+    import pytest
+
+    from dask_obj_spark.sources.avro_io import (
+        _avro_schema_json,
+        _make_avro_codec,
+        _spark_type_desc,
+        _spark_type_from_desc,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # (a) record-name collision dedup, JVM-parseable uniqueness
+    s2 = StructType([
+        StructField("a", StructType([
+            StructField("b_c", StructType([StructField("x", LongType())]))])),
+        StructField("a_b", StructType([
+            StructField("c", StructType([StructField("x", LongType())]))])),
+    ])
+    sj = _avro_schema_json(
+        [(f.name, _spark_type_desc(f.dataType, f.name)) for f in s2.fields], "r"
+    )
+    recs = re.findall(r'"name": "(r_[A-Za-z0-9_]+)"', sj)
+    assert len(recs) == 4 and len(recs) == len(set(recs)), recs
+
+    # (b) unrepresentable field name → loud at plan time
+    with pytest.raises(NotImplementedError, match="not represent"):
+        _avro_schema_json(
+            [("a.b", _spark_type_desc(LongType(), "a.b"))], "r"
+        )
+
+    # (c) inference refuses precision > 38
+    with pytest.raises(NotImplementedError, match="precision 40"):
+        _spark_type_from_desc(("decimal", ("bytes", None, 40, 2)))
+
+    # (d) strict null enforcement for non-nullable requested slots
+    cdc = _make_avro_codec()
+    enc_row, kfs, resolve_plan, rd_row = (
+        cdc["enc_row"], cdc["kinds_from_schema_json"],
+        cdc["resolve_plan"], cdc["rd_row"],
+    )
+    wk = [("arr", ("array", (("long", None), True)))]  # file: nullable items
+    sjw = _avro_schema_json(wk, "row")
+    rk = [("arr", ("array", (("long", None), False)))]  # request: non-null
+    plan = resolve_plan(rk, kfs(sjw), "<t>")
+    buf = bytearray()
+    enc_row(wk, ([1, None, 3],), buf)
+    with pytest.raises(ValueError, match="non-nullable"):
+        rd_row(plan, 1, memoryview(bytes(buf)), 0)
+    buf2 = bytearray()
+    enc_row(wk, ([1, 2, 3],), buf2)
+    out, _pos = rd_row(plan, 1, memoryview(bytes(buf2)), 0)
+    assert out == [[1, 2, 3]]
+
+
 def test_avro_codec_property_roundtrip_full_type_lattice():
     """Hypothesis property over the WHOLE avro type lattice: random
     schemas (prims, temporals, decimals, arrays/maps with and without
