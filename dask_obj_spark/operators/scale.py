@@ -932,14 +932,20 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     `input_file_name()` returns a PERCENT-ENCODED file: URI, so the
     root is quoted the same way before matching — a table root with a
     space (`/tmp/my tables/t`) otherwise never matches and the key
-    silently degrades to the full URI (round-11 advice).  The relative
+    silently degrades to the full URI (round-11 advice).  The quoting
+    must mirror Java's `new URI(null, null, path, null)` (what Hadoop
+    `Path.toString` does): RFC-2396 path characters — the sub-delims
+    ``= + & @ $ , ; : ! ~ * ' ( )`` — stay LITERAL (verified against
+    `input_file_name` on a `run=1/x+y&z@q/a;b'c(d)e,f$g!~*` root);
+    quoting them (e.g. `quote(…, safe="/")` encoding `=` → `%3D`)
+    would un-match every Hive-partitioned `k=v` root.  The relative
     part keeps the URI encoding (`date=a%20b/part-….parquet`): keys
     stay distinct and consistent, and decoding worker-side would risk
     `+`→space corruption from URLDecoder semantics."""
     import os
     from urllib.parse import quote
 
-    root = quote(os.path.abspath(path).rstrip("/"), safe="/")
+    root = quote(os.path.abspath(path).rstrip("/"), safe="/:@&=+$,-_.!~*'();")
     return (
         spark.read.parquet(path)
         .select(

@@ -1290,6 +1290,10 @@ def read_avro(
         cdc["read_header"], cdc["find_anchor"], cdc["iter_block_rows"],
         cdc["kinds_from_schema_json"],
     )
+    if split_bytes < 1:
+        # a negative value would yield a single (0, -hi) split that
+        # silently reads 0 rows; zero divides — guard like block_rows
+        raise ValueError("read_avro: split_bytes must be >= 1")
     if schema is None:
         # dask's read_avro parity: infer from the data.  One ~KB header
         # read of the first file on the DRIVER — still a single-pass

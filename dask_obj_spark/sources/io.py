@@ -48,6 +48,11 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+# URL lists longer than this spill to a driver-local temp file instead
+# of riding the pickled reader closure to every task (see from_url)
+_FROM_URL_SPILL_AT = 50_000
+
+
 def from_url(
     spark: SparkSession,
     urls: str | Sequence[str],
@@ -75,7 +80,10 @@ def from_url(
     right up to thousands of URLs, but a crawl list of millions would
     flood the scheduler with single-fetch tasks — batch K URLs per
     partition (fetched sequentially inside the task, still streamed
-    line-by-line) to keep the task count ~len(urls)/K.
+    line-by-line) to keep the task count ~len(urls)/K.  Lists above
+    50k URLs are additionally spilled to a driver-local temp file so
+    the pickled reader ships a PATH, not the list, to every task
+    (each task receives only its own partition's batch).
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -87,16 +95,52 @@ def from_url(
     if urls_per_partition < 1:
         raise ValueError("from_url: urls_per_partition must be >= 1")
 
+    # The pickled per-task read command closes over the Reader AND
+    # DataSource classes, so a URL list kept in their closures ships to
+    # EVERY task (pyspark plan_data_source_read pickles the command
+    # BEFORE calling partitions()).  Each task only needs its own
+    # partition's batch — partition values ship individually — so above
+    # a threshold, spill the list to a DRIVER-LOCAL temp file and close
+    # over just the path: partitions() (which runs in the driver-side
+    # planner process, same host) re-reads it at plan time.  The file is
+    # content-hash-named (re-plans and identical calls reuse it) and
+    # must outlive the DataFrame, so it is left for /tmp lifecycle —
+    # a driver-host artifact, never shipped.
+    if len(url_list) > _FROM_URL_SPILL_AT:
+        import hashlib
+        import os
+        import tempfile
+
+        blob = "\n".join(url_list).encode("utf-8")
+        tag = hashlib.sha256(blob).hexdigest()[:16]
+        spill = os.path.join(
+            tempfile.gettempdir(), f"dask_obj_from_url-{tag}.urls"
+        )
+        if not os.path.exists(spill):
+            tmp = spill + f".{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, spill)
+        url_source = ("file", spill)
+    else:
+        url_source = ("inline", url_list)
+
     class _UrlPart(InputPartition):
         def __init__(self, batch):
             self.batch = batch
 
     class _Reader(DataSourceReader):
         def partitions(self):
+            kind, val = url_source
+            if kind == "file":
+                with open(val, "r", encoding="utf-8") as f:
+                    ul = f.read().splitlines()
+            else:
+                ul = val
             k = urls_per_partition
             return [
-                _UrlPart(url_list[i : i + k])
-                for i in range(0, len(url_list), k)
+                _UrlPart(ul[i : i + k])
+                for i in range(0, len(ul), k)
             ]
 
         def read(self, part):
@@ -107,10 +151,14 @@ def from_url(
             for url in part.batch:
                 with urlopen(url, timeout=timeout) as resp:
                     for i, raw in enumerate(resp):
+                        # strip exactly ONE terminator (\n or \r\n) —
+                        # rstrip("\r\n") would eat a content-final \r
+                        # (b"abc\r\r\n" is the line "abc\r")
+                        line = raw.removesuffix(b"\n").removesuffix(b"\r")
                         yield (
                             url,
                             i,
-                            raw.decode("utf-8", errors="replace").rstrip("\r\n"),
+                            line.decode("utf-8", errors="replace"),
                         )
 
     class _UrlSource(DataSource):
@@ -156,7 +204,10 @@ def write_sink(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "over
     if fmt == "avro":
         from dask_obj_spark.sources.avro_io import to_avro
 
-        to_avro(df, path, mode=mode)
+        # forward options (write_id/codec/block_rows) — mode="append"
+        # REQUIRES write_id, so dropping them would make append
+        # unreachable through this dispatcher
+        to_avro(df, path, mode=mode, **options)
         return
     df.write.mode(mode).options(**options).format(fmt).save(path)
 

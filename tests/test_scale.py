@@ -674,6 +674,19 @@ def test_compaction_plan_bins_and_file_stats(spark, tmp_path):
     ), sgot
     assert sorted(sgot.values()) == [9]
 
+    # ...but the quoting must mirror Java's URI path rules, which leave
+    # RFC-2396 sub-delims LITERAL: a root containing '=' (every
+    # Hive-style `k=v` layout), '+', '&', '@' must still match —
+    # quote(..., safe="/") would encode '=' → %3D and silently degrade
+    # every key to the full URI (review finding)
+    dp = str(tmp_path / "run=1" / "x+y&z@q")
+    spark.range(0, 5).coalesce(1).write.parquet(dp)
+    dgot = {r.file: r.n_rows for r in file_stats(spark, dp).collect()}
+    assert dgot and all(
+        f.endswith(".parquet") and "/" not in f for f in dgot
+    ), dgot
+    assert sorted(dgot.values()) == [5]
+
     # deterministic synthetic stats: name order a,b,c,d
     sdf = spark.createDataFrame(
         [("a", 10), ("b", 15), ("c", 5), ("d", 200)], ["file", "n_rows"]
