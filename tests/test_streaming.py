@@ -455,8 +455,8 @@ def test_stream_heavy_hitters_state_bounded_and_replay_safe(spark, tmp_path):
     assert len(state["slots"]) <= 10
     assert state["n"] == 20 * 70
     assert "hot" in state["slots"]  # global 600/1400 >> n/5, must survive
-    n_batches = len(state["done"])
-    assert n_batches >= 1  # availableNow may group files into triggers
+    # replay guard is a single HIGH-WATER id, not a grows-forever list
+    assert state["done_max"] >= 0 and "done" not in state
 
     # replay guard: blow away the CHECKPOINT (not the state) and rerun —
     # foreachBatch redelivers every file with batch ids from 0, and the
@@ -490,6 +490,7 @@ def test_decayed_mg_merge_replay_bound_and_decay():
     from dask_obj_spark.streaming.windows import _decayed_mg_merge
 
     counters = 4
+    # LEGACY state shape (a `done` list) must upgrade transparently
     st = {"slots": {}, "w": 0, "done": []}
     # batch 0: 'old' dominates
     st = _decayed_mg_merge(st, [("old", 100), ("x", 10)], 110, 0, counters)
@@ -505,7 +506,25 @@ def test_decayed_mg_merge_replay_bound_and_decay():
     many = [(f"t{i}", 50 - i) for i in range(counters + 1)]
     st = _decayed_mg_merge(st, many, sum(c for _, c in many), 2, counters)
     assert len(st["slots"]) <= counters
-    assert st["done"] == [0, 1, 2]
+    # replay guard is O(1) high-water state, not a per-batch list
+    assert st["done_max"] == 2 and st["merged"] == 3 and "done" not in st
+
+    # bounded INTEGERS forever: drive the merge past the renormalization
+    # exponent and check magnitudes rebase while decayed ORDER holds
+    from dask_obj_spark.streaming.windows import _DMG_KEEP_POS, _DMG_RENORM_POS
+
+    str_ = {"slots": {}, "w": 0}
+    for b in range(_DMG_RENORM_POS + 3):
+        str_ = _decayed_mg_merge(
+            str_, [("hot", 10), ("warm", 5)], 15, b, counters
+        )
+        assert max(str_["slots"].values()).bit_length() < _DMG_RENORM_POS + 8
+        assert str_["w"].bit_length() < _DMG_RENORM_POS + 8
+    assert str_["rebase"] > 0  # at least one renormalization happened
+    assert str_["merged"] == _DMG_RENORM_POS + 3
+    assert str_["slots"]["hot"] > str_["slots"]["warm"] > 0  # order kept
+    # post-renorm live exponent restarted near KEEP
+    assert (str_["merged"] - str_["rebase"]) <= _DMG_KEEP_POS + 3
 
 
 def test_stream_quality_psi_drift_and_replay(spark, tmp_path):
@@ -700,6 +719,104 @@ def test_stream_source_quota_enforces_cap_and_replays_cleanly(spark, tmp_path):
     stream_source_quota_sink(spark, stream2, target, quota=5)
     assert spark.read.parquet(target).count() == n
     assert {(r.doc_id, r.source) for r in spark.read.parquet(target).collect()} == got
+
+
+def test_sliding_agg_non_divisible_width_and_in_batch_quota_dup(
+    spark, tmp_path
+):
+    """Two review-pass regressions.  (a) sliding_agg must apply the
+    window-END containment filter: with width NOT a multiple of slide
+    (or width < slide) the widest candidate start otherwise claims rows
+    its window ends before — counts silently inflate.  (b) the quota
+    sink must dedup doc_ids WITHIN a micro-batch: an at-least-once
+    source can redeliver the same doc twice inside one availableNow
+    batch, and without the in-batch dedup both copies pass the quota
+    arithmetic (the target anti-join only sees PRIOR batches)."""
+    import datetime
+
+    from dask_obj_spark.streaming.windows import (
+        sliding_agg,
+        stream_source_quota_sink,
+    )
+
+    # (a) width=10min, slide=4min: event at base+3min belongs to starts
+    # {base, base-4m} but NOT base-8m (that window ends at base+2m)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(t0 + datetime.timedelta(minutes=3), "k")], "ts timestamp, k string"
+    )
+    got = {
+        r.w_start: r.n
+        for r in sliding_agg(df, "ts", "k", "10 minutes", "4 minutes").collect()
+    }
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got == {base: 1, base - 240: 1}, got
+    # width < slide: only the containing window, not the stale start
+    got2 = {
+        r.w_start: r.n
+        for r in sliding_agg(df, "ts", "k", "2 minutes", "5 minutes").collect()
+    }
+    assert got2 == {}, got2  # event at +3min is outside [base, base+2m)
+    df2 = spark.createDataFrame(
+        [(t0 + datetime.timedelta(minutes=1), "k")], "ts timestamp, k string"
+    )
+    got3 = {
+        r.w_start: r.n
+        for r in sliding_agg(df2, "ts", "k", "2 minutes", "5 minutes").collect()
+    }
+    assert got3 == {base: 1}, got3
+    # divisible default unchanged: 10/5 → exactly 2 windows
+    got4 = sliding_agg(df, "ts", "k", "10 minutes", "5 minutes").count()
+    assert got4 == 2
+
+    # (b) the same doc delivered twice in ONE batch is accepted once
+    in_dir = str(tmp_path / "in_dup")
+    rows = [(1, "s"), (1, "s"), (2, "s")]
+    schema = _write_batch_file(
+        spark, rows, ["doc_id", "source"], tmp_path / "b0", in_dir, 0
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    target = str(tmp_path / "acc_dup")
+    stream_source_quota_sink(spark, stream, target, quota=5)
+    accepted = [
+        (r.doc_id, r.source) for r in spark.read.parquet(target).collect()
+    ]
+    assert sorted(accepted) == [(1, "s"), (2, "s")]  # no duplicate doc_id
+    counts = spark.read.parquet(target + "_counts")
+    assert [(r.source, r.n) for r in counts.collect()] == [("s", 2)]
+
+
+def test_streams_from_directory_shaped_tables(spark, tmp_path):
+    """events_stream/documents_stream with a DIRECTORY-shaped table
+    (Spark-written events.parquet/ with part files): the single-file
+    pathGlobFilter matches no leaf file, and with the schema supplied
+    the stream would silently be EMPTY — the directory branch must
+    stream the leaf files instead (review finding)."""
+    import os
+
+    from dask_obj_spark.streaming.windows import documents_stream
+
+    sf = str(tmp_path / "sfdir")
+    os.makedirs(sf)
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    src.limit(200).write.parquet(os.path.join(sf, "events.parquet"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(50).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = run_stream_to_memory(
+        spark, stream_tumbling_counts(events_stream(spark, sf)), "dirshape"
+    )
+    assert out.agg(F.sum("n")).collect()[0][0] == 200
+
+    ds = documents_stream(spark, sf)
+    q = (
+        ds.writeStream.format("memory")
+        .queryName("dirshape_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT count(*) c FROM dirshape_docs").collect()[0].c == 50
 
 
 def test_stream_source_quota_exact_under_kill_between_writes(spark, tmp_path):
@@ -913,7 +1030,7 @@ def test_stream_decayed_topk_survives_empty_batch(spark, tmp_path):
     stream_decayed_topk(spark, stream, target, k=2, counters=8)
 
     state = json.load(open(target + "_dmg.json"))
-    assert len(state["done"]) == 3  # the empty batch was merged, not skipped
+    assert state["merged"] == 3  # the empty batch was merged, not skipped
     assert state["w"] == 6 * 1 + 0 * 2 + 5 * 4  # empty tick carried weight 2
     # small vocab ≤ counters → slots are exact decayed scores
     assert state["slots"]["hot"] == 4 * 1 + 1 * 4  # 4 in b0, 1 in b2
