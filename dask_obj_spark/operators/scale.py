@@ -113,7 +113,18 @@ def plan_has_exchange(df: DataFrame, below: str | None = None) -> bool:
     if below is not None:
         idx = plan.find(below)
         plan = plan[idx:] if idx >= 0 else plan
-    return "Exchange hashpartitioning" in plan
+    # all three SHUFFLE exchange flavors (hash, range — orderBy /
+    # repartitionByRange — and global-aggregate SinglePartition);
+    # BroadcastExchange is deliberately NOT a match — it is the
+    # shuffle-free strategy these assertions are usually proving
+    return any(
+        t in plan
+        for t in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange SinglePartition",
+        )
+    )
 
 
 # ============================== queries ======================================
@@ -148,7 +159,10 @@ def _spread_bits16(c: Column) -> Column:
     """Spread the low 16 bits of a column so they occupy even bit
     positions (the classic Morton magic-mask ladder — pure codegen
     bitwise ops, no UDF)."""
-    x = c.bitwiseAND(F.lit(0xFFFF))
+    # cast FIRST: shiftleft preserves the input type, so an IntegerType
+    # column with values >= 32768 would set the int32 sign bit at the
+    # final shiftleft and produce a negative, wrong key
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
     x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
     x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
     x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
@@ -409,11 +423,17 @@ def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
     (First cut used the md5-derived porthash — 3 interpreted md5/conv
     chains per probe row, measured ~5x slower end-to-end at bench sf.)"""
     m = BLOOM_WORDS * 64
+    # hash the key's STRING form: xxhash64 is TYPE-sensitive (an int and
+    # a bigint holding the same value hash differently), so hashing raw
+    # columns would false-NEGATIVE whenever build and probe key types
+    # differ — rows dropped at the scan that the exact confirm join can
+    # never resurrect; the string canonicalization makes build/probe
+    # agree for any integral/string key pairing
     pos = keys.select(
         F.explode(
             F.array(
                 *[
-                    (F.xxhash64(F.col(key_col), F.lit(i)) % m + m) % m
+                    (F.xxhash64(F.col(key_col).cast("string"), F.lit(i)) % m + m) % m
                     for i in range(BLOOM_HASHES)
                 ]
             )
@@ -449,7 +469,9 @@ def bloom_might_contain(bloom: list[int], key_sql: str) -> Column:
     arr_sql = "array(" + ", ".join(f"{int(w)}L" for w in bloom) + ")"
     conds = []
     for i in range(BLOOM_HASHES):
-        h = f"xxhash64({key_sql}, {i})"
+        # STRING-canonical, mirroring bloom_build (xxhash64 is
+        # type-sensitive; see the build-side comment)
+        h = f"xxhash64(CAST(({key_sql}) AS STRING), {i})"
         p = f"((({h}) % {m} + {m}) % {m})"  # xxhash64 is signed
         word = f"element_at({arr_sql}, CAST({p} DIV 64 AS INT) + 1)"
         bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
@@ -535,9 +557,9 @@ def hll_registers(df: DataFrame, key_col: str, salt: str = "hll") -> DataFrame:
 
     spark = df.sparkSession
     h = porthash(F.col(key_col).cast("string"), salt)
-    rows = df.select(
-        (h % _HLL_M).alias("bucket"), F.expr(f"{_HLL_M}").alias("_m"), h.alias("h")
-    ).select("bucket", F.expr(f"CAST(h div {_HLL_M} AS BIGINT)").alias("w"))
+    rows = df.select((h % _HLL_M).alias("bucket"), h.alias("h")).select(
+        "bucket", F.expr(f"CAST(h div {_HLL_M} AS BIGINT)").alias("w")
+    )
     rho = rows.select("bucket", _hll_rho(F.col("w")).alias("rho"))
     regs = rho.groupBy("bucket").agg(F.max("rho").alias("mx"))
     grid = spark.range(_HLL_M).select(F.col("id").cast("long").alias("bucket"))
@@ -561,16 +583,26 @@ def hll_estimate_x1000(regs: DataFrame) -> DataFrame:
         ).alias("zs"),
         F.sum((F.col("m") > 0).cast("long")).alias("nz"),
     )
+    return agged.select(
+        F.floor(_hll_corrected_est() * F.lit(1000.0))
+        .cast("long")
+        .alias("est_x1000"),
+        F.col("nz").alias("nonzero_registers"),
+    )
+
+
+def _hll_corrected_est() -> Column:
+    """The bias-corrected HLL estimate as a Column over (zs, nz) — the
+    ONE copy of the alpha·m²/Z estimator + small-range linear-counting
+    branch, shared by hll_estimate_x1000 and the sliding-window query
+    (a second hand-maintained copy of the correction formula would
+    silently drift on the next fix)."""
     raw = F.lit(_HLL_ALPHA_MM) / (F.col("zs").cast("double") / F.lit(_TWO_53))
-    corrected = F.when(
+    return F.when(
         (F.col("nz") < _HLL_M) & (raw <= F.lit(2.5 * _HLL_M)),
         F.lit(float(_HLL_M))
         * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("nz")).cast("double")),
     ).otherwise(raw)
-    return agged.select(
-        F.floor(corrected * F.lit(1000.0)).cast("long").alias("est_x1000"),
-        F.col("nz").alias("nonzero_registers"),
-    )
 
 
 def _duck_hll_oracle() -> str:
@@ -740,7 +772,6 @@ def sketch_hll_sliding_users_q(spark, sf_dir):
     integer empty-register count V brings it back to ~5%) — ln is the
     same libm contract the entropy/KL oracle rows already rely on."""
     from dask_obj_spark.functions.hashing import porthash
-    from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("hr"),
@@ -774,15 +805,11 @@ def sketch_hll_sliding_users_q(spark, sf_dir):
         ).alias("zs"),
         F.sum((F.col("m") > 0).cast("long")).alias("nz"),
     )
-    raw = F.lit(_HLL_ALPHA_MM) / (F.col("zs").cast("double") / F.lit(_TWO_53))
-    corrected = F.when(
-        (F.col("nz") < _HLL_M) & (raw <= F.lit(2.5 * _HLL_M)),
-        F.lit(float(_HLL_M))
-        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("nz")).cast("double")),
-    ).otherwise(raw)
     est = est.select(
         "hr",
-        F.floor(corrected * F.lit(1000.0)).cast("long").alias("est_x1000"),
+        F.floor(_hll_corrected_est() * F.lit(1000.0))
+        .cast("long")
+        .alias("est_x1000"),
     )
     wend = F.explode(F.array(*[F.col("hr") + i for i in range(6)])).alias("wend")
     exact = (
@@ -829,10 +856,21 @@ def heavy_hitters(
 
     Returns (term, cnt, share_x1m) — share in integer micro-units via
     BIGINT division (exact on both engines).
+
+    NULL terms are EXCLUDED — from the candidate set AND from ``n`` —
+    not silently half-counted: pandas ``value_counts`` drops None and
+    None is the pass-1 partition-total sentinel, so a null "term" can
+    never be reported; counting nulls in ``n`` alone would only raise
+    the bar for every real term.  ``counters`` is clamped to ≥ k (the
+    MG superset bound needs at least k slots — fewer would silently
+    void the exactness guarantee).
     """
     if counters is None:
         counters = 2 * k
-    src = items.select(F.col(item_col).cast("string").alias("term"))
+    counters = max(counters, k)
+    src = items.select(F.col(item_col).cast("string").alias("term")).where(
+        F.col("term").isNotNull()
+    )
 
     def mg(batches):
         # self-contained worker closure (cloudpickle ships it by value);
@@ -946,13 +984,21 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     from urllib.parse import quote
 
     root = quote(os.path.abspath(path).rstrip("/"), safe="/:@&=+$,-_.!~*'();")
+    # split on the FIRST occurrence of the root prefix (locate +
+    # substring): substring_index(..., -1) splits on the LAST, so a
+    # relative path that itself contains the root string (/data/t
+    # holding a nested data/t/ directory) would be mis-keyed and could
+    # collide with a root-level file of the same basename; when the
+    # prefix is somehow absent, fall back to the full URI (keys stay
+    # distinct, counts stay correct — the pre-round-11 degraded mode)
+    fname = F.input_file_name()
+    pos = F.locate(root + "/", fname)
+    rel = F.when(
+        pos > 0, F.substring(fname, pos + len(root) + 1, 1 << 30)
+    ).otherwise(fname)
     return (
         spark.read.parquet(path)
-        .select(
-            F.substring_index(F.input_file_name(), root + "/", -1).alias(
-                "file"
-            )
-        )
+        .select(rel.alias("file"))
         .groupBy("file")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
@@ -970,18 +1016,44 @@ def compaction_plan(stats: DataFrame, target_rows: int) -> DataFrame:
     Single-partition window over |files| rows — dimension-sized by
     definition (file COUNTS, not file contents; the planner's input
     at 100 TB is maybe 10^6 rows).  Files at or above the target get
-    a bin of their own by construction.  Output adds per-bin fan-in
-    so the executor of the plan can skip singleton bins
-    (bin_files = 1 → already compact)."""
+    a bin of their OWN: they are excluded from the small-file prefix
+    packing (a plain prefix rule would let an oversize file share its
+    bin with preceding smalls, and the executor would pointlessly
+    rewrite an already-compact file) and binned after the small range
+    by their running rank.  Output adds per-bin fan-in so the executor
+    of the plan can skip singleton bins (bin_files = 1 → already
+    compact)."""
     w = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    small_rows = F.when(F.col("n_rows") < int(target_rows), F.col("n_rows")).otherwise(
+        F.lit(0)
+    )
+    wall = Window.orderBy("file").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     planned = stats.select(
         "file",
         "n_rows",
-        (F.sum("n_rows").over(w) - F.col("n_rows")).alias("prefix_rows"),
+        (F.sum(small_rows).over(w) - small_rows).alias("prefix_small"),
+        F.sum((F.col("n_rows") >= int(target_rows)).cast("long"))
+        .over(w)
+        .alias("big_rank"),
+        F.sum(small_rows).over(wall).alias("total_small"),
     ).select(
         "file",
         "n_rows",
-        F.expr(f"prefix_rows div {int(target_rows)}").alias("merge_bin"),
+        F.when(
+            F.col("n_rows") < int(target_rows),
+            F.expr(f"prefix_small div {int(target_rows)}"),
+        )
+        .otherwise(
+            # first bin id past the small range, then one per big file
+            F.expr(
+                f"(total_small + {int(target_rows)} - 1) div {int(target_rows)}"
+            )
+            + F.col("big_rank")
+            - 1
+        )
+        .alias("merge_bin"),
     )
     wb = Window.partitionBy("merge_bin")
     return planned.select(
@@ -1042,14 +1114,17 @@ def fd_violations(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
     per lhs group, the distinct-rhs count; the summary row reports how
     many groups violate the FD and the worst fan-out.
 
-    Two hash aggregates ((lhs, rhs) distinct, then lhs) — map-side
-    combine does the heavy lifting; output is ONE row per checked
-    dependency."""
+    Two hash aggregates (count(DISTINCT rhs) expands to exactly the
+    (lhs, rhs)-distinct-then-lhs plan) — map-side combine does the
+    heavy lifting; output is ONE row per checked dependency.  NULL rhs
+    follows ``count(DISTINCT r)`` semantics (not counted as a distinct
+    value — a hand-rolled distinct-pairs count would report phantom
+    violations on any nullable rhs and diverge from the SQL oracle),
+    while all-null groups still count in ``n_groups`` with n_rhs=0."""
     per = (
         df.select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
-        .distinct()
         .groupBy("l")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rhs"))
+        .agg(F.count_distinct(F.col("r")).cast("bigint").alias("n_rhs"))
     )
     return per.agg(
         F.lit(f"{lhs}->{rhs}").alias("fd"),

@@ -713,3 +713,84 @@ def test_fd_violations_detects_and_clears(spark):
     clean = fd_violations(df, "k", "w").collect()[0]
     assert (clean.n_groups, clean.n_violating, clean.max_fanout) == (3, 0, 1)
     assert clean.fd == "k->w"
+
+    # NULL rhs follows count(DISTINCT r) semantics — (1,'x') + (1,NULL)
+    # is NOT a violation (the oracle's count(DISTINCT) says 1), and an
+    # all-null group still counts in n_groups with n_rhs=0
+    nul = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, None)], ["k", "v"]
+    )
+    got = fd_violations(nul, "k", "v").collect()[0]
+    assert (got.n_groups, got.n_violating, got.max_fanout) == (2, 0, 1)
+
+
+def test_scale_review_regressions(spark, tmp_path):
+    """Review-pass regressions across the scale operators, each loud or
+    correct instead of silently wrong: (a) zorder keys on 32-bit int
+    columns (shiftleft preserves input type — cy >= 32768 used to wrap
+    the int32 sign bit into a negative key); (b) bloom build/probe
+    across DIFFERING key types (xxhash64 is type-sensitive — int-built,
+    bigint-probed filters used to false-negative, silently dropping
+    true matches the confirm join can never resurrect); (c)
+    heavy_hitters over a null-bearing stream (nulls excluded from BOTH
+    the candidates and n — counting them in n alone raised the bar for
+    every real term) and counters < k clamped; (d) compaction_plan
+    gives oversize files their OWN bin (a plain prefix rule made a
+    200-row file share bin 0 with a preceding 5-row file, forcing a
+    pointless rewrite); (e) plan_has_exchange detects range and
+    SinglePartition shuffles, not just hash."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from dask_obj_spark.operators.scale import (
+        bloom_build,
+        bloom_might_contain,
+        compaction_plan,
+        heavy_hitters,
+        plan_has_exchange,
+        zorder_key,
+    )
+
+    # (a) int32 zorder: y=32768 spreads into bit 30; shiftleft(…,1) on
+    # an INT column used to wrap negative
+    idf = spark.createDataFrame(
+        [(0, 32768), (65535, 65535)],
+        StructType([StructField("x", IntegerType()),
+                    StructField("y", IntegerType())]),
+    )
+    got = {(r.x, r.y): r.z for r in idf.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert got[(0, 32768)] == _morton_ref(0, 32768) > 0
+    assert got[(65535, 65535)] == _morton_ref(65535, 65535) > 0
+
+    # (b) bloom across key types: build on INT, probe a BIGINT column
+    keys = spark.createDataFrame(
+        [(i,) for i in range(50)],
+        StructType([StructField("id", IntegerType())]),
+    )
+    bloom = bloom_build(keys, "id")
+    probe = spark.range(0, 100).select(F.col("id"))  # bigint
+    hits = probe.filter(bloom_might_contain(bloom, "id"))
+    got_ids = {r.id for r in hits.collect()}
+    assert set(range(50)) <= got_ids  # NO false negatives across types
+
+    # (c) heavy hitters with nulls: null is not a term and not in n
+    items = spark.createDataFrame(
+        [(None,)] * 100 + [("a",)] * 10 + [("b",)] * 2, "term string"
+    )
+    hh = {r.term: (r.cnt, r.share_x1m)
+          for r in heavy_hitters(items, "term", k=2, counters=1).collect()}
+    assert "a" in hh and None not in hh
+    assert hh["a"][0] == 10 and hh["a"][1] == 833333  # n=12, not 112
+    # counters=1 < k=2 was clamped, or 'a' could have been evicted
+
+    # (d) oversize file gets its own bin
+    sdf = spark.createDataFrame([("a", 5), ("b", 200)], ["file", "n_rows"])
+    plan = {r.file: r for r in compaction_plan(sdf, 100).collect()}
+    assert plan["a"].merge_bin != plan["b"].merge_bin
+    assert plan["b"].bin_files == 1  # skippable singleton
+
+    # (e) range/single-partition exchanges are shuffles too
+    df = spark.range(100)
+    assert plan_has_exchange(df.repartitionByRange(4, "id"))
+    assert plan_has_exchange(df.agg(F.sum("id")))
+    assert not plan_has_exchange(df)
