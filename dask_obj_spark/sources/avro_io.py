@@ -1060,12 +1060,21 @@ def _make_avro_codec():
 
     def resolve_plan(req_kinds, file_kinds, fname):
         """Project the FILE's decode order onto the requested top-level
-        columns (see _resolve_desc).  req_kinds: [(name, desc)] in the
-        requested output order; file_kinds: [(name, desc, mode)] from
+        columns (see _resolve_desc).  req_kinds: [(name, desc)] or
+        [(name, desc, nullable)] in the requested output order — the
+        2-tuple form means nullable=True; the 3-tuple form threads each
+        top-level StructField's nullable flag through, so strict-null
+        ('!') enforcement applies at the TOP level exactly as it does
+        in nested slots (a foreign file whose union carries an actual
+        null raises instead of silently delivering None into a
+        non-nullable column).  file_kinds: [(name, desc, mode)] from
         kinds_from_schema_json.  Returns the rd_row plan:
         [((kind, extra), mode, slot)]."""
+        req = [
+            (k[0], k[1], k[2] if len(k) > 2 else True) for k in req_kinds
+        ]
         _, (plan, _n) = _resolve_desc(
-            ("record", [(n, d, True) for n, d in req_kinds]),
+            ("record", req),
             ("record", list(file_kinds)),
             "<row>", fname,
         )
@@ -1316,6 +1325,14 @@ def read_avro(
     else:
         st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
     kinds = _field_kinds(st)
+    # 3-tuple form: each top-level field's nullable flag rides into
+    # resolve_plan so strict-null ('!') enforcement applies at the top
+    # level too (ADVICE r12) — own-file round-trips are unaffected
+    # (the writer always emits nullable unions, and strict mode only
+    # raises on an ACTUAL null)
+    req_kinds = [
+        (n, d, f.nullable) for (n, d), f in zip(kinds, st.fields)
+    ]
 
     # schema resolution lives in the codec factory (resolve_plan) so it
     # ships by value to executors and is property-testable standalone;
@@ -1354,7 +1371,7 @@ def read_avro(
                 # foreign field order / union order / non-nullable
                 # fields / extra fields all resolve correctly
                 plan = resolve_plan(
-                    kinds, kinds_from_schema_json(schema_json), part.f
+                    req_kinds, kinds_from_schema_json(schema_json), part.f
                 )
                 if part.lo == 0:
                     anchor = header_len if header_len < part.hi else None

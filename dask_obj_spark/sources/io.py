@@ -101,29 +101,46 @@ def from_url(
     # BEFORE calling partitions()).  Each task only needs its own
     # partition's batch — partition values ship individually — so above
     # a threshold, spill the list to a DRIVER-LOCAL temp file and close
-    # over just the path: partitions() (which runs in the driver-side
-    # planner process, same host) re-reads it at plan time.  The file is
-    # content-hash-named (re-plans and identical calls reuse it) and
-    # must outlive the DataFrame, so it is left for /tmp lifecycle —
-    # a driver-host artifact, never shipped.
+    # over just the path + content digest: partitions() (which runs in
+    # the driver-side planner process, same host) re-reads it at plan
+    # time and VERIFIES the digest — a stale, swapped, or pre-created
+    # file never silently substitutes the URL list.  The file lives in
+    # a per-user 0700 directory, is written 0600, is content-hash-named
+    # (re-plans and identical calls reuse it), and must outlive the
+    # DataFrame, so it is left for /tmp lifecycle — a driver-host
+    # artifact, never shipped.
     if len(url_list) > _FROM_URL_SPILL_AT:
         import hashlib
         import os
         import tempfile
 
         blob = "\n".join(url_list).encode("utf-8")
-        tag = hashlib.sha256(blob).hexdigest()[:16]
-        spill = os.path.join(
-            tempfile.gettempdir(), f"dask_obj_from_url-{tag}.urls"
+        digest = hashlib.sha256(blob).hexdigest()
+        spill_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"dask_obj_from_url-{getattr(os, 'getuid', lambda: 0)()}",
         )
-        if not os.path.exists(spill):
+        os.makedirs(spill_dir, mode=0o700, exist_ok=True)
+        spill = os.path.join(spill_dir, f"{digest[:16]}.urls")
+
+        def _spill_matches() -> bool:
+            try:
+                with open(spill, "rb") as f:
+                    return hashlib.sha256(f.read()).hexdigest() == digest
+            except OSError:
+                return False
+
+        # re-hash any existing file instead of trusting its name: a
+        # truncated/tampered leftover is rewritten, not reused
+        if not _spill_matches():
             tmp = spill + f".{os.getpid()}.tmp"
-            with open(tmp, "wb") as f:
+            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            with os.fdopen(fd, "wb") as f:
                 f.write(blob)
             os.replace(tmp, spill)
-        url_source = ("file", spill)
+        url_source = ("file", spill, digest)
     else:
-        url_source = ("inline", url_list)
+        url_source = ("inline", url_list, None)
 
     class _UrlPart(InputPartition):
         def __init__(self, batch):
@@ -131,10 +148,28 @@ def from_url(
 
     class _Reader(DataSourceReader):
         def partitions(self):
-            kind, val = url_source
+            kind, val, digest = url_source
             if kind == "file":
-                with open(val, "r", encoding="utf-8") as f:
-                    ul = f.read().splitlines()
+                import hashlib
+
+                try:
+                    with open(val, "rb") as f:
+                        blob = f.read()
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"from_url: spill file {val!r} was removed "
+                        f"(/tmp cleanup?) before this re-plan — "
+                        f"re-create the frame with from_url(...)"
+                    ) from None
+                if hashlib.sha256(blob).hexdigest() != digest:
+                    raise RuntimeError(
+                        f"from_url: spill file {val!r} no longer matches "
+                        f"its content digest (modified between plan and "
+                        f"re-plan) — re-create the frame with from_url(...)"
+                    )
+                # split on the EXACT join separator — splitlines() would
+                # also split on \x0b/\x0c/\x85/\u2028 inside a URL
+                ul = blob.decode("utf-8").split("\n")
             else:
                 ul = val
             k = urls_per_partition

@@ -669,10 +669,42 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
              "abc\r", "xyz"]
         )
         import glob
+        import os
+        import stat
         import tempfile
-        assert glob.glob(
-            tempfile.gettempdir() + "/dask_obj_from_url-*.urls"
-        ), "spill file expected above the threshold"
+        spills = glob.glob(
+            tempfile.gettempdir() + "/dask_obj_from_url-*/*.urls"
+        )
+        assert spills, "spill file expected above the threshold"
+        # hardening (ADVICE r12): file 0600 in a 0700 per-user dir
+        newest = max(spills, key=os.path.getmtime)
+        assert stat.S_IMODE(os.stat(newest).st_mode) == 0o600
+        assert stat.S_IMODE(os.stat(os.path.dirname(newest)).st_mode) == 0o700
+
+        # a pre-created/stale file with the right NAME but wrong CONTENT
+        # is rewritten, not trusted (content is re-hashed on reuse) ...
+        with open(newest, "wb") as f:
+            f.write(b"file:///tmp/attacker-controlled\n")
+        sp2 = from_url(spark, many, urls_per_partition=2)
+        with open(newest, "rb") as f:
+            assert b"attacker" not in f.read()
+        assert sp2.rdd.getNumPartitions() == 2
+
+        # ... and tampering AFTER the plan exists fails LOUDLY at the
+        # next re-plan instead of silently substituting the URL list
+        sp3 = from_url(spark, many, urls_per_partition=2)
+        with open(newest, "wb") as f:
+            f.write(b"file:///tmp/swapped\n")
+        with pytest.raises(Exception, match="digest|re-create"):
+            sp3.collect()
+
+        # spill rehydration splits on the EXACT \n separator: a URL
+        # containing \x0b/\x0c/\x85 stays ONE url (splitlines() would
+        # shear it in two — ADVICE r12); plan-only check, no fetch
+        weird = [f"file://{f1}", f"file://{f2}",
+                 f"file:///no/such/a\x0bb\x85c.txt", f"file://{f3}"]
+        spw = from_url(spark, weird, urls_per_partition=1)
+        assert spw.rdd.getNumPartitions() == 4
     finally:
         io_mod._FROM_URL_SPILL_AT = old
 
@@ -1141,6 +1173,28 @@ def test_avro_schema_edge_guards():
     enc_row(wk, ([1, 2, 3],), buf2)
     out, _pos = rd_row(plan, 1, memoryview(bytes(buf2)), 0)
     assert out == [[1, 2, 3]]
+
+    # (d') TOP-LEVEL strict null (ADVICE r12): a foreign file whose
+    # top-level union carries an actual null must raise into a
+    # non-nullable requested column exactly like a nested slot does —
+    # resolve_plan previously hardcoded nullable=True at the top level
+    wk2 = [("x", ("long", None))]
+    sjw2 = _avro_schema_json(wk2, "row")  # writer emits nullable union
+    rk2 = [("x", ("long", None), False)]  # 3-tuple req: non-null top
+    plan2 = resolve_plan(rk2, kfs(sjw2), "<t>")
+    b = bytearray()
+    enc_row(wk2, (None,), b)
+    with pytest.raises(ValueError, match="non-nullable"):
+        rd_row(plan2, 1, memoryview(bytes(b)), 0)
+    b2 = bytearray()
+    enc_row(wk2, (7,), b2)
+    out2, _ = rd_row(plan2, 1, memoryview(bytes(b2)), 0)
+    assert out2 == [7]
+    # 2-tuple req form still means nullable=True (back-compat: the
+    # hypothesis lattice test and own-file round-trips use it)
+    plan3 = resolve_plan([("x", ("long", None))], kfs(sjw2), "<t>")
+    out3, _ = rd_row(plan3, 1, memoryview(bytes(b)), 0)
+    assert out3 == [None]
 
 
 def test_avro_codec_property_roundtrip_full_type_lattice():
