@@ -116,6 +116,19 @@ WARMUP_RUNS = 1
 # the recorded number
 TIMED_RUNS = 5
 
+# Adaptive warm-up extension (BASELINE.md §4 round-13 amendment): the
+# locks are medians of WARM runs, but the depth of the JVM's JIT
+# tier-up tail varies with host state — r13 observed first runs of 17 s
+# settling to the sub-second lock only over ~5 runs (identical code,
+# identical plan; the r12 official run settled within the single fixed
+# warmup).  After the fixed warm-ups, keep warming while each run is
+# still >25% faster than the best seen, up to this many extra runs —
+# so the timed median measures steady state on slow-warm-up days and
+# costs one extra run per row on normal days.  RUNS_OVERRIDE rows are
+# exempt (their cost is fixed machinery, not JIT tiering).
+ADAPTIVE_WARMUP_MAX = 5
+ADAPTIVE_DESCENT = 1.25
+
 
 def materialize(df) -> None:
     """Run the full plan on the executors; no rows cross to the driver."""
@@ -196,8 +209,20 @@ def main() -> None:
     for bench_name, qname in WORKLOAD.items():
         fn = QUERIES[qname]
         warmups, timed = RUNS_OVERRIDE.get(bench_name, (WARMUP_RUNS, TIMED_RUNS))
+        wtimes = []
         for _ in range(warmups):
+            t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
+            wtimes.append(time.perf_counter() - t0)
+        if bench_name not in RUNS_OVERRIDE:
+            for _ in range(ADAPTIVE_WARMUP_MAX):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                t = time.perf_counter() - t0
+                settled = t >= min(wtimes) / ADAPTIVE_DESCENT
+                wtimes.append(t)
+                if settled:
+                    break
         runs = []
         for _ in range(timed):
             t0 = time.perf_counter()

@@ -106,12 +106,19 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
+            # pointer-convention rows (payload NULL + ref, module
+            # docstring) surface here in the real backend as a fetch;
+            # the fake backend propagates NULL features instead of
+            # crashing on len(None) (r13 review finding)
+            feat = lambda fn: payloads.map(  # noqa: E731
+                lambda b: None if b is None else fn(bytes(b))
+            )
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len),
-                    "n_space": payloads.map(lambda b: bytes(b).count(b" ")),
-                    "checksum": payloads.map(lambda b: sum(bytes(b)) % (2**31)),
+                    "n_bytes": feat(len),
+                    "n_space": feat(lambda b: b.count(b" ")),
+                    "checksum": feat(lambda b: sum(b) % (2**31)),
                 }
             )
 

@@ -175,15 +175,19 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     a relevant hit at rank 1 is worth ~3× one at rank 9.  IDCG is
     computed from the truth table's own ranks, so probes with < k true
     neighbors normalize correctly.  Plan: one semi-join + two tiny hash
-    aggregates keyed by probe id — O(probes · k) rows throughout."""
+    aggregates keyed by probe id — O(probes · k) rows throughout.
+
+    The relevance set and IDCG both come from the SAME truth slice
+    (rank <= k): a truth table deeper than k must not count its tail as
+    relevant while IDCG normalizes over only k positions — that
+    inconsistency would let NDCG exceed 1.0 (r13 review finding; the
+    registered caller passes truth depth == k, so its hashes are
+    unchanged)."""
     gain = lambda r: 1.0 / F.log2(F.col(r) + 1.0)  # noqa: E731
-    idcg = (
-        truth.filter(F.col("rank") <= k)
-        .groupBy("id1")
-        .agg(F.sum(gain("rank")).alias("idcg"))
-    )
+    truth_k = truth.filter(F.col("rank") <= k)
+    idcg = truth_k.groupBy("id1").agg(F.sum(gain("rank")).alias("idcg"))
     hits = approx.filter(F.col("rank") <= k).join(
-        truth.select("id1", "id2"), ["id1", "id2"], "left_semi"
+        truth_k.select("id1", "id2"), ["id1", "id2"], "left_semi"
     )
     dcg = hits.groupBy("id1").agg(F.sum(gain("rank")).alias("dcg"))
     return (

@@ -54,64 +54,62 @@ def query(name: str, oracle: str | None = None):
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
 # worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
-# Round-12 window = the two never-driven rows first
-# (source_avro_roundtrip, extended with the ts logical-type probe this
-# round, and source_from_url_lines, the r11-verdict-named missing cell
-# closed this round), then the oldest official records (r6/r7-era
-# tpch/stats/sketch/ml/graph rows), exactly as emitted by
-# `python tools/rolling_window.py --tuple` after the r11 driver rows
-# landed.
+# Round-13 window = the oldest official records (r7/r8-era rows: the
+# eval/profile/ts families, the tier-D source round-trips, and the
+# dedup/corpus/text blocks certified in r7), exactly as emitted by
+# `python tools/rolling_window.py --tuple` after the r12 driver rows
+# landed.  Zero net-new rows this round (freeze policy; r12 verdict #6).
 _WINDOW_50 = (
-    "source_avro_roundtrip",
-    "source_from_url_lines",
-    "tpch_q5_local_volume",
-    "tpch_q10_returns",
-    "tpch_q14_promo",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "stats_mad_outliers",
-    "stats_chi2_independence",
-    "stats_bootstrap_ci",
-    "funnel_conversion_lag",
-    "events_cohort_ltv",
-    "stats_ks_test",
-    "stats_mannwhitney_u",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q11_important_parts",
-    "tpch_q12_shipmode_lateness",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q20_promotion_suppliers",
-    "approx_percentile_rowsonly",
-    "sketch_hll_distinct",
-    "sketch_hll_sliding_users",
-    "ts_ewma_exact",
-    "ml_logreg_gd",
-    "ml_calibration_bins",
-    "ml_ols_normal_equations",
-    "graph_knn_ann_edges",
-    "graph_bfs_ann",
-    "sim_pca_power",
-    "sim_pq_tuned_recall_rowsonly",
-    "sim_pq_trained_rowsonly",
-    "facade_tree_reduction",
-    "delayed_map_fleet_rowsonly",
-    "exists_subquery",
-    "scalar_subquery_avg",
-    "stats_aggregates",
-    "window_ranks",
-    "multi_distinct_agg",
-    "agg_filter_clause",
-    "inverted_index_postings",
-    "centroid_per_label",
-    "sqlrec_components",
-    "eval_vocab_oov",
-    "unpivot_metrics",
-    "approx_topk_terms_rowsonly",
-    "profile_value_histogram",
-    "ts_latest_per_key",
-    "profile_benford_digits",
+    "eval_ab_lift",
+    "eval_cuped_adjustment",
+    "incremental_agg_quantile",
+    "profile_jsd_source_matrix",
+    "profile_ks_source_matrix",
+    "profile_completeness",
+    "starmap_struct",
+    "udtf_word_explode",
+    "sessionize_pandas",
+    "stratified_sample_rowsonly",
+    "array_map_functions",
+    "rollup_time_hierarchy",
+    "asof_join_merge",
+    "pysource_synthetic_docs",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "ts_resample_gapfill",
+    "ts_rolling_stats",
+    "ts_ewma_rowsonly",
+    "ts_scd2_intervals",
+    "ts_anomaly_flags",
+    "ts_markov_transitions",
+    "ts_interarrival_stats",
+    "ts_rolling_autocorr",
+    "ts_burst_detection",
+    "ts_holt_rowsonly",
+    "ml_nearest_centroid_confusion",
+    "sim_cosine_topk_ivf",
+    "sim_standardize_dims",
+    "sim_kcenter_coreset",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_semantic",
+    "corpus_pack_bins",
+    "pipeline_pack_export",
+    "corpus_pack_payload",
+    "corpus_contamination",
+    "corpus_quantize_int8",
+    "text_repetition_ratio",
+    "pipeline_clean_corpus",
+    "text_gopher_filter",
+    "text_ngram_diversity",
+    "text_tfidf_cosine_pairs",
+    "text_ngram_novelty",
+    "text_vocab_growth_heaps",
+    "corpus_bpe_merges",
+    "corpus_sample_k_per_source",
+    "corpus_source_overlap",
+    "corpus_dsir_topk",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

@@ -274,6 +274,11 @@ def register_synthetic_docs_source(spark) -> None:
             return [_Part(a, b) for a, b in zip(bounds, bounds[1:])]
 
         def read(self, part):
+            # rows=0 → partitions() == [], which PySpark turns into a
+            # single None partition (same class as the r11 avro/from_url
+            # finding) — yield nothing instead of AttributeError
+            if part is None:
+                return
             for i in range(part.start, part.end):
                 yield (i, f"synthetic document number {i} repeat {i % 7}")
 

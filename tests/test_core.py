@@ -709,6 +709,17 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
         io_mod._FROM_URL_SPILL_AT = old
 
 
+def test_synthetic_docs_zero_rows_empty_frame(spark):
+    """rows=0 → partitions() == [], which PySpark turns into a single
+    None partition — the reader must yield nothing, not AttributeError
+    (same class as the r11 avro/from_url None-partition finding)."""
+    from dask_obj_spark.sources.io import register_synthetic_docs_source
+
+    register_synthetic_docs_source(spark)
+    df = spark.read.format("synthetic_docs").option("rows", 0).load()
+    assert df.count() == 0
+
+
 def test_write_sink_avro_forwards_options(spark, tmp_path):
     """write_sink(fmt='avro') forwards **options to to_avro — without
     it, mode='append' is unreachable through the dispatcher (to_avro

@@ -48,6 +48,29 @@ def test_decode_real_backend_is_stubbed(mm):
         decode_media(mm, backend="nope")
 
 
+def test_decode_null_payload_propagates_null(spark):
+    """Pointer-convention rows (payload NULL + ref — module docstring)
+    must flow through the fake decoder as NULL features, not crash on
+    len(None) (r13 review finding)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit("image").alias("kind"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+    got = {r.doc_id: r for r in decode_media(df).collect()}
+    assert got[0].n_bytes == 10 and got[0].n_space == 1
+    assert got[1].n_bytes is None
+    assert got[1].n_space is None and got[1].checksum is None
+
+
 def test_frame_sample_geometry(mm):
     # doc 2 (video): 80 bytes → frames 0..4; every 4th → idx 0 and 4
     got = sorted(

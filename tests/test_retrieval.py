@@ -50,6 +50,29 @@ def test_ndcg_prefers_early_hits(spark):
     assert a > b > 0
 
 
+def test_ndcg_truth_deeper_than_k_never_exceeds_one(spark):
+    """Relevance and IDCG must come from the SAME truth slice
+    (rank <= k): with a depth-4 truth table and k=2, an approx list
+    whose top-2 are truth ranks 3 and 4 previously counted them as
+    relevant while IDCG normalized over only 2 positions — NDCG was
+    exactly 1.0 for a ranking that found NONE of the true top-2 (r13
+    review finding)."""
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4)],
+        "id1 long, id2 long, rank int",
+    )
+    tail_only = spark.createDataFrame(
+        [(0, 12, 1), (0, 13, 2)], "id1 long, id2 long, rank int"
+    )
+    out = ndcg_at_k(truth, tail_only, 2).collect()[0]
+    assert out.ndcg == 0.0
+    # and a genuine top-2 match still scores 1.0
+    top2 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "id1 long, id2 long, rank int"
+    )
+    assert abs(ndcg_at_k(truth, top2, 2).collect()[0].ndcg - 1.0) < 1e-9
+
+
 def test_bfs_hops_frontier_semantics(spark):
     # path graph 0-1-2-3-4, plus isolated 9
     vs = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 9]], "id long")

@@ -794,3 +794,56 @@ def test_scale_review_regressions(spark, tmp_path):
     assert plan_has_exchange(df.repartitionByRange(4, "id"))
     assert plan_has_exchange(df.agg(F.sum("id")))
     assert not plan_has_exchange(df)
+
+
+# -- bench-family plan-shape locks (r12 verdict #3) ---------------------------
+# These make future bench-drift adjudication mechanical: if b3/b7 ever
+# breach their BASELINE.md contracts, these asserts say immediately
+# whether the PLAN changed (real regression) or the host did (noise).
+
+
+def test_b3_join_agg_plan_shape(spark, sf_dir):
+    """BASELINE b3 family: orders⋈lineitem must plan as an equi HASH
+    join (broadcast under the bench threshold, shuffle-hash/sort-merge
+    beyond it) feeding a partial (map-side combined) aggregate — never
+    a nested-loop or cartesian."""
+    from dask_obj_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["join_lineitem_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial + final HashAggregate pair = map-side combine before the
+    # group-key shuffle (the scan side never shuffles raw fact rows)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_b7_cosine_topk_plan_shape(spark, sf_dir):
+    """BASELINE b7 family: the probe side rides a broadcast; after the
+    explicit compute-stage fan-out (round-robin repartition — the
+    PLANS.md interpreted-stage rule) the ONLY remaining shuffle is the
+    final per-probe top-k window on id1.  An extra exchange in the
+    scoring stage is exactly the drift this lock exists to catch."""
+    from dask_obj_spark.operators.similarity import cosine_topk_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_topk_brute(emb, "vec_id", "embedding", probe_mod=50, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan  # probes broadcast
+    assert "CartesianProduct" not in plan, plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(shuffles) == 2, plan
+    assert any("RoundRobinPartitioning" in ln for ln in shuffles), plan
+    assert any("hashpartitioning(id1" in ln for ln in shuffles), plan
