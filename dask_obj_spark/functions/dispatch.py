@@ -36,12 +36,16 @@ def _rstrip(col: Column, chars: str | None = None) -> Column:
 
 def _split(col: Column, sep: str | None = None, maxsplit: int = -1) -> Column:
     # Python str.split(None) splits on whitespace runs; Spark split takes a
-    # Java regex. limit=-1 means no limit in both.
+    # Java regex.  Python maxsplit counts SPLITS (maxsplit=1 → up to 2
+    # parts, maxsplit=0 → no split) while Spark's limit counts PARTS —
+    # so limit = maxsplit + 1, not maxsplit (r13 review finding: the
+    # 1:1 mapping returned ['a b c'] for 'a b c'.split(' ', 1)).
+    limit = maxsplit + 1 if maxsplit >= 0 else -1
     if sep is None:
-        return F.split(F.trim(col), r"\s+", maxsplit if maxsplit > 0 else -1)
+        return F.split(F.trim(col), r"\s+", limit)
     import re
 
-    return F.split(col, re.escape(sep), maxsplit if maxsplit > 0 else -1)
+    return F.split(col, re.escape(sep), limit)
 
 
 def _replace(col: Column, old: str, new: str, count: int = -1) -> Column:
@@ -131,7 +135,9 @@ COLUMN_METHODS: dict[str, Callable[..., Column]] = {
     # -- datetime-ish accessors used as methods --
     "date": F.to_date,
     "isoformat": lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
-    "timestamp": lambda c: F.unix_timestamp(c).cast("double"),
+    # datetime.timestamp() returns float seconds WITH microseconds —
+    # unix_timestamp truncates to whole seconds, unix_micros does not
+    "timestamp": lambda c: F.unix_micros(c) / F.lit(1_000_000.0),
     "weekday": lambda c: ((F.dayofweek(c) + 5) % 7),  # Monday=0 like Python
 }
 

@@ -1445,3 +1445,47 @@ def test_pareto_concentration_shares_monotone_and_exact(spark, oracle_sf_dir):
     assert shares[-1] == 1_000_000
     revs = [r.revenue_c for r in rows]
     assert revs[0] == max(revs)  # decile 1 = biggest spenders
+
+
+def test_write_sink_read_text_edge_matrix(spark, tmp_path):
+    """r13 review pass, sources/io.py edge matrix: overwrite really
+    replaces, append really accumulates, mode='error' refuses an
+    existing target, read_text of an empty DIRECTORY is an empty frame
+    (fixed schema — no inference to fail), and a text sink with a
+    non-string/multi-column frame fails loudly instead of writing
+    garbage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_obj_spark.sources.io import read_text, write_sink
+
+    df1 = spark.range(0, 5).select(F.col("id"))
+    df2 = spark.range(100, 103).select(F.col("id"))
+    p = str(tmp_path / "sink_pq")
+
+    # overwrite replaces prior content (not merges)
+    write_sink(df1, p, fmt="parquet", mode="overwrite")
+    write_sink(df2, p, fmt="parquet", mode="overwrite")
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == [100, 101, 102]
+
+    # append accumulates
+    write_sink(df1, p, fmt="parquet", mode="append")
+    assert spark.read.parquet(p).count() == 8
+
+    # mode='error' (Spark default semantics) refuses an existing target
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
+        write_sink(df1, p, fmt="parquet", mode="error")
+
+    # empty directory → empty frame with the fixed text schema
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    got = read_text(spark, str(empty))
+    assert got.columns == ["value"] and got.count() == 0
+
+    # text sink demands exactly one string column — loud, not garbage
+    with pytest.raises(Exception, match="TEXT|text|column"):
+        write_sink(
+            spark.range(3).select(F.col("id"), F.col("id").alias("b")),
+            str(tmp_path / "sink_txt"),
+            fmt="text",
+        )

@@ -237,6 +237,24 @@ def test_dispatch_python_parity_edge_cases(spark):
         assert got[v].cb == v.count("b"), ("count b", v)
         assert got[v].ce == v.count(""), ("count empty", v)
 
+    # split maxsplit counts SPLITS, Spark's limit counts PARTS (r13
+    # review finding: the 1:1 mapping sheared one part off every
+    # maxsplit call, and maxsplit=0 meant "unlimited")
+    sdf = spark.createDataFrame([("a b c d",)], ["s"])
+    for ms in (0, 1, 2, -1):
+        col = dispatch_method("split", F.col("s"), " ", ms)
+        gotv = sdf.select(col.alias("x")).collect()[0].x
+        assert gotv == "a b c d".split(" ", ms), ("split", ms, gotv)
+
+    # datetime.timestamp() keeps microseconds (UTC session, UTC fixture)
+    import datetime
+
+    dt = datetime.datetime(2024, 1, 2, 3, 4, 5, 250000,
+                           tzinfo=datetime.timezone.utc)
+    tdf = spark.createDataFrame([(dt,)], "t timestamp")
+    tcol = dispatch_method("timestamp", F.col("t"))
+    assert tdf.select(tcol.alias("v")).collect()[0].v == dt.timestamp()
+
 
 def test_getitem_slice_stays_columnar(spark):
     from dask_obj_spark import ObjectFrame
