@@ -967,7 +967,7 @@ def ts_rolling_autocorr_q(spark, sf_dir):
              (cnt - sc / CAST(n AS DOUBLE))
                / sqrt((sc2 - sc * sc / CAST(n AS DOUBLE)) / (n - 1)) AS zs
       FROM s
-      WHERE n >= 3 AND sc2 * n > sc * sc
+      WHERE n >= 3 AND sc2::DOUBLE * n > sc::DOUBLE * sc
     )
     SELECT user_id, b AS bucket, CAST(cnt AS BIGINT) AS cnt,
            round(zs, 6) AS z
@@ -989,10 +989,13 @@ def ts_burst_detection_q(spark, sf_dir):
     exact BIGINT count sums with an identical expression on both
     engines (never stddev(), whose summation order differs), so the
     z-scores — and the >2.0 flag boundary — agree bit-for-bit.  The
-    variance guard compares the integer cross products directly
-    (sc2*n > sc*sc), exact on both engines.  A pathologically hot user
-    key generalizes via the salt-and-remerge pattern of
-    skew_salted_counts."""
+    variance guard compares the cross products as DOUBLES on both
+    engines: integers below 2^53 are exact in a double (so bench-scale
+    decisions — and hashes — are unchanged), while a raw BIGINT product
+    would silently WRAP past 2^63 on Spark (DuckDB promotes to HUGEINT)
+    and could misfire the guard at 100 TB per-user volumes (r13 review
+    finding).  A pathologically hot user key generalizes via the
+    salt-and-remerge pattern of skew_salted_counts."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy(
         "user_id",
@@ -1013,7 +1016,11 @@ def ts_burst_detection_q(spark, sf_dir):
     )
     return (
         s.filter(
-            (F.col("n") >= 3) & (F.col("sc2") * F.col("n") > F.col("sc") * F.col("sc"))
+            (F.col("n") >= 3)
+            & (
+                F.col("sc2").cast("double") * F.col("n")
+                > F.col("sc").cast("double") * F.col("sc")
+            )
         )
         .select(
             "user_id",

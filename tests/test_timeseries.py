@@ -256,3 +256,25 @@ def test_top_paths_order_and_truncation(spark):
            for r in top_paths(df, "user_id", "ts", "event_id",
                               "event_type", 3).collect()}
     assert got == {"view>click>purchase": 2, "view": 1}
+
+
+def test_burst_variance_guard_double_cast_survives_int64_overflow(spark):
+    """ts_burst_detection's variance guard compares sc2*n vs sc*sc as
+    DOUBLES: at 100 TB per-user volumes a raw BIGINT product overflows
+    int64 — under Spark 4's default ANSI mode that CRASHES the whole
+    query with ARITHMETIC_OVERFLOW (with ansi off it silently wraps and
+    misfires the guard); doubles are exact below 2^53 so bench-scale
+    decisions and hashes are unchanged (r13 review finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    sc = 3_200_000_000  # sc*sc ≈ 1.02e19 > 2^63: overflows int64
+    sc2 = 4_000_000_000_000_000_000  # sc2*n ≈ 1.2e19 > sc*sc: variance > 0
+    df = spark.createDataFrame([(3, sc, sc2)], "n long, sc long, sc2 long")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.filter(F.col("sc2") * F.col("n") > F.col("sc") * F.col("sc")).count()
+    safe = df.filter(
+        F.col("sc2").cast("double") * F.col("n")
+        > F.col("sc").cast("double") * F.col("sc")
+    ).count()
+    assert safe == 1  # the genuinely-positive-variance row survives
