@@ -965,7 +965,7 @@ def ts_rolling_autocorr_q(spark, sf_dir):
     ), z AS (
       SELECT user_id, b, cnt, n,
              (cnt - sc / CAST(n AS DOUBLE))
-               / sqrt((sc2 - sc * sc / CAST(n AS DOUBLE)) / (n - 1)) AS zs
+               / sqrt((sc2 - sc::DOUBLE * sc / CAST(n AS DOUBLE)) / (n - 1)) AS zs
       FROM s
       WHERE n >= 3 AND sc2::DOUBLE * n > sc::DOUBLE * sc
     )
@@ -989,12 +989,13 @@ def ts_burst_detection_q(spark, sf_dir):
     exact BIGINT count sums with an identical expression on both
     engines (never stddev(), whose summation order differs), so the
     z-scores — and the >2.0 flag boundary — agree bit-for-bit.  The
-    variance guard compares the cross products as DOUBLES on both
-    engines: integers below 2^53 are exact in a double (so bench-scale
-    decisions — and hashes — are unchanged), while a raw BIGINT product
-    would silently WRAP past 2^63 on Spark (DuckDB promotes to HUGEINT)
-    and could misfire the guard at 100 TB per-user volumes (r13 review
-    finding).  A pathologically hot user key generalizes via the
+    variance guard AND the z-score's own sc*sc term compute the cross
+    products as DOUBLES on both engines: integers below 2^53 are exact
+    in a double (so bench-scale decisions — and hashes — are unchanged),
+    while a raw BIGINT product would silently WRAP past 2^63 on Spark
+    (DuckDB promotes to HUGEINT) and could misfire the guard or corrupt
+    zs at 100 TB per-user volumes (r13 review finding; r14 ADVICE closed
+    the remaining zs-side product).  A pathologically hot user key generalizes via the
     salt-and-remerge pattern of skew_salted_counts."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy(
@@ -1011,7 +1012,10 @@ def ts_burst_detection_q(spark, sf_dir):
         F.sum(F.col("cnt") * F.col("cnt")).over(u).alias("sc2"),
     )
     zs = (F.col("cnt") - F.col("sc") / F.col("n").cast("double")) / F.sqrt(
-        (F.col("sc2") - F.col("sc") * F.col("sc") / F.col("n").cast("double"))
+        (
+            F.col("sc2")
+            - F.col("sc").cast("double") * F.col("sc") / F.col("n").cast("double")
+        )
         / (F.col("n") - 1)
     )
     return (

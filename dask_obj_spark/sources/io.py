@@ -121,6 +121,20 @@ def from_url(
             f"dask_obj_from_url-{getattr(os, 'getuid', lambda: 0)()}",
         )
         os.makedirs(spill_dir, mode=0o700, exist_ok=True)
+        # exist_ok=True accepts a PRE-EXISTING dir of that name no
+        # matter who owns it (the uid in the NAME is not ownership), so
+        # verify it really is ours and private; anything else — wrong
+        # owner, group/world bits, or a symlink planted at the path —
+        # gets a fresh mkdtemp (0700 by construction) instead.
+        st = os.lstat(spill_dir)
+        import stat as _stat
+
+        if (
+            not _stat.S_ISDIR(st.st_mode)
+            or st.st_uid != getattr(os, "getuid", lambda: 0)()
+            or _stat.S_IMODE(st.st_mode) != 0o700
+        ):
+            spill_dir = tempfile.mkdtemp(prefix="dask_obj_from_url-")
         spill = os.path.join(spill_dir, f"{digest[:16]}.urls")
 
         def _spill_matches() -> bool:
@@ -133,8 +147,27 @@ def from_url(
         # re-hash any existing file instead of trusting its name: a
         # truncated/tampered leftover is rewritten, not reused
         if not _spill_matches():
-            tmp = spill + f".{os.getpid()}.tmp"
-            fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            # O_EXCL refuses a pre-planted file at the predictable name
+            # and O_NOFOLLOW refuses a planted symlink — either would
+            # have redirected this 0600 write to an attacker-chosen
+            # path; on EEXIST retry with a fresh random suffix rather
+            # than reusing a name somebody raced us to.
+            import secrets
+
+            flags = os.O_WRONLY | os.O_CREAT | os.O_EXCL
+            flags |= getattr(os, "O_NOFOLLOW", 0)
+            for _ in range(16):
+                tmp = spill + f".{secrets.token_hex(8)}.tmp"
+                try:
+                    fd = os.open(tmp, flags, 0o600)
+                except FileExistsError:
+                    continue
+                break
+            else:
+                raise RuntimeError(
+                    "from_url: could not create a unique spill temp file "
+                    f"in {spill_dir!r} after 16 attempts"
+                )
             with os.fdopen(fd, "wb") as f:
                 f.write(blob)
             os.replace(tmp, spill)

@@ -709,6 +709,77 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
         io_mod._FROM_URL_SPILL_AT = old
 
 
+def test_from_url_spill_dir_hardening(spark, tmp_path):
+    """ADVICE r14: makedirs(exist_ok=True) accepts a PRE-EXISTING
+    /tmp/dask_obj_from_url-<uid> no matter who owns it or what its mode
+    is (the uid in the NAME is not ownership), and a symlink planted at
+    the path would redirect the spill write.  The writer must verify
+    owner + 0700 + real-dir via lstat and fall back to a private
+    mkdtemp otherwise — the planted dir never receives the spill."""
+    import os
+    import shutil
+    import stat
+    import tempfile
+
+    import dask_obj_spark.sources.io as io_mod
+    from dask_obj_spark.sources import from_url
+
+    f1 = tmp_path / "a.txt"
+    f1.write_text("alpha\n")
+    urls = [f"file://{f1}"] * 4
+
+    spill_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"dask_obj_from_url-{getattr(os, 'getuid', lambda: 0)()}",
+    )
+    old = io_mod._FROM_URL_SPILL_AT
+    saved = None
+    if os.path.lexists(spill_dir):
+        saved = spill_dir + ".test-saved"
+        shutil.rmtree(saved, ignore_errors=True)
+        os.rename(spill_dir, saved)
+    io_mod._FROM_URL_SPILL_AT = 1
+    try:
+        # case 1: dir exists with group/world-readable mode → fallback
+        os.makedirs(spill_dir, mode=0o755)
+        os.chmod(spill_dir, 0o755)  # makedirs mode is umask-masked
+        df = from_url(spark, urls)
+        assert df.count() == 4
+        assert os.listdir(spill_dir) == [], (
+            "spill must NOT be written into a non-0700 dir"
+        )
+        os.rmdir(spill_dir)
+
+        # case 2: symlink planted at the path → lstat sees a link, not
+        # a dir → fallback; the link target receives nothing
+        target = tmp_path / "attacker"
+        target.mkdir()
+        os.symlink(target, spill_dir)
+        df2 = from_url(spark, urls)
+        assert df2.count() == 4
+        assert list(target.iterdir()) == [], (
+            "spill must NOT follow a planted symlink"
+        )
+        os.unlink(spill_dir)
+
+        # case 3: healthy 0700 own dir is used normally
+        os.makedirs(spill_dir, mode=0o700)
+        os.chmod(spill_dir, 0o700)
+        from_url(spark, urls)
+        names = os.listdir(spill_dir)
+        assert any(n.endswith(".urls") for n in names)
+        for n in names:
+            st = os.stat(os.path.join(spill_dir, n))
+            assert stat.S_IMODE(st.st_mode) == 0o600
+    finally:
+        io_mod._FROM_URL_SPILL_AT = old
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        if os.path.lexists(spill_dir):
+            os.unlink(spill_dir)
+        if saved:
+            os.rename(saved, spill_dir)
+
+
 def test_synthetic_docs_zero_rows_empty_frame(spark):
     """rows=0 → partitions() == [], which PySpark turns into a single
     None partition — the reader must yield nothing, not AttributeError

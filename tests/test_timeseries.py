@@ -278,3 +278,29 @@ def test_burst_variance_guard_double_cast_survives_int64_overflow(spark):
         > F.col("sc").cast("double") * F.col("sc")
     ).count()
     assert safe == 1  # the genuinely-positive-variance row survives
+
+    # ADVICE r14: the z-score's own sc*sc term needs the same double
+    # cast — with the guard fixed but zs still BIGINT*BIGINT, the row
+    # PASSES the guard then zs overflows (crash under ANSI, garbage
+    # without).  The shipped expression mirrors the guard's cast.
+    cnt = 1_400_000_000
+    zs_fixed = (F.col("cnt") - F.col("sc") / F.col("n").cast("double")) / F.sqrt(
+        (
+            F.col("sc2")
+            - F.col("sc").cast("double") * F.col("sc") / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1)
+    )
+    zdf = spark.createDataFrame(
+        [(3, sc, sc2, cnt)], "n long, sc long, sc2 long, cnt long"
+    )
+    zs_broken = (F.col("cnt") - F.col("sc") / F.col("n").cast("double")) / F.sqrt(
+        (F.col("sc2") - F.col("sc") * F.col("sc") / F.col("n").cast("double"))
+        / (F.col("n") - 1)
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        zdf.select(zs_broken.alias("zs")).collect()
+    [row] = zdf.select(zs_fixed.alias("zs")).collect()
+    import math
+
+    assert math.isfinite(row.zs)
