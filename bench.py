@@ -124,15 +124,43 @@ TIMED_RUNS = 5
 # warmup).  After the fixed warm-ups, keep warming while each run is
 # still >25% faster than the best seen, up to this many extra runs —
 # so the timed median measures steady state on slow-warm-up days and
-# costs one extra run per row on normal days.  RUNS_OVERRIDE rows are
+# costs two extra runs per row on normal days.  RUNS_OVERRIDE rows are
 # exempt (their cost is fixed machinery, not JIT tiering).
+# TWO consecutive settled runs are required (r13 verdict #7): a single
+# mid-descent GC hiccup reads as "settled" by the >25% rule and would
+# end the warmup early on a bimodal row; a hiccup does not repeat twice
+# in a row, while genuine steady state does.
 ADAPTIVE_WARMUP_MAX = 5
 ADAPTIVE_DESCENT = 1.25
+ADAPTIVE_SETTLED_RUNS = 2
 
 
 def materialize(df) -> None:
     """Run the full plan on the executors; no rows cross to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed_run(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    materialize(fn(spark, sf_dir))
+    return time.perf_counter() - t0
+
+
+def adaptive_warmup(wtimes: list, run_once) -> list:
+    """Extend the fixed warmup until ADAPTIVE_SETTLED_RUNS consecutive
+    runs are within ADAPTIVE_DESCENT of the best seen (max
+    ADAPTIVE_WARMUP_MAX extra runs).  ``wtimes`` (the fixed-warmup
+    timings) is mutated in place and returned; ``run_once`` performs
+    one run and returns its wall seconds."""
+    consec = 0
+    for _ in range(ADAPTIVE_WARMUP_MAX):
+        t = run_once()
+        settled = t >= min(wtimes) / ADAPTIVE_DESCENT
+        wtimes.append(t)
+        consec = consec + 1 if settled else 0
+        if consec >= ADAPTIVE_SETTLED_RUNS:
+            break
+    return wtimes
 
 
 class _StreamFailureGuard:
@@ -215,14 +243,7 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             wtimes.append(time.perf_counter() - t0)
         if bench_name not in RUNS_OVERRIDE:
-            for _ in range(ADAPTIVE_WARMUP_MAX):
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
-                t = time.perf_counter() - t0
-                settled = t >= min(wtimes) / ADAPTIVE_DESCENT
-                wtimes.append(t)
-                if settled:
-                    break
+            adaptive_warmup(wtimes, lambda: _timed_run(fn, spark, sf_dir))
         runs = []
         for _ in range(timed):
             t0 = time.perf_counter()

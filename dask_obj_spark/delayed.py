@@ -77,6 +77,10 @@ class DelayedObjects:
     eager cluster submission (``core.py:125-134``): every derived
     collection immediately submits its tasks to a shared thread pool and
     holds futures; lazy mode defers everything to ``compute()``/iteration.
+
+    The pool is PROCESS-SHARED (the reference's single ``client``):
+    ``max_workers`` is honored by whichever collection creates the pool
+    first; later values are ignored for the lifetime of the process.
     """
 
     _POOL: ThreadPoolExecutor | None = None

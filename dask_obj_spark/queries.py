@@ -54,62 +54,63 @@ def query(name: str, oracle: str | None = None):
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
 # worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
-# Round-13 window = the oldest official records (r7/r8-era rows: the
-# eval/profile/ts families, the tier-D source round-trips, and the
-# dedup/corpus/text blocks certified in r7), exactly as emitted by
-# `python tools/rolling_window.py --tuple` after the r12 driver rows
-# landed.  Zero net-new rows this round (freeze policy; r12 verdict #6).
+# Round-14 window = the oldest official records (r8/r9-era rows: the
+# streaming family, the batch window aggs, the rows-only ANN/graph
+# twins, and the r8-certified relational/facade block), exactly as
+# emitted by `python tools/rolling_window.py --tuple` after the r13
+# driver rows landed.  Zero net-new rows this round (freeze policy;
+# r13 verdict #5).
 _WINDOW_50 = (
-    "eval_ab_lift",
-    "eval_cuped_adjustment",
-    "incremental_agg_quantile",
-    "profile_jsd_source_matrix",
-    "profile_ks_source_matrix",
-    "profile_completeness",
-    "starmap_struct",
-    "udtf_word_explode",
-    "sessionize_pandas",
-    "stratified_sample_rowsonly",
-    "array_map_functions",
-    "rollup_time_hierarchy",
-    "asof_join_merge",
-    "pysource_synthetic_docs",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "ts_resample_gapfill",
-    "ts_rolling_stats",
-    "ts_ewma_rowsonly",
-    "ts_scd2_intervals",
-    "ts_anomaly_flags",
-    "ts_markov_transitions",
-    "ts_interarrival_stats",
-    "ts_rolling_autocorr",
-    "ts_burst_detection",
-    "ts_holt_rowsonly",
-    "ml_nearest_centroid_confusion",
-    "sim_cosine_topk_ivf",
-    "sim_standardize_dims",
-    "sim_kcenter_coreset",
-    "dedup_exact_groups",
-    "dedup_minhash_pairs",
-    "dedup_semantic",
-    "corpus_pack_bins",
-    "pipeline_pack_export",
-    "corpus_pack_payload",
-    "corpus_contamination",
-    "corpus_quantize_int8",
-    "text_repetition_ratio",
-    "pipeline_clean_corpus",
-    "text_gopher_filter",
-    "text_ngram_diversity",
-    "text_tfidf_cosine_pairs",
-    "text_ngram_novelty",
-    "text_vocab_growth_heaps",
-    "corpus_bpe_merges",
-    "corpus_sample_k_per_source",
-    "corpus_source_overlap",
-    "corpus_dsir_topk",
+    "corpus_weighted_sample_k",
+    "mm_clip_pairs",
+    "stream_outer_join_late",
+    "window_tumbling_events",
+    "window_sliding_events",
+    "window_session_events",
+    "stream_join_click_purchase",
+    "stream_late_data_drop",
+    "stream_stateful_counts",
+    "stream_sessionize",
+    "stream_dedup_exact",
+    "stream_neardup_minhash",
+    "stream_window_topk",
+    "stream_hll_hourly_users",
+    "sim_kmeans_cells_rowsonly",
+    "sim_cosine_topk_numpy_rowsonly",
+    "sim_ivfpq_recall_rowsonly",
+    "graph_knn_ann_trained_rowsonly",
+    "graph_pagerank_rowsonly",
+    "counts_event_type",
+    "tpch_q1_agg",
+    "join_lineitem_orders",
+    "eval_pair_quality_hist",
+    "capstone_semantic_chunk_pack",
+    "tpch_q9_product_profit",
+    "pysource_stream_counts",
+    "sim_binary_hamming_topk",
+    "sim_jl_projection_coords",
+    "corpus_semantic_contamination",
+    "corpus_shuffle_shards",
+    "corpus_shard_balance",
+    "corpus_interleave_sources",
+    "stream_heavy_hitters",
+    "corpus_bpe_encode_rowsonly",
+    "attr_projection",
+    "pluck_multi",
+    "expr_arithmetic",
+    "expr_method_dispatch",
+    "flatten_embeddings",
+    "map_computed_column",
+    "filter_pushdown",
+    "remove_predicate",
+    "sample_deterministic",
+    "distinct_pairs",
+    "scalar_aggs",
+    "any_all_bools",
+    "having_filter",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",

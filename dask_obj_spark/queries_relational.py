@@ -322,13 +322,21 @@ def semi_join_customers(spark, sf_dir):
     "anti_join_customers",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000)
     """,
 )
 def anti_join_customers(spark, sf_dir):
-    """Tier E left-anti join (NOT EXISTS)."""
+    """Tier E left-anti join (NOT EXISTS): customers with no high-value
+    order.  r14 review fix: the unfiltered form ("customers with no
+    orders at all") returned 0 rows at every driver scale factor — the
+    generator gives every customer at least one order — so the parity
+    green was VACUOUS (the anti join could have been an inner join and
+    still matched).  The o_totalprice > 300000 build-side filter keeps
+    the anti-join shape and yields a non-empty, scale-robust survivor
+    set (~2% of customers at sf0.01 and sf0.1)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -520,13 +528,26 @@ def intersect_nations(spark, sf_dir):
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
     SELECT s_nationkey AS nationkey FROM supplier
+    WHERE s_nationkey % 2 = 0
     """,
 )
 def except_nations(spark, sf_dir):
     # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
-    # exceptAll would be multiset difference
+    # exceptAll would be multiset difference.  r14 review fix: the
+    # unfiltered form was VACUOUS — suppliers cover every nation at
+    # every driver scale factor, so the difference was always empty and
+    # the parity green proved nothing about subtract.  Any ORGANIC
+    # right-side filter saturates as data grows (at sf0.1 every nation
+    # already has a supplier in any acctbal band), so the filter is
+    # structural: even-keyed supplier nations, leaving the odd-keyed
+    # customer nations (~12 rows) in the difference at ANY scale —
+    # both the dedup and the removal legs of EXCEPT now carry weight.
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 2 == 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -1822,7 +1843,7 @@ def profile_equidepth_histogram(spark, sf_dir):
     )
     SELECT p.p1, p.p2, p.support,
            round(p.support / n1.n, 6) AS conf_1_to_2,
-           round((p.support * t.total * 1.0) / (n1.n * n2.n), 6) AS lift
+           round((p.support * t.total * 1.0) / (n1.n * 1.0 * n2.n), 6) AS lift
     FROM pairs p
     JOIN part_n n1 ON n1.l_partkey = p.p1
     JOIN part_n n2 ON n2.l_partkey = p.p2
@@ -1861,8 +1882,12 @@ def basket_item_pairs(spark, sf_dir):
             "p2",
             "support",
             F.round(F.col("support") / F.col("n1"), 6).alias("conf_1_to_2"),
+            # n1 * 1.0 * n2 on BOTH engines: two hot parts' count
+            # product is the BIGINT-overflow class at 100 TB (r14
+            # review); double is exact below 2^53 so hashes hold
             F.round(
-                (F.col("support") * F.lit(float(total))) / (F.col("n1") * F.col("n2")),
+                (F.col("support") * F.lit(float(total)))
+                / (F.col("n1") * 1.0 * F.col("n2")),
                 6,
             ).alias("lift"),
         )
@@ -1951,8 +1976,14 @@ def profile_mutual_information(spark, sf_dir):
     joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
     px = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_x"))
     py = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_y"))
+    # count PRODUCTS go through double (* 1.0, mirroring the oracle's
+    # `n_xy * 1.0 * total`): a BIGINT*BIGINT product wraps/crashes past
+    # 2^63 on Spark at 100 TB corpus sizes while DuckDB's SQL was
+    # already double — the r13 burst-detection overflow class, caught
+    # on the Spark side here in the r14 review.  Exact below 2^53, so
+    # bench-scale values and hashes are unchanged.
     c_raw = (F.col("n_xy") / F.col("total")) * F.log(
-        (F.col("n_xy") * F.col("total")) / (F.col("n_x") * F.col("n_y"))
+        (F.col("n_xy") * 1.0 * F.col("total")) / (F.col("n_x") * 1.0 * F.col("n_y"))
     )
     contrib = (
         joint.join(F.broadcast(px), "lang")
@@ -1963,7 +1994,10 @@ def profile_mutual_information(spark, sf_dir):
             "source",
             "n_xy",
             F.round(
-                F.log((F.col("n_xy") * F.col("total")) / (F.col("n_x") * F.col("n_y"))),
+                F.log(
+                    (F.col("n_xy") * 1.0 * F.col("total"))
+                    / (F.col("n_x") * 1.0 * F.col("n_y"))
+                ),
                 6,
             ).alias("pmi"),
             c_raw.alias("c_raw"),
@@ -2222,8 +2256,11 @@ def profile_key_skew_gini(spark, sf_dir):
     return s.select(
         "n_keys",
         "n_rows",
+        # n_keys * 1.0 * n_rows like the oracle: the raw BIGINT product
+        # wraps past 2^63 at 100 TB key×row volumes on Spark while the
+        # oracle SQL was already double (r14 review, burst class)
         F.round(
-            2.0 * F.col("rank_mass") / (F.col("n_keys") * F.col("n_rows"))
+            2.0 * F.col("rank_mass") / (F.col("n_keys") * 1.0 * F.col("n_rows"))
             - (F.col("n_keys") + 1.0) / F.col("n_keys"),
             6,
         ).alias("gini"),
@@ -2559,7 +2596,10 @@ def stats_chi2_independence(spark, sf_dir):
             "lang",
             "source",
             F.coalesce("o", F.lit(0)).alias("o"),
-            (F.col("n_x") * F.col("n_y") / F.lit(float(n))).alias("e"),
+            # n_x * 1.0 * n_y: double product like the oracle's
+            # `x.n_x * 1.0 * y.n_y` — BIGINT*BIGINT wraps past 2^63 at
+            # 100 TB marginals (r14 review, burst-overflow class)
+            (F.col("n_x") * 1.0 * F.col("n_y") / F.lit(float(n))).alias("e"),
         )
     )
     return grid.agg(
@@ -3155,8 +3195,8 @@ def profile_ks_source_matrix(spark, sf_dir):
       FROM r
     )
     SELECT CAST(ra2 - na * (na + 1) AS BIGINT) AS u2,
-           round(((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
-             / sqrt(na * nb / 12.0
+           round(((ra2 - na::DOUBLE * (na + 1)) / 2.0 - na::DOUBLE * nb / 2.0)
+             / sqrt(na::DOUBLE * nb / 12.0
                  * ((na + nb + 1) - ties
                     / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6) AS z,
            na AS n_a, nb AS n_b
@@ -3203,8 +3243,16 @@ def stats_mannwhitney_u(spark, sf_dir):
     )
     na, nb, ra2, ties = F.col("na"), F.col("nb"), F.col("ra2"), F.col("ties")
     n = na + nb
-    z = ((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0) / F.sqrt(
-        na * nb / 12.0 * ((n + 1) - ties / (n.cast("double") * (n - 1)))
+    # z's count products run as doubles on BOTH engines (na::DOUBLE in
+    # the oracle): na*(na+1) and na*nb wrap past 2^63 at 100 TB pooled
+    # sample sizes (r14 review, burst-overflow class; exact below 2^53
+    # so bench hashes are unchanged).  The INTEGER legs — u2, ra2, ties
+    # — keep exact BIGINT algebra with a documented capacity bound:
+    # ra2 ~ N², so past N ≈ 3e9 pooled rows both engines fail LOUDLY
+    # (Spark ANSI overflow / DuckDB BIGINT overflow) rather than
+    # silently, and a 100 TB deployment reads z, not u2.
+    z = ((ra2 - na.cast("double") * (na + 1)) / 2.0 - na.cast("double") * nb / 2.0) / F.sqrt(
+        na.cast("double") * nb / 12.0 * ((n + 1) - ties / (n.cast("double") * (n - 1)))
     )
     return t.select(
         (ra2 - na * (na + 1)).cast("long").alias("u2"),

@@ -347,21 +347,26 @@ def tpch_q9_product_profit(spark, sf_dir):
     )
     SELECT l_partkey, round(value, 2) AS part_value
     FROM pv
-    WHERE value > (SELECT 0.002 * sum(value) FROM pv)
+    WHERE value > (SELECT 2.5 * avg(value) FROM pv)
     """,
 )
 def tpch_q11_important_parts(spark, sf_dir):
     """TPC-H Q11 shape (important stock identification): per-part value
-    filtered against a scalar-subquery fraction of the global total.
+    filtered against a scalar-subquery threshold over the same view.
     Substitution: no partsupp, so value = revenue shipped by the three
-    nations' suppliers.  The scalar subquery is a 1-row aggregate
-    broadcast-crossed against the per-part aggregate — no driver
-    collect, no second scan of lineitem (the per-part aggregate is
-    reused for both legs via a localCheckpoint-free plan: Spark
-    recomputes the cheap 3-nation branch rather than materializing;
-    at 100 TB you would .persist() pv).  Tie risk: the threshold is a
-    continuous fraction of a double sum — a part landing within one ulp
-    has measure zero (PLANS.md numerics note)."""
+    nations' suppliers.  r14 review fix: the original FRACTION-OF-TOTAL
+    threshold (value > 0.002·sum) was VACUOUS — per-part share scales
+    as 1/N_parts, so it returned 0 rows at every driver scale factor
+    and the oracle agreed vacuously (the one green the parity gate
+    cannot distinguish from a real one).  TPC-H itself scales the Q11
+    fraction by 1/SF for exactly this reason; the scale-invariant
+    adaptation is a MULTIPLE OF THE MEAN per-part value (2.5×, ~2% of
+    parts selected at every SF), preserving the structural feature —
+    a scalar subquery over the aggregate view it filters.  The scalar
+    is a 1-row aggregate broadcast-crossed against the per-part
+    aggregate — no driver collect; at 100 TB you would .persist() pv.
+    Tie risk: the threshold is a continuous multiple of a double mean —
+    a part landing within one ulp has measure zero (PLANS.md)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -373,7 +378,7 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
-    thr = pv.agg((F.sum("value") * F.lit(0.002)).alias("thr"))
+    thr = pv.agg((F.avg("value") * F.lit(2.5)).alias("thr"))
     return (
         pv.crossJoin(F.broadcast(thr))
         .filter(F.col("value") > F.col("thr"))

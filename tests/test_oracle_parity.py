@@ -98,6 +98,12 @@ def assert_query_matches_oracle(name: str, spark, sf_dir: str, duck) -> None:
     left = _rows_to_multiset(spark_cols, [tuple(r) for r in spark_rows])
     right = _rows_to_multiset(duck_cols, duck_rows)
     assert left == right, f"{name}: value mismatch (first diff: {_first_diff(left, right)})"
+    # non-vacuousness guard (r14 review): a query that returns 0 rows
+    # agrees with ANY oracle — three shipped queries (tpch_q11,
+    # anti_join_customers, except_nations) were green for rounds while
+    # exercising nothing.  An empty result is a test-data bug, not a
+    # parity pass.
+    assert len(spark_rows) > 0, f"{name}: vacuous parity (0 rows at this SF)"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -41,3 +41,38 @@ def test_window_50_is_the_first_50_registered():
     # silently shrink the driver's official check)
     missing = [n for n in _WINDOW_50 if n not in QUERIES]
     assert not missing
+
+
+def test_bench_adaptive_warmup_requires_two_consecutive_settled():
+    """r13 verdict #7: a single mid-descent GC hiccup reads as
+    "settled" under the >25% rule — the warmup must see TWO
+    consecutive settled runs before handing off to the timed runs,
+    and still cap at ADAPTIVE_WARMUP_MAX extras."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench as B
+
+    def scripted(seq):
+        it = iter(seq)
+        return lambda: next(it)
+
+    # monotone descent then steady: 10 → 4 → 2 → 2 → 2; the fixed
+    # warmup saw 10.  Settles after the two consecutive 2s (hiccup-free
+    # path costs exactly ADAPTIVE_SETTLED_RUNS extra runs once steady).
+    w = B.adaptive_warmup([10.0], scripted([4.0, 2.0, 2.0, 2.0, 2.0]))
+    assert w == [10.0, 4.0, 2.0, 2.0, 2.0]  # stopped before the 5th
+
+    # bimodal trap: run 2 is a GC hiccup (8.0 "settled" vs best 10.0)
+    # but the row is still descending — one settled run must NOT stop
+    # the warmup; the hiccup resets the streak and descent continues
+    w = B.adaptive_warmup([10.0], scripted([8.0, 3.0, 1.5, 1.5, 1.5]))
+    assert w == [10.0, 8.0, 3.0, 1.5, 1.5, 1.5]
+
+    # already steady on entry: two settled runs, then stop
+    w = B.adaptive_warmup([2.0], scripted([2.0, 2.0, 2.0]))
+    assert w == [2.0, 2.0, 2.0]
+
+    # pathological never-settling descent: hard cap at MAX extras
+    w = B.adaptive_warmup([100.0], scripted([50.0, 25.0, 12.0, 6.0, 3.0, 1.5]))
+    assert len(w) == 1 + B.ADAPTIVE_WARMUP_MAX

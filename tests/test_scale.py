@@ -847,3 +847,38 @@ def test_b7_cosine_topk_plan_shape(spark, sf_dir):
     assert len(shuffles) == 2, plan
     assert any("RoundRobinPartitioning" in ln for ln in shuffles), plan
     assert any("hashpartitioning(id1" in ln for ln in shuffles), plan
+
+
+def test_b33_binary_hamming_plan_shape(spark, sf_dir):
+    """BASELINE b33 family (r13-verdict watch item): the MAX_PROBES-
+    bounded probe table rides a BroadcastNestedLoopJoin (non-equi
+    pid != vid — broadcast by construction, never CartesianProduct);
+    the shortlist is pruned MAP-SIDE (partial WindowGroupLimit below
+    the exchange) so only ~shortlist rows per probe cross the wire;
+    and the whole query has exactly ONE shuffle — hashpartitioning on
+    pid for the shortlist window, which the final top-k window REUSES
+    (its Sort plans with no exchange).  Both re-rank join-backs are
+    broadcast.  An extra exchange or a cartesian here is exactly the
+    drift this lock exists to catch."""
+    from dask_obj_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["sim_binary_hamming_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # probes broadcast
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(shuffles) == 1, plan
+    assert "hashpartitioning(pid" in shuffles[0], plan
+    # map-side shortlist prune: a Partial WindowGroupLimit runs BELOW
+    # the exchange, the Final one above it
+    assert "Partial" in plan and plan.count("WindowGroupLimit") >= 3, plan
+    part_idx = plan.index(", Partial")
+    exch_idx = plan.index("Exchange hashpartitioning(pid")
+    assert part_idx > exch_idx, plan  # deeper in the tree = printed later
