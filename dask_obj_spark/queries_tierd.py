@@ -42,16 +42,27 @@ def foldby_custom_binop_q(spark, sf_dir):
     per-group Arrow batches."""
     ev = load_table(spark, sf_dir, "events")
 
-    def fold_group(pdf):
-        import functools
+    def make_fold_group(mod):
+        # factory: `mod` is captured in the <locals> closure so the
+        # worker-shipped function stays self-contained (by-value pickle,
+        # the _make_bpe_greedy_encode precedent) AND the modulus has one
+        # source of truth with the oracle's f-string.  NOT a default
+        # arg — applyInPandas inspects arity to decide whether to pass
+        # the group key, so a second parameter would change dispatch.
+        def fold_group(pdf):
+            import functools
 
-        import pandas as _pd
+            import pandas as _pd
 
-        ids = sorted(int(x) for x in pdf["event_id"])
-        acc = functools.reduce(lambda a, b: (a * 31 + b) % 1000003, ids)
-        return _pd.DataFrame(
-            {"event_type": [pdf["event_type"].iloc[0]], "folded": [acc]}
-        )
+            ids = sorted(int(x) for x in pdf["event_id"])
+            acc = functools.reduce(lambda a, b: (a * 31 + b) % mod, ids)
+            return _pd.DataFrame(
+                {"event_type": [pdf["event_type"].iloc[0]], "folded": [acc]}
+            )
+
+        return fold_group
+
+    fold_group = make_fold_group(FOLD_MOD)
 
     return ev.select("event_type", "event_id").groupBy("event_type").applyInPandas(
         fold_group, "event_type string, folded long"
@@ -142,8 +153,15 @@ def starmap_struct_q(spark, sf_dir):
 
 @query(
     "udtf_word_explode",
+    # list_filter drops the empty string: string_split_regex on a
+    # blank/whitespace-only text returns [''] while Python str.split()
+    # returns [] — without the filter the oracle would emit a phantom
+    # empty-word row for such a doc (latent data-dependent crack, r14
+    # review; no current doc triggers it, so hashes are unchanged)
     oracle="""
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              w -> w <> '')) AS word
     FROM documents WHERE doc_id < 100
     """,
 )
@@ -224,7 +242,12 @@ def sessionize_pandas_q(spark, sf_dir):
         return _pd.DataFrame(
             {
                 "user_id": [uid] * len(out),
-                "sess_start": [int(s.timestamp()) for s, _ in out],
+                # .value // 1e9 = exact integer floor of epoch seconds
+                # at ANY timestamp magnitude; int(s.timestamp()) rides
+                # a float64 ns division whose sub-second error is only
+                # provably < 1s for near-present epochs (the r13
+                # datetime.timestamp() precision class)
+                "sess_start": [s.value // 10**9 for s, _ in out],
                 "n": [c for _, c in out],
             }
         )
