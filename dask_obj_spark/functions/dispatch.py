@@ -42,7 +42,12 @@ def _split(col: Column, sep: str | None = None, maxsplit: int = -1) -> Column:
     # 1:1 mapping returned ['a b c'] for 'a b c'.split(' ', 1)).
     limit = maxsplit + 1 if maxsplit >= 0 else -1
     if sep is None:
-        return F.split(F.trim(col), r"\s+", limit)
+        # ''.split() and '   '.split() are [] in Python; Spark's
+        # split('', ...) is [''] (r14 review — the same empty-input
+        # divergence class as the udtf_word_explode oracle)
+        return F.when(
+            F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(col), r"\s+", limit))
     import re
 
     return F.split(col, re.escape(sep), limit)
@@ -85,7 +90,18 @@ def _get(col: Column, key: Any, default: Any = None) -> Column:
 
 
 def _zfill(col: Column, width: int) -> Column:
-    return F.lpad(col, width, "0")
+    # Python zfill NEVER truncates ('abcdef'.zfill(3) == 'abcdef' while
+    # lpad cuts to width) and pads AFTER a leading sign
+    # ('-42'.zfill(6) == '-00042', not '00-42') — r14 review findings.
+    signed = col.rlike(r"^[+-]")
+    padded = F.when(
+        signed,
+        F.concat(
+            F.substring(col, 1, 1),
+            F.lpad(F.substring(col, 2, 2147483647), max(width - 1, 0), "0"),
+        ),
+    ).otherwise(F.lpad(col, width, "0"))
+    return F.when(F.length(col) >= width, col).otherwise(padded)
 
 
 def _capitalize(col: Column) -> Column:
@@ -108,7 +124,10 @@ COLUMN_METHODS: dict[str, Callable[..., Column]] = {
     "startswith": lambda c, p: F.startswith(c, F.lit(p)),
     "endswith": lambda c, p: F.endswith(c, F.lit(p)),
     "replace": _replace,
-    "title": F.initcap,
+    # NO "title" entry: Python str.title() word-starts at ANY non-cased
+    # boundary ("can't".title() == "Can'T") while initcap only splits on
+    # whitespace — name-alike, not semantics-faithful, so it takes the
+    # documented UDF fallback instead (r14 review)
     "capitalize": _capitalize,
     "find": _find,
     "count": _count_sub,
@@ -129,12 +148,27 @@ COLUMN_METHODS: dict[str, Callable[..., Column]] = {
     # -- list methods (ArrayType) --
     "index": _index_arr,
     # -- numeric methods --
-    "bit_length": lambda c: F.bit_length(c),
-    "is_integer": lambda c: c == F.floor(c).cast("double"),
+    # int.bit_length() = bits to represent the integer ((5).bit_length()
+    # == 3, (0).bit_length() == 0); F.bit_length is the STRING/binary
+    # bit count (8x bytes) — wrong object.  bin() length is exact
+    # integer algebra at any magnitude (r14 review).
+    "bit_length": lambda c: F.when(c == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.abs(c)))
+    ),
+    # x % 1.0 == 0.0: floor(c).cast(long) saturates at 2^63, so
+    # (1e300).is_integer() came back False (Python: True); fmod keeps
+    # double algebra — inf % 1 = NaN → False, matching Python (r14)
+    "is_integer": lambda c: (c % F.lit(1.0)) == 0.0,
     "conjugate": lambda c: c,
     # -- datetime-ish accessors used as methods --
     "date": F.to_date,
-    "isoformat": lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+    # datetime.isoformat() appends '.%06d' microseconds IFF nonzero —
+    # a fixed seconds-only pattern silently dropped sub-second
+    # precision for every µs-granular timestamp (r14 review)
+    "isoformat": lambda c: F.when(
+        F.unix_micros(c) % 1_000_000 == 0,
+        F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+    ).otherwise(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
     # datetime.timestamp() returns float seconds WITH microseconds —
     # unix_timestamp truncates to whole seconds, unix_micros does not
     "timestamp": lambda c: F.unix_micros(c) / F.lit(1_000_000.0),

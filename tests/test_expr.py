@@ -255,6 +255,57 @@ def test_dispatch_python_parity_edge_cases(spark):
     tcol = dispatch_method("timestamp", F.col("t"))
     assert tdf.select(tcol.alias("v")).collect()[0].v == dt.timestamp()
 
+    # r14 review findings, pinned Python-parity:
+    # zfill never truncates and pads AFTER a leading sign
+    zvals = ["42", "-42", "+4", "abcdef", "", "-"]
+    zdf = spark.createDataFrame([(v,) for v in zvals], ["s"])
+    for width in (0, 3, 6):
+        zc = dispatch_method("zfill", F.col("s"), width)
+        gz = {r.s: r.z for r in zdf.select("s", zc.alias("z")).collect()}
+        for v in zvals:
+            assert gz[v] == v.zfill(width), ("zfill", v, width, gz[v])
+
+    # ''.split() / '  '.split() == [] (Spark split alone gives [''])
+    edf = spark.createDataFrame([("",), ("   ",), ("a  b",)], ["s"])
+    sc = dispatch_method("split", F.col("s"))
+    ge = {r.s: r.x for r in edf.select("s", sc.alias("x")).collect()}
+    for v in ["", "   ", "a  b"]:
+        assert ge[v] == v.split(), ("split-ws", v, ge[v])
+
+    # int.bit_length is the INTEGER's bit count, not the string's
+    ivals = [0, 1, 5, -5, 255, 256, 2**40]
+    idf = spark.createDataFrame([(v,) for v in ivals], "i long")
+    bc = dispatch_method("bit_length", F.col("i"))
+    gb = {r.i: r.b for r in idf.select("i", bc.alias("b")).collect()}
+    for v in ivals:
+        assert gb[v] == v.bit_length(), ("bit_length", v, gb[v])
+
+    # float.is_integer survives magnitudes past 2^63 and inf/nan
+    fvals = [2.0, 2.5, -0.0, 1e300, float("inf"), float("nan")]
+    fdf = spark.createDataFrame([(v,) for v in fvals], "x double")
+    ic = dispatch_method("is_integer", F.col("x"))
+    rows = fdf.select("x", ic.alias("ok")).collect()
+    import math
+
+    for r in rows:
+        expect = r.x.is_integer() if not math.isnan(r.x) else False
+        assert r.ok == expect, ("is_integer", r.x, r.ok)
+
+    # isoformat keeps nonzero microseconds, omits them when zero
+    dts = [
+        datetime.datetime(2024, 1, 2, 3, 4, 5, tzinfo=datetime.timezone.utc),
+        datetime.datetime(2024, 1, 2, 3, 4, 5, 250000, tzinfo=datetime.timezone.utc),
+    ]
+    ddf = spark.createDataFrame([(d,) for d in dts], "t timestamp")
+    icol = dispatch_method("isoformat", F.col("t"))
+    gots = sorted(r.s for r in ddf.select(icol.alias("s")).collect())
+    wants = sorted(d.replace(tzinfo=None).isoformat() for d in dts)
+    assert gots == wants, (gots, wants)
+
+    # title is NOT JVM-dispatched (initcap diverges on "can't") — the
+    # caller's UDF fallback carries the real Python semantics
+    assert dispatch_method("title", F.col("s")) is None
+
 
 def test_getitem_slice_stays_columnar(spark):
     from dask_obj_spark import ObjectFrame
