@@ -144,17 +144,22 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["payload"].map(len)
+            # pointer-convention rows (payload NULL + ref) propagate
+            # NULL dims instead of crashing on len(None) — the same
+            # r13 decode_media finding, one function over (r14 review)
+            n = pdf["payload"].map(
+                lambda b: float("nan") if b is None else float(len(b))
+            )
             w = (n % 317) + 16  # fake intrinsic dims, deterministic
             h = (n % 211) + 16
             scale = pd.concat([target_w / w, target_h / h], axis=1).min(axis=1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": w,
-                    "height": h,
-                    "resized_width": (w * scale).astype("int64"),
-                    "resized_height": (h * scale).astype("int64"),
+                    "width": w.astype("Int64"),
+                    "height": h.astype("Int64"),
+                    "resized_width": (w * scale).floordiv(1).astype("Int64"),
+                    "resized_height": (h * scale).floordiv(1).astype("Int64"),
                 }
             )
 

@@ -92,6 +92,30 @@ def test_frame_sample_empty_payload(spark):
     assert sample_frames(as_multimodal(df, "doc_id", "text"), 16, 4).count() == 0
 
 
+def test_resize_null_payload_propagates_null(spark):
+    """Pointer-convention rows must flow through the resize stub as
+    NULL dims, not crash on len(None) — the r13 decode_media finding
+    applied to the function next door (r14 review)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "x" * 50), (3, None)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit("image").alias("kind"),
+            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+    got = {r.doc_id: r for r in resize_images(df, 64, 64).collect()}
+    assert got[0].width == 50 + 16 and got[0].height == 50 + 16
+    assert got[0].resized_width == 64 and got[0].resized_height == 64
+    assert got[3].width is None and got[3].height is None
+    assert got[3].resized_width is None and got[3].resized_height is None
+
+
 def test_resize_only_images_and_aspect(mm):
     rows = resize_images(mm, 64, 64).collect()
     assert {r.doc_id for r in rows} == {0}  # only kind == image
