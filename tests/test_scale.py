@@ -882,3 +882,30 @@ def test_b33_binary_hamming_plan_shape(spark, sf_dir):
     part_idx = plan.index(", Partial")
     exch_idx = plan.index("Exchange hashpartitioning(pid")
     assert part_idx > exch_idx, plan  # deeper in the tree = printed later
+
+
+def test_b32_maxsim_rerank_plan_shape(spark, sf_dir):
+    """BASELINE b32 family (r13-verdict watch item, adjudicated idle in
+    r14 at 0.98-1.08x of its 4.8 lock): probe batches ride broadcast
+    joins (BNLJ/BHJ — never CartesianProduct, never a sort-merge of
+    corpus-sized sides), and the whole retrieve+rerank query holds at
+    most THREE real shuffles (the id1 rerank window plus the two
+    vid-keyed index aggregations).  Extra exchanges or a cartesian here
+    is the drift this lock exists to catch."""
+    from dask_obj_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    df = QUERIES["retrieval_maxsim_rerank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast probes
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(shuffles) <= 3, plan
+    assert any("hashpartitioning(id1" in ln for ln in shuffles), plan
