@@ -1385,7 +1385,7 @@ def sketch_countmin_freq_q(spark, sf_dir):
     ), w AS (
       SELECT t.doc_id, t.term, t.tf * ln(s.n_docs * 1.0 / d.df_) AS w
       FROM tf t JOIN df d ON d.term = t.term CROSS JOIN stats s
-      WHERE d.df_ <= 50
+      WHERE d.df_ <= greatest(50, s.n_docs // 10)
     ), norms AS (
       SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
     ), dots AS (
@@ -1408,22 +1408,30 @@ def text_tfidf_cosine_pairs_q(spark, sf_dir):
     too much for shingle Jaccard but whose term distributions align).
 
     Sub-quadratic by construction: the pair join runs term-by-term over
-    the inverted index, and terms with document frequency > 50 are
-    dropped BEFORE the join (they carry ~zero idf weight AND generate
-    the hottest buckets — the idf-weighted version of the stop-shingle
-    cap).  Norms are per-doc aggregates broadcast onto the pair
-    results.  At 100 TB the weighted postings table is the standing
-    bucketed-by-term asset shared with BM25."""
+    the inverted index, and terms with document frequency above a
+    CORPUS-PROPORTIONAL cap (10% of docs, floor 50) are dropped BEFORE
+    the join (they carry ~zero idf weight AND generate the hottest
+    buckets — the idf-weighted version of the stop-shingle cap).  The
+    cap must scale with the corpus: document frequency grows linearly
+    with doc count, so the r13-era ABSOLUTE cap (df <= 50) silently
+    dropped every shared term at sf0.1 and the query returned 0 rows —
+    the vacuous-parity guard added this round caught it, and a fixed
+    cap at 100 TB would have filtered out the entire vocabulary.  At
+    sf0.01 (500 docs) the proportional cap is exactly the old 50, so
+    recorded hashes are unchanged.  Norms are per-doc aggregates
+    broadcast onto the pair results.  At 100 TB the weighted postings
+    table is the standing bucketed-by-term asset shared with BM25."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
     ).withColumn("term", F.lower(F.col("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = toks.select("doc_id").distinct().count()
+    df_cap = max(50, n_docs // 10)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
     # the rare-term df table is VOCABULARY-sized — no broadcast hint
     w = (
-        tf.join(df.filter(F.col("df_") <= 50), "term")
+        tf.join(df.filter(F.col("df_") <= df_cap), "term")
         .select(
             "doc_id",
             "term",
