@@ -86,7 +86,8 @@ def connected_components(
     node — partial-aggregated, skew-tolerant (a hot node's neighbor list
     is never materialized in one task).  The fixpoint is a forest of
     stars rooted at each component min.  Convergence is detected by an
-    edge-set signature (count + sum of xxhash64), a map-side-combined
+    edge-set signature (count + bit_xor of xxhash64 — order-free and
+    overflow-free under ANSI), a map-side-combined
     aggregate, not a distributed set-difference; per-round
     localCheckpoint cuts the growing lineage (measured necessity, see
     PLANS.md).
