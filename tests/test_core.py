@@ -710,12 +710,14 @@ def test_from_url_file_data_schemes_and_partitioning(spark, tmp_path):
 
 
 def test_from_url_spill_dir_hardening(spark, tmp_path):
-    """ADVICE r14: makedirs(exist_ok=True) accepts a PRE-EXISTING
-    /tmp/dask_obj_from_url-<uid> no matter who owns it or what its mode
-    is (the uid in the NAME is not ownership), and a symlink planted at
-    the path would redirect the spill write.  The writer must verify
-    owner + 0700 + real-dir via lstat and fall back to a private
-    mkdtemp otherwise — the planted dir never receives the spill."""
+    """ADVICE r14 (two rounds): makedirs(exist_ok=True) accepts a
+    PRE-EXISTING /tmp/dask_obj_from_url-<uid> no matter who owns it (the
+    uid in the NAME is not ownership), and a symlink planted at the path
+    would redirect the spill write.  The writer verifies owner + real-dir
+    via lstat; a dir that is OURS but wrong-mode (umask-masked makedirs)
+    is chmod'd back to 0700 and USED — only symlink/non-dir/foreign-owner
+    forces the fallback, and that fallback is ONE memoized mkdtemp per
+    process, not a fresh leak per call."""
     import os
     import shutil
     import stat
@@ -733,22 +735,27 @@ def test_from_url_spill_dir_hardening(spark, tmp_path):
         f"dask_obj_from_url-{getattr(os, 'getuid', lambda: 0)()}",
     )
     old = io_mod._FROM_URL_SPILL_AT
+    old_fallback = io_mod._FROM_URL_FALLBACK_DIR
     saved = None
     if os.path.lexists(spill_dir):
         saved = spill_dir + ".test-saved"
         shutil.rmtree(saved, ignore_errors=True)
         os.rename(spill_dir, saved)
     io_mod._FROM_URL_SPILL_AT = 1
+    io_mod._FROM_URL_FALLBACK_DIR = None
     try:
-        # case 1: dir exists with group/world-readable mode → fallback
+        # case 1: dir exists, OURS, but group/world-readable (an
+        # owner-restrictive umask would also land here) → chmod'd back
+        # to 0700 and used — the spill cache survives (r14 advice: the
+        # old behavior fell back to a fresh mkdtemp every call)
         os.makedirs(spill_dir, mode=0o755)
         os.chmod(spill_dir, 0o755)  # makedirs mode is umask-masked
         df = from_url(spark, urls)
         assert df.count() == 4
-        assert os.listdir(spill_dir) == [], (
-            "spill must NOT be written into a non-0700 dir"
-        )
-        os.rmdir(spill_dir)
+        assert stat.S_IMODE(os.lstat(spill_dir).st_mode) == 0o700
+        assert any(n.endswith(".urls") for n in os.listdir(spill_dir))
+        assert io_mod._FROM_URL_FALLBACK_DIR is None
+        shutil.rmtree(spill_dir)
 
         # case 2: symlink planted at the path → lstat sees a link, not
         # a dir → fallback; the link target receives nothing
@@ -760,9 +767,29 @@ def test_from_url_spill_dir_hardening(spark, tmp_path):
         assert list(target.iterdir()) == [], (
             "spill must NOT follow a planted symlink"
         )
+        # the fallback is memoized: a second call reuses the SAME
+        # mkdtemp dir instead of leaking a new one per call
+        fb = io_mod._FROM_URL_FALLBACK_DIR
+        assert fb is not None and os.path.isdir(fb)
+        assert stat.S_IMODE(os.lstat(fb).st_mode) == 0o700
+        from_url(spark, urls)
+        assert io_mod._FROM_URL_FALLBACK_DIR == fb
         os.unlink(spill_dir)
 
-        # case 3: healthy 0700 own dir is used normally
+        # case 3 (root only): dir owned by someone ELSE → fallback even
+        # with mode 0700 — chmod'ing a foreign dir is not ours to do
+        if getattr(os, "getuid", lambda: 1)() == 0:
+            os.makedirs(spill_dir, mode=0o700)
+            os.chmod(spill_dir, 0o700)
+            os.chown(spill_dir, 54321, 54321)
+            df3 = from_url(spark, urls)
+            assert df3.count() == 4
+            assert os.listdir(spill_dir) == [], (
+                "spill must NOT be written into a foreign-owned dir"
+            )
+            os.rmdir(spill_dir)
+
+        # case 4: healthy 0700 own dir is used normally
         os.makedirs(spill_dir, mode=0o700)
         os.chmod(spill_dir, 0o700)
         from_url(spark, urls)
@@ -773,6 +800,9 @@ def test_from_url_spill_dir_hardening(spark, tmp_path):
             assert stat.S_IMODE(st.st_mode) == 0o600
     finally:
         io_mod._FROM_URL_SPILL_AT = old
+        if io_mod._FROM_URL_FALLBACK_DIR:
+            shutil.rmtree(io_mod._FROM_URL_FALLBACK_DIR, ignore_errors=True)
+        io_mod._FROM_URL_FALLBACK_DIR = old_fallback
         shutil.rmtree(spill_dir, ignore_errors=True)
         if os.path.lexists(spill_dir):
             os.unlink(spill_dir)

@@ -272,13 +272,37 @@ def test_dispatch_python_parity_edge_cases(spark):
     for v in ["", "   ", "a  b"]:
         assert ge[v] == v.split(), ("split-ws", v, ge[v])
 
-    # int.bit_length is the INTEGER's bit count, not the string's
-    ivals = [0, 1, 5, -5, 255, 256, 2**40]
+    # split(None, maxsplit) keeps the remainder VERBATIM — trailing
+    # whitespace survives in the last part when the limit is hit, and a
+    # whitespace-only remainder is dropped, exactly like CPython
+    # ('a b '.split(None, 1) == ['a', 'b '] — r14 advice: full trim ate
+    # the trailing space)
+    wvals = ["a b ", " a b c ", "a   ", "", "   ", "a \t b  c"]
+    wdf = spark.createDataFrame([(v,) for v in wvals], ["s"])
+    for ms in (0, 1, 2, 5):
+        wc = dispatch_method("split", F.col("s"), None, ms)
+        gw = {r.s: r.x for r in wdf.select("s", wc.alias("x")).collect()}
+        for v in wvals:
+            assert gw[v] == v.split(None, ms), ("split-ws-ms", v, ms, gw[v])
+
+    # int.bit_length is the INTEGER's bit count, not the string's;
+    # the type minimum must not ANSI-overflow in abs() — Python gives
+    # (-2**63).bit_length() == 64 (r14 advice)
+    ivals = [0, 1, 5, -5, 255, 256, 2**40, -(2**63), 2**63 - 1]
     idf = spark.createDataFrame([(v,) for v in ivals], "i long")
     bc = dispatch_method("bit_length", F.col("i"))
     gb = {r.i: r.b for r in idf.select("i", bc.alias("b")).collect()}
     for v in ivals:
         assert gb[v] == v.bit_length(), ("bit_length", v, gb[v])
+
+    # ... and INT_MIN on an int-typed column (abs before the long cast
+    # would overflow int arithmetic the same way)
+    i32 = [0, -(2**31), 2**31 - 1]
+    i32df = spark.createDataFrame([(v,) for v in i32], "i int")
+    bc32 = dispatch_method("bit_length", F.col("i"))
+    gb32 = {r.i: r.b for r in i32df.select("i", bc32.alias("b")).collect()}
+    for v in i32:
+        assert gb32[v] == v.bit_length(), ("bit_length-i32", v, gb32[v])
 
     # float.is_integer survives magnitudes past 2^63 and inf/nan
     fvals = [2.0, 2.5, -0.0, 1e300, float("inf"), float("nan")]

@@ -60,6 +60,13 @@ def _duck_connection(sf_dir: str):
 QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
 
+# Queries whose CORRECT answer is legitimately empty at small scale
+# factors — an explicit declaration, so the non-vacuousness guard below
+# stays a hard default without forbidding intentionally-empty results
+# (r14 advice).  Empty today; adding a name here is a reviewed decision,
+# not a convenience.
+ALLOWED_EMPTY: frozenset[str] = frozenset()
+
 
 @pytest.fixture(scope="module")
 def duck(oracle_sf_dir):
@@ -102,8 +109,13 @@ def assert_query_matches_oracle(name: str, spark, sf_dir: str, duck) -> None:
     # agrees with ANY oracle — three shipped queries (tpch_q11,
     # anti_join_customers, except_nations) were green for rounds while
     # exercising nothing.  An empty result is a test-data bug, not a
-    # parity pass.
-    assert len(spark_rows) > 0, f"{name}: vacuous parity (0 rows at this SF)"
+    # parity pass — unless the query DECLARES emptiness as its correct
+    # answer via ALLOWED_EMPTY (r14 advice: don't conflate a fixture
+    # gap with a parity failure for legitimately-empty results).
+    assert len(spark_rows) > 0 or name in ALLOWED_EMPTY, (
+        f"{name}: vacuous parity (0 rows at this SF) — if emptiness is "
+        "the intended answer, declare it in ALLOWED_EMPTY"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -48,9 +48,14 @@ def test_bench_adaptive_warmup_requires_two_consecutive_settled():
     "settled" under the >25% rule — the warmup must see TWO
     consecutive settled runs before handing off to the timed runs,
     and still cap at ADAPTIVE_WARMUP_MAX extras."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    # repo root derived from this file, not hardcoded (r14 advice):
+    # conftest.py already inserts it, but keep the import self-contained
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import bench as B
 
     def scripted(seq):
