@@ -54,63 +54,67 @@ def query(name: str, oracle: str | None = None):
 # the r10 verdict) — a new @query needs a verdict/advice-named gap, so
 # worst-case official staleness stays bounded at ~⌈325/50⌉ ≈ 7 rounds
 # (COVERAGE.md round-11 deltas has the full policy).
-# Round-14 window = the oldest official records (r8/r9-era rows: the
-# streaming family, the batch window aggs, the rows-only ANN/graph
-# twins, and the r8-certified relational/facade block), exactly as
-# emitted by `python tools/rolling_window.py --tuple` after the r13
-# driver rows landed.  Zero net-new rows this round (freeze policy;
-# r13 verdict #5).
+# Round-15 window = `python tools/rolling_window.py --tuple` (the 26
+# r8-era relational/join/window-function rows plus the r9 dedup/text
+# block) with ONE curation override per the r14 judge: the last two
+# emitted rows (text_boilerplate_scrub, text_pmi_bigrams — r9 records,
+# re-certified next rotation) are swapped for the two r14-REWRITTEN
+# queries the age sort alone would miss (tpch_q11_important_parts r12,
+# text_tfidf_cosine_pairs r13) — their official records predate their
+# rewrites, so the driver must hash the NEW semantics this round; the
+# other two rewrites (anti_join_customers, except_nations) already sort
+# in on age.  Zero net-new rows (freeze policy; r13 verdict #5).
 _WINDOW_50 = (
-    "corpus_weighted_sample_k",
-    "mm_clip_pairs",
-    "stream_outer_join_late",
-    "window_tumbling_events",
-    "window_sliding_events",
-    "window_session_events",
-    "stream_join_click_purchase",
-    "stream_late_data_drop",
-    "stream_stateful_counts",
-    "stream_sessionize",
-    "stream_dedup_exact",
-    "stream_neardup_minhash",
-    "stream_window_topk",
-    "stream_hll_hourly_users",
-    "sim_kmeans_cells_rowsonly",
-    "sim_cosine_topk_numpy_rowsonly",
-    "sim_ivfpq_recall_rowsonly",
-    "graph_knn_ann_trained_rowsonly",
-    "graph_pagerank_rowsonly",
-    "counts_event_type",
-    "tpch_q1_agg",
-    "join_lineitem_orders",
-    "eval_pair_quality_hist",
-    "capstone_semantic_chunk_pack",
-    "tpch_q9_product_profit",
-    "pysource_stream_counts",
-    "sim_binary_hamming_topk",
-    "sim_jl_projection_coords",
-    "corpus_semantic_contamination",
-    "corpus_shuffle_shards",
-    "corpus_shard_balance",
-    "corpus_interleave_sources",
-    "stream_heavy_hitters",
-    "corpus_bpe_encode_rowsonly",
-    "attr_projection",
-    "pluck_multi",
-    "expr_arithmetic",
-    "expr_method_dispatch",
-    "flatten_embeddings",
-    "map_computed_column",
-    "filter_pushdown",
-    "remove_predicate",
-    "sample_deterministic",
-    "distinct_pairs",
-    "scalar_aggs",
-    "any_all_bools",
-    "having_filter",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
+    "pivot_status",
+    "broadcast_join_dims",
+    "semi_join_customers",
+    "anti_join_customers",
+    "cross_join_dims",
+    "outer_join_counts",
+    "range_join_events",
+    "asof_join_last_event",
+    "union_nations",
+    "intersect_nations",
+    "except_nations",
+    "topk_orders",
+    "orderby_limit",
+    "window_topk_per_group",
+    "window_lag_lead",
+    "window_running_sum",
+    "string_functions",
+    "date_functions",
+    "json_extraction",
+    "case_when_buckets",
+    "in_filter_agg",
+    "null_handling",
+    "sketch_heavy_hitters",
+    "retrieval_maxsim",
+    "retrieval_maxsim_rerank",
+    "ml_knn_classify",
+    "sim_cosine_topk_brute",
+    "sim_cosine_topk_lsh",
+    "sim_ivf_recall",
+    "sim_norms",
+    "sim_random_projection",
+    "dedup_minhash_bands",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "corpus_dedup_clusters",
+    "corpus_split",
+    "corpus_mix_rebalance",
+    "corpus_ngram_vocab",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_langid",
+    "text_tfidf_top_terms",
+    "text_fingerprints",
+    "text_facets",
+    "text_scrub",
+    "tpch_q11_important_parts",
+    "text_tfidf_cosine_pairs",
 )
 _PRIORITY_PREFIXES = (
     "dedup_",
