@@ -1037,3 +1037,56 @@ def test_decontam_impact_counts_and_share(spark):
         tot.tokens_dropped * 1_000_000
         // (tot.tokens_kept + tot.tokens_dropped)
     )
+
+
+def test_pack_bins_null_text_parity_with_duckdb(spark):
+    """r15 review-pass pin (NULL-edge lens): the pack family tokenizes
+    with split(trim(text)) WITHOUT a coalesce — under ANSI Spark,
+    size(NULL) is NULL and the windowed prefix sum SKIPS the null, and
+    DuckDB's len/sum behave identically, so a NULL-text row yields
+    (n_tokens NULL, bin NULL) on BOTH engines while its neighbors bin
+    as if it were absent.  Pin that agreement so a future non-ANSI
+    config (size(NULL) = -1) or a one-sided coalesce can't silently
+    crack the pack_bins/pack_payload/pack_segments oracles."""
+    import duckdb
+
+    from dask_obj_spark.operators.corpus import pack_bins
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, None, "s1"), (3, "d e", "s1")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens, r.bin_id)
+        for r in pack_bins(df, "doc_id", "text", "source", 4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1,'a b c','s1'),(2,NULL,'s1'),(3,'d e','s1')) t(doc_id, text, source)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT),
+                   CAST(floor((cum_tokens - n_tokens) / 4) AS BIGINT)
+            FROM c
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want, (got, want)
+    assert got[2] == (None, 3, None)  # the NULL row itself
+    assert got[3] == (2, 5, 0)        # neighbor bins as if NULL row absent
