@@ -598,3 +598,79 @@ def test_rbo_identical_disjoint_and_topweighted(spark):
     assert got[1] == maxv            # identical -> truncated max (1-0.9^10)
     assert got[2] == 0               # disjoint
     assert got[3] > got[4] > 0       # top-weighted: rank-1 hit >> rank-10 hit
+
+
+def test_minhash_est_floor_filters_low_est_candidates(spark):
+    """r15 dead-leg probe pin: on the driver fixtures the banded
+    candidates ALL carry est_jaccard >= 0.5 at every SF, so the
+    min_est_jaccard floor never fires at the parity gate — prove the
+    leg works on a fixture where it must.  Two docs sharing one exact
+    half (one band can match) but with a mostly-different other half
+    produce a candidate whose signature agreement sits strictly below
+    1.0; a floor above that est removes the pair, a floor of 0.0
+    keeps it."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    a = shared + " one two three four five six seven eight"
+    b = shared + " nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], ["doc_id", "text"]
+    )
+    base = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", 16, 8, 3, 0.0
+        ).collect()
+    }
+    assert (1, 2) in base, "shared half must band-match"
+    est = base[(1, 2)]
+    assert 0.0 < est < 1.0
+    # a floor just above the measured est filters the candidate out
+    floored = minhash_candidate_pairs(
+        docs, "doc_id", "text", 16, 8, 3, min_est_jaccard=est + 0.01
+    ).collect()
+    assert floored == []
+    # ... and a floor at the est keeps it (>= comparison)
+    kept = minhash_candidate_pairs(
+        docs, "doc_id", "text", 16, 8, 3, min_est_jaccard=est
+    ).collect()
+    assert [(r.id1, r.id2) for r in kept] == [(1, 2)]
+
+
+def test_source_overlap_cap_drops_hot_shingles(spark):
+    """r15 dead-leg probe pin: the driver fixture's 20 sources never
+    push a shingle past the production cap (max shingle reach is 3-4
+    sources at every SF), so corpus_source_overlap's >50 guard never
+    fires at the parity gate — prove the cap works where it must.
+    One boilerplate shingle spans THREE sources; with the cap at 2 it
+    is dropped and contributes NO pairs, while each pair's private
+    shared shingle survives."""
+    from dask_obj_spark.operators.corpus import source_overlap_matrix
+
+    boiler = "all rights reserved by the original site owner"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", boiler + " apple banana cherry damson elder fig"),
+            (2, "s2", boiler + " apple banana cherry damson elder fig"),
+            (3, "s3", boiler + " grape honeydew imbe jackfruit kiwi lime"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    uncapped = {
+        (r.src_a, r.src_b): r.shared_shingles
+        for r in source_overlap_matrix(
+            docs, "source", "text", 8, max_shingle_freq=None
+        ).collect()
+    }
+    capped = {
+        (r.src_a, r.src_b): r.shared_shingles
+        for r in source_overlap_matrix(
+            docs, "source", "text", 8, max_shingle_freq=2
+        ).collect()
+    }
+    # uncapped: the boilerplate shingle links every source pair
+    assert set(uncapped) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # capped: the 3-source shingle is dropped; only s1-s2's private
+    # fruit shingles remain, with strictly fewer shared shingles
+    assert ("s1", "s3") not in capped and ("s2", "s3") not in capped
+    assert ("s1", "s2") in capped
+    assert capped[("s1", "s2")] < uncapped[("s1", "s2")]
