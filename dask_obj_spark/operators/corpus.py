@@ -2098,11 +2098,13 @@ def semantic_contamination(
     Returns (vid, eval_vid, cos_x1m): flagged train docs with their
     single closest eval doc (ties by lowest eval id).
     """
-    from dask_obj_spark.operators.similarity import dot, l2_norm
+    from dask_obj_spark.operators.similarity import DIM, dot_w, l2_norm_w
 
+    # r15: fixed-width codegen'd kernels (similarity.dot notes) — the
+    # unrolled chains are node-for-node the HOF folds, bit-identical
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vn", l2_norm(F.col("v")))
+    ).withColumn("vn", l2_norm_w("v", DIM))
     if centroids is not None:
         # trained constant-k path (kmeans_fit output): the centroid
         # table is bounded by k regardless of corpus size, so the
@@ -2111,7 +2113,7 @@ def semantic_contamination(
             centroids.select(
                 F.col("cid"),
                 F.col("cv").cast("array<double>").alias("cv"),
-            ).withColumn("cn", l2_norm(F.col("cv")))
+            ).withColumn("cn", l2_norm_w("cv", DIM))
         )
     else:
         # modular oracle-replay set: N/cell_mod rows — GROWS with the
@@ -2127,7 +2129,7 @@ def semantic_contamination(
             "vid",
             "v",
             "vn",
-            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cs"),
+            (dot_w("v", "cv", DIM) / (F.col("vn") * F.col("cn"))).alias("cs"),
             "cid",
         )
         .withColumn("rn", F.row_number().over(aw))
@@ -2147,7 +2149,7 @@ def semantic_contamination(
             "vid",
             "eval_vid",
             F.floor(
-                (dot(F.col("v"), F.col("ev")) / (F.col("vn") * F.col("en")))
+                (dot_w("v", "ev", DIM) / (F.col("vn") * F.col("en")))
                 * F.lit(1000000.0)
             )
             .cast("bigint")

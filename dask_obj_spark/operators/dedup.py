@@ -298,18 +298,19 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Cosine near-dups of probe vectors (id % probe_mod == 0) against the
     corpus: broadcast the small probe side, JVM fold for the dot product."""
-    from dask_obj_spark.operators.similarity import dot, l2_norm
+    from dask_obj_spark.operators.similarity import dot_w, l2_norm_w
 
     # norms factored out before the pair join: identical subexpressions,
-    # bit-identical results, 1 fold per pair instead of 3
+    # bit-identical results, 1 fold per pair instead of 3; r15: fixed-
+    # width codegen'd kernels (similarity.dot notes), bit-identical
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vn", l2_norm(F.col("v")))
+    ).withColumn("vn", l2_norm_w("v", _SIM_DIM))
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
     )
     pairs = base.join(F.broadcast(probes), F.col("pid") < F.col("vid"))
-    sim = F.round(dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn")), 6)
+    sim = F.round(dot_w("pv", "v", _SIM_DIM) / (F.col("pn") * F.col("vn")), 6)
     return pairs.select(
         F.col("pid").alias("id1"), F.col("vid").alias("id2"), sim.alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -587,16 +588,18 @@ def semantic_dedup(
     (vid % cell_mod == 1) so the DuckDB oracle replays the exact index.
     Deletion rate is tuned by ``tau`` exactly as in the paper.
     """
-    from dask_obj_spark.operators.similarity import dot, l2_norm
+    from dask_obj_spark.operators.similarity import dot_w, l2_norm_w
 
     # norms are computed ONCE per vector/centroid before the pair joins:
     # `dot/(‖a‖·‖b‖)` evaluates the identical sqrt-fold subexpressions,
     # so values (and the oracle hash) are bit-unchanged, but per-pair
     # interpreted work drops from 3 folds to 1 (same trick as
-    # cosine_topk_brute; measured ~2.5× on this operator at sf0.1)
+    # cosine_topk_brute; measured ~2.5× on this operator at sf0.1).
+    # r15: fixed-width codegen'd kernels (similarity.dot notes) — the
+    # unrolled chains are node-for-node the HOF folds, bit-identical
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vn", l2_norm(F.col("v")))
+    ).withColumn("vn", l2_norm_w("v", _SIM_DIM))
     if centroids is not None:
         # trained constant-k path (kmeans_fit output): bounded by k
         # regardless of corpus size — the broadcast HINT is safe
@@ -604,7 +607,7 @@ def semantic_dedup(
             centroids.select(
                 F.col("cid"),
                 F.col("cv").cast("array<double>").alias("cv"),
-            ).withColumn("cn", l2_norm(F.col("cv")))
+            ).withColumn("cn", l2_norm_w("cv", _SIM_DIM))
         )
     else:
         # modular oracle-replay set: N/cell_mod rows grows with the
@@ -620,7 +623,7 @@ def semantic_dedup(
             "vid",
             "v",
             "vn",
-            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("cs"),
+            (dot_w("v", "cv", _SIM_DIM) / (F.col("vn") * F.col("cn"))).alias("cs"),
             "cid",
         )
         .withColumn("rn", F.row_number().over(aw))
@@ -638,7 +641,7 @@ def semantic_dedup(
         .filter(F.col("vid2") < F.col("vid"))
         .filter(
             F.round(
-                dot(F.col("v"), F.col("v2")) / (F.col("vn") * F.col("vn2")), 6
+                dot_w("v", "v2", _SIM_DIM) / (F.col("vn") * F.col("vn2")), 6
             )
             >= tau
         )
@@ -929,8 +932,13 @@ def sorted_neighborhood_pairs(
     # the shingle posting table has THREE consumers (sizes + both
     # verify legs): materialize it once instead of re-running the
     # explode per consumer — at scale this is the standing inverted
-    # index every near-dup verifier probes anyway
-    sh = df.select(
+    # index every near-dup verifier probes anyway.  fan_out: the
+    # shingle explode is the row's hottest stage (r15 probe: 3.2 s on
+    # ONE task, pinned by the single-file scan split) — scale-adaptive,
+    # a no-op once the scan has a split per core
+    from dask_obj_spark.sources.tables import fan_out
+
+    sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     ).localCheckpoint(eager=True)

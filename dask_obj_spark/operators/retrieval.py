@@ -421,17 +421,24 @@ def sim_mmr_topk_q(spark, sf_dir):
     cvec = cand_ids.join(
         base.select(F.col("vid").alias("cid"), "v"), "cid"
     )
-    from dask_obj_spark.operators.similarity import cosine_sim
+    from dask_obj_spark.operators.similarity import DIM, cosine_sim_w
 
+    # codegen'd fixed-width cosine (similarity.dot notes): bit-identical
+    # to the HOF fold, no interpreted per-pair lambda evaluation
     cand = cvec.join(F.broadcast(probes), "pid").select(
-        "pid", "cid", "v", cosine_sim(F.col("pv"), F.col("v")).alias("rel")
+        "pid", "cid", "v", cosine_sim_w("pv", "v", DIM).alias("rel")
     ).localCheckpoint(eager=True)
     a = cand.select("pid", F.col("cid").alias("c1"), F.col("v").alias("va"))
     b = cand.select("pid", F.col("cid").alias("c2"), F.col("v").alias("vb"))
+    # materialize the k²-per-probe pair table ONCE: every greedy round
+    # joins against it, and without the checkpoint each round's eager
+    # localCheckpoint re-ran the full self-join + 64-dot cosine fold
+    # (guide §5 localCheckpoint note; measured 5x recompute at picks=5)
     pair_sim = (
         a.join(b, "pid")
         .filter(F.col("c1") != F.col("c2"))
-        .select("pid", "c1", "c2", cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+        .select("pid", "c1", "c2", cosine_sim_w("va", "vb", DIM).alias("sim"))
+        .localCheckpoint(eager=True)
     )
     return mmr_rerank(cand.select("pid", "cid", "rel"), pair_sim)
 
@@ -442,46 +449,56 @@ MAXSIM_TOKENS = 8  # reinterpret the dim-64 fixture vector as 8 tokens x 8 dims
 MAXSIM_K = 5
 
 
-def _token_dot(a: Column, b: Column, t: int, s: int, sub: int) -> Column:
+def _token_dot_sql(a: str, b: str, t: int, s: int, sub: int) -> str:
     """``0.0 + a[t*sub+1]*b[s*sub+1] + ...`` — the duck_dot left-assoc
     convention over one token-pair slice, as codegen'd element_at chains
     (NOT the F.aggregate HOF — 64 interpreted folds per pair would be
-    the exact hot-path trap the verify notes ban)."""
-    e = F.lit(0.0)
-    for k in range(sub):
-        e = e + F.element_at(a, t * sub + k + 1) * F.element_at(b, s * sub + k + 1)
-    return e
+    the exact hot-path trap the verify notes ban).
+
+    Generated as ONE SQL string (``0.0D`` is the double literal, ``+``
+    parses left-assoc — the parsed tree is node-for-node the tree the
+    old per-term Column loop built) because building the 64-dot MaxSim
+    tree through py4j cost ~1500 driver round-trips per query at
+    several ms each (OPTIMIZATION_r15.md: b32 construction was ~3.8 s
+    of pure driver time; one ``F.expr`` parse is sub-ms)."""
+    terms = " + ".join(
+        f"element_at({a}, {t * sub + k + 1}) * element_at({b}, {s * sub + k + 1})"
+        for k in range(sub)
+    )
+    return f"(0.0D + {terms})"
 
 
-def normalize_token_array(v: Column, tokens: int, sub: int) -> Column:
+def normalize_token_array(v: str, tokens: int, sub: int) -> Column:
     """Flattened per-token-normalized copy of a (tokens*sub)-dim vector:
     out[t*sub + k] = v[t*sub + k] / ||token_t||.  One narrow projection
     per ROW, so the pair stage's MaxSim cosines collapse to plain dots
-    (no norms recomputed per candidate)."""
+    (no norms recomputed per candidate).  ``v`` is a SQL expression
+    string; the whole array is one ``F.expr`` parse (same tree, ~400
+    fewer py4j round-trips — see ``_token_dot_sql``)."""
     elems = []
     for t in range(tokens):
-        n = F.lit(0.0)
+        n_terms = " + ".join(
+            f"element_at({v}, {t * sub + k + 1}) * element_at({v}, {t * sub + k + 1})"
+            for k in range(sub)
+        )
+        n = f"SQRT(0.0D + {n_terms})"
         for k in range(sub):
-            n = n + F.element_at(v, t * sub + k + 1) * F.element_at(
-                v, t * sub + k + 1
-            )
-        n = F.sqrt(n)
-        for k in range(sub):
-            elems.append(F.element_at(v, t * sub + k + 1) / n)
-    return F.array(*elems)
+            elems.append(f"element_at({v}, {t * sub + k + 1}) / {n}")
+    return F.expr("array(" + ", ".join(elems) + ")")
 
 
-def _maxsim_score(pnv: Column, dnv: Column, tokens: int, sub: int) -> Column:
+def _maxsim_score(pnv: str, dnv: str, tokens: int, sub: int) -> Column:
     """MaxSim (Khattab & Zaharia, SIGIR 2020): sum over probe tokens of
     the best cosine against any doc token — fixed ``greatest`` over a
-    left-assoc term chain, bit-replayable in SQL."""
-    score = None
-    for t in range(tokens):
-        best = F.greatest(
-            *[_token_dot(pnv, dnv, t, s, sub) for s in range(tokens)]
-        )
-        score = best if score is None else score + best
-    return score
+    left-assoc term chain, bit-replayable in SQL.  Column names in, one
+    ``F.expr`` parse out (see ``_token_dot_sql``)."""
+    bests = [
+        "greatest("
+        + ", ".join(_token_dot_sql(pnv, dnv, t, s, sub) for s in range(tokens))
+        + ")"
+        for t in range(tokens)
+    ]
+    return F.expr(" + ".join(bests))
 
 
 def maxsim_topk(
@@ -504,7 +521,7 @@ def maxsim_topk(
     base = df.select(
         F.col(id_col).alias("vid"),
         normalize_token_array(
-            F.col(vec_col).cast("array<double>"), tokens, sub
+            f"CAST({vec_col} AS ARRAY<DOUBLE>)", tokens, sub
         ).alias("nv"),
     )
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
@@ -536,7 +553,7 @@ def maxsim_topk(
         .select(
             F.col("pid").alias("id1"),
             F.col("vid").alias("id2"),
-            _maxsim_score(F.col("pnv"), F.col("nv"), tokens, sub).alias("ms"),
+            _maxsim_score("pnv", "nv", tokens, sub).alias("ms"),
         )
     )
     w = Window.partitionBy("id1").orderBy(F.desc("ms"), F.asc("id2"))
@@ -707,7 +724,7 @@ def retrieval_maxsim_rerank_q(spark, sf_dir):
     nb = emb.select(
         F.col("vec_id").alias("vid"),
         normalize_token_array(
-            F.col("embedding").cast("array<double>"), MAXSIM_TOKENS, sub
+            "CAST(embedding AS ARRAY<DOUBLE>)", MAXSIM_TOKENS, sub
         ).alias("nv"),
     )
     p = nb.select(F.col("vid").alias("pvid"), F.col("nv").alias("pnv"))
@@ -718,9 +735,7 @@ def retrieval_maxsim_rerank_q(spark, sf_dir):
         .select(
             "id1",
             "id2",
-            _maxsim_score(
-                F.col("pnv"), F.col("dnv"), MAXSIM_TOKENS, sub
-            ).alias("ms"),
+            _maxsim_score("pnv", "dnv", MAXSIM_TOKENS, sub).alias("ms"),
         )
     )
     w = Window.partitionBy("id1").orderBy(F.desc("ms"), F.asc("id2"))

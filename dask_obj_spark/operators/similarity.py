@@ -35,6 +35,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dask_obj_spark.functions.fastlit import lit_double_array, lit_long_array
 from dask_obj_spark.queries import query
 from dask_obj_spark.sources import load_table
 
@@ -42,7 +43,18 @@ from dask_obj_spark.sources import load_table
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array columns — JVM-side left fold."""
+    """Dot product of two array columns — JVM-side left fold.
+
+    NOTE (optimization r15, guide §1.2 step 2 / §4.1): `F.aggregate` /
+    `F.zip_with` are CodegenFallback expressions — every pair pays an
+    INTERPRETED 64-step fold with per-element lambda binding.  Hot pair
+    stages over the fixed-width embedding fixture should use
+    :func:`dot_w` instead: the unrolled `element_at` chain is the
+    node-for-node left-assoc tree (bit-identical doubles, same oracle
+    hashes) but whole-stage-codegen compiles it to straight-line double
+    arithmetic (measured ~5x on the brute-kNN scoring stage), and the
+    single `F.expr` parse costs ONE driver round-trip instead of ~130.
+    This HOF form stays for width-generic call sites."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -50,6 +62,111 @@ def dot(a: Column, b: Column) -> Column:
 
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def sql_dot(a: str, b: str, dim: int, lo: int = 1) -> str:
+    """Spark-SQL text of the SAME left-assoc dot fold `dot` builds, over
+    elements ``lo..lo+dim-1`` of two array expressions: ``0.0D`` is the
+    double literal seed, `+` parses left-associated, so the parsed tree
+    is node-for-node the `F.aggregate` fold's — bit-identical float64
+    results (the exactness argument `duck_dot` already documents for
+    the DuckDB twin; ``lo`` replays a `slice(x, lo, dim)` prefix/window
+    without materializing the slice)."""
+    return (
+        "(0.0D + "
+        + " + ".join(
+            f"element_at({a}, {i}) * element_at({b}, {i})"
+            for i in range(lo, lo + dim)
+        )
+        + ")"
+    )
+
+
+def sql_norm(a: str, dim: int, lo: int = 1) -> str:
+    """SQL text of `l2_norm`'s sqrt-of-self-dot over a fixed width."""
+    return f"SQRT{sql_dot(a, a, dim, lo)}"
+
+
+SQL_DOT_HOF = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+"""SQL text of the width-generic `dot` fold — parses to the identical
+ArrayAggregate/ZipWith tree `F.aggregate`/`F.zip_with` build (0.0D is
+the double seed `F.lit(0.0)` produces), so results are bit-identical."""
+
+
+def _sql_dot_hof(a: str, b: str) -> str:
+    return SQL_DOT_HOF.format(a=a, b=b)
+
+
+def dot_w(a: str, b: str, dim: int) -> Column:
+    """Width-guarded codegen'd dot product (see `dot` docstring): the
+    unrolled left-assoc chain when both arrays are exactly ``dim`` wide
+    (the fixture case — whole-stage codegen'd straight-line doubles),
+    else the width-generic HOF fold `dot` builds.  Both branches are
+    node-for-node the `F.aggregate` fold at their width, so results are
+    bit-identical for every input; one `F.expr` parse total.  The guard
+    exists because ANSI `element_at` past the array end is an ERROR
+    where the HOF fold just folds the actual width (unit-tested API
+    behavior on arbitrary-width vectors)."""
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {sql_dot(a, b, dim)} ELSE {_sql_dot_hof(a, b)} END"
+    )
+
+
+def l2_norm_w(a: str, dim: int) -> Column:
+    """Width-guarded codegen'd L2 norm twin of `l2_norm` (see `dot_w`)."""
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} THEN {sql_norm(a, dim)} "
+        f"ELSE SQRT({_sql_dot_hof(a, a)}) END"
+    )
+
+
+def cosine_sim_w(a: str, b: str, dim: int) -> Column:
+    """Width-guarded codegen'd twin of `cosine_sim` (same sub-trees;
+    see `dot_w` for the guard rationale)."""
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {sql_dot(a, b, dim)} / ({sql_norm(a, dim)} * {sql_norm(b, dim)}) "
+        f"ELSE {_sql_dot_hof(a, b)} / "
+        f"(SQRT({_sql_dot_hof(a, a)}) * SQRT({_sql_dot_hof(b, b)})) END"
+    )
+
+
+def dot_prefix_w(a: str, b: str, m: int) -> Column:
+    """Prefix-dot over the first ``m`` elements: unrolled chain when the
+    arrays are at least ``m`` wide, else the HOF fold over
+    ``slice(x, 1, m)`` — exactly `dot(F.slice(a,1,m), F.slice(b,1,m))`'s
+    tree (matryoshka semantics), bit-identical at every width."""
+    sa, sb = f"slice({a}, 1, {m})", f"slice({b}, 1, {m})"
+    return F.expr(
+        f"CASE WHEN size({a}) >= {m} AND size({b}) >= {m} "
+        f"THEN {sql_dot(a, b, m)} ELSE {_sql_dot_hof(sa, sb)} END"
+    )
+
+
+def l2_norm_prefix_w(a: str, m: int) -> Column:
+    """Prefix-norm twin of `dot_prefix_w`."""
+    sa = f"slice({a}, 1, {m})"
+    return F.expr(
+        f"CASE WHEN size({a}) >= {m} THEN {sql_norm(a, m)} "
+        f"ELSE SQRT({_sql_dot_hof(sa, sa)}) END"
+    )
+
+
+def sql_sqdist_const(a: str, cent: list[float]) -> str:
+    """SQL text of the squared-euclidean fold against a LITERAL centroid
+    — the codegen'd twin of ``aggregate(zip_with(v, lit_array, (x,y) ->
+    (x-y)*(x-y)), 0.0, +)``: same left-assoc tree, `sql_double`'s
+    repr round-trip makes each centroid literal bit-identical to
+    `F.lit`'s (fastlit exactness note)."""
+    from dask_obj_spark.functions.fastlit import sql_double
+
+    terms = " + ".join(
+        f"(element_at({a}, {i + 1}) - {sql_double(c)}) * "
+        f"(element_at({a}, {i + 1}) - {sql_double(c)})"
+        for i, c in enumerate(cent)
+    )
+    return f"(0.0D + {terms})"
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -165,26 +282,30 @@ def cosine_ranked_raw(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    base = raw0.repartition(ncores).withColumn("vn", l2_norm(F.col("v")))
+    # codegen'd fixed-width kernels (see `dot`): bit-identical to the
+    # HOF folds, ~5x on the pair stage, 3 driver round-trips total
+    base = raw0.repartition(ncores).withColumn("vn", l2_norm_w("v", DIM))
+    # one scan serves both the MAX_PROBES guard and the probe
+    # materialization (the maxsim_topk/heavy_hitters pattern): collect
+    # ≤ MAX_PROBES+1 probe rows once — within the cap the collected set
+    # is COMPLETE, so it becomes the broadcast local relation and the
+    # pair join starts from an in-memory LocalTableScan instead of
+    # paying a separate count() job plus a probe re-scan of the corpus
+    probe_rows = _checked_probe_rows(
+        raw0.filter(F.col("vid") % probe_mod == 0), "cosine_ranked_raw"
+    )
     probes = (
-        raw0.filter(F.col("vid") % probe_mod == 0)
-        .withColumn("vn", l2_norm(F.col("v")))
+        df.sparkSession.createDataFrame(probe_rows, raw0.schema)
+        .withColumn("vn", l2_norm_w("v", DIM))
         .select(
             F.col("vid").alias("pid"), F.col("v").alias("pv"), F.col("vn").alias("pn")
         )
     )
-    n_probes = probes.limit(MAX_PROBES + 1).count()
-    if n_probes > MAX_PROBES:
-        raise ValueError(
-            f"cosine_ranked_raw: probe set exceeds MAX_PROBES={MAX_PROBES} "
-            "(exact-oracle harness contract) — raise probe_mod or use "
-            "the ANN library path (cosine_topk_ivf / knn_graph_ann)"
-        )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
     scored = pairs.select(
         F.col("pid").alias("id1"),
         F.col("vid").alias("id2"),
-        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
+        (dot_w("pv", "v", DIM) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     return scored.withColumn("rank", F.row_number().over(w))
@@ -274,7 +395,7 @@ HYPERPLANES: list[list[float]] = [
 
 
 def _sign_bit(v: Column, plane: list[float]) -> Column:
-    p = F.array(*[F.lit(c) for c in plane])
+    p = lit_double_array(plane)
     return F.when(dot(v, p) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -506,12 +627,12 @@ def knn_graph_ann(
         # computed narrowly from the same scan (no join, no window)
         cells = base.select(
             "vid", "v", "vn",
-            _nearest_cells(F.col("v"), centroids, 1).getItem(0).alias("cid"),
+            _nearest_cells("v", centroids, 1).getItem(0).alias("cid"),
         )
         pcells = base.filter(F.col("vid") % probe_mod == 0).select(
             F.col("vid").alias("pid"), F.col("v").alias("pv"),
             F.col("vn").alias("pn"),
-            F.explode(_nearest_cells(F.col("v"), centroids, nprobe)).alias("cid"),
+            F.explode(_nearest_cells("v", centroids, nprobe)).alias("cid"),
         )
     cand = (
         cells.join(pcells, "cid")  # plain equi-join: both sides corpus-sized
@@ -566,25 +687,14 @@ def kmeans_fit(
     cents = [list(r.v) for r in base.orderBy("vid").limit(k).collect()]
 
     def assign_for(cent_rows: list[list[float]]) -> DataFrame:
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(c) for c in cent]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for cent in cent_rows
-        ]
-        pairs = F.array(
-            *[
-                F.struct(d.alias("dist"), F.lit(i).alias("cell"))
-                for i, d in enumerate(dists)
-            ]
+        # one-parse codegen'd argmin (see `sql_sqdist_const` / the `dot`
+        # r15 notes): bit-identical to the interpreted zip_with folds
+        arms = ", ".join(
+            f"struct({sql_sqdist_const('v', cent)} AS dist, {i} AS cell)"
+            for i, cent in enumerate(cent_rows)
         )
-        return base.select("vid", "v", F.array_min(pairs).getField("cell").alias("cell"))
+        cell = F.expr(f"array_min(array({arms})).cell")
+        return base.select("vid", "v", cell.alias("cell"))
 
     assigned = assign_for(cents)
     for _ in range(iters):
@@ -660,34 +770,28 @@ def kmeans_fit_quantized(
     init = base.orderBy("vid").limit(k).collect()
     state: list[tuple[list[int], int]] = [(list(r.xq), 1) for r in init]
 
-    def _sq_diff(n: int):
-        # closure factory, NOT a default arg: a 3-param lambda would
-        # make pyspark pass the array index as the extra argument
-        nl = F.lit(int(n))
-        return lambda x, c: (x * nl - c) * (x * nl - c)
+    def _sq_num_sql(s: list[int], n: int) -> str:
+        # codegen'd twin of the exact-BIGINT fold: (xq_d·n − s_d)²
+        # summed left-assoc from a CAST(0 AS BIGINT) seed — integer ops,
+        # so order is immaterial anyway; overflow still raises (ANSI),
+        # same loud bound as the interpreted fold it replaces
+        terms = " + ".join(
+            f"(element_at(xq, {d + 1}) * {int(n)}L - {int(c)}L) * "
+            f"(element_at(xq, {d + 1}) * {int(n)}L - {int(c)}L)"
+            for d, c in enumerate(s)
+        )
+        return f"(CAST(0 AS BIGINT) + {terms})"
 
     def assign_for(st: list[tuple[list[int], int]]) -> DataFrame:
-        dists = []
-        for s, n in st:
-            num = F.aggregate(
-                F.zip_with(
-                    F.col("xq"),
-                    F.array(*[F.lit(int(c)).cast("long") for c in s]),
-                    _sq_diff(n),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            )
-            dists.append(num.cast("double") / F.lit(float(n * n)))
-        pairs = F.array(
-            *[
-                F.struct(d.alias("dist"), F.lit(i).alias("cell"))
-                for i, d in enumerate(dists)
-            ]
+        # one-parse codegen'd argmin (see `sql_sqdist_const` notes); the
+        # single final division per cell stays the identical IEEE op
+        arms = ", ".join(
+            f"struct(CAST({_sq_num_sql(s, n)} AS DOUBLE) / {float(n * n)!r}D"
+            f" AS dist, {i} AS cell)"
+            for i, (s, n) in enumerate(st)
         )
-        return base.select(
-            "vid", "xq", F.array_min(pairs).getField("cell").alias("cell")
-        )
+        cell = F.expr(f"array_min(array({arms})).cell")
+        return base.select("vid", "xq", cell.alias("cell"))
 
     assigned = assign_for(state)
     for _ in range(iters):
@@ -792,26 +896,21 @@ def sim_kmeans_cells_exact_q(spark, sf_dir):
 # -- standing IVF index (k-means centroids + bucketed cell table) -------------
 
 
-def _nearest_cells(vec: Column, cents: list[list[float]], nprobe: int) -> Column:
+def _nearest_cells(vec: str, cents: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared euclidean),
     computed against literal centroid arrays — model state is compiled
-    into the plan, no join needed for assignment."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(c) for c in cent]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        for cent in cents
-    ]
-    pairs = F.array(
-        *[F.struct(d.alias("dist"), F.lit(i).alias("cell")) for i, d in enumerate(dists)]
+    into the plan, no join needed for assignment.
+
+    ``vec`` is the array column's NAME; the whole k-way argsort is ONE
+    `F.expr` parse of codegen'd unrolled chains (see `sql_sqdist_const`
+    and the `dot` r15 notes) — bit-identical to the interpreted
+    zip_with/aggregate folds it replaces, ~k·dim fewer driver
+    round-trips and straight-line double math per row."""
+    arms = ", ".join(
+        f"struct({sql_sqdist_const(vec, cent)} AS dist, {i} AS cell)"
+        for i, cent in enumerate(cents)
     )
-    return F.slice(F.array_sort(pairs), 1, nprobe).getField("cell")
+    return F.expr(f"slice(array_sort(array({arms})), 1, {nprobe}).cell")
 
 
 def build_ann_index(
@@ -861,7 +960,7 @@ def query_ann_index(
     ).withColumn("pn", l2_norm(F.col("pv")))
     pcells = p.select(
         "pid", "pv", "pn",
-        F.explode(_nearest_cells(F.col("pv"), centroids, nprobe)).alias("cell"),
+        F.explode(_nearest_cells("pv", centroids, nprobe)).alias("cell"),
     )
     # corpus-side norm computed once per row on the (bucketed) scan,
     # before the join — 1 fold per candidate pair instead of 3
@@ -2178,7 +2277,7 @@ def pq_encode(
         pairs = F.array(
             *[
                 F.struct(
-                    sqdist(sv, F.array(*[F.lit(float(x)) for x in cv])).alias(
+                    sqdist(sv, lit_double_array(cv)).alias(
                         "dist"
                     ),
                     F.lit(cid).alias("cid"),
@@ -2660,10 +2759,11 @@ def matryoshka_recall(
     )
 
     def with_norms(frame: DataFrame, pfx: str) -> DataFrame:
+        # codegen'd prefix norms (see `dot`): element_at(v, 1..m) is
+        # exactly slice(v, 1, m)'s element set, same left-assoc fold —
+        # bit-identical values without materializing the slice
         for m in widths:
-            frame = frame.withColumn(
-                f"{pfx}n{m}", l2_norm(F.slice(F.col("v"), 1, m))
-            )
+            frame = frame.withColumn(f"{pfx}n{m}", l2_norm_prefix_w("v", m))
         return frame
 
     base = with_norms(raw0.repartition(ncores), "")
@@ -2695,8 +2795,8 @@ def matryoshka_recall(
         F.struct(
             F.lit(m).cast("bigint").alias("m"),
             (
-                dot(F.slice(F.col("pv"), 1, m), F.slice(F.col("v"), 1, m))
-                / (F.col(f"pn{m}") * F.col(f"n{m}"))
+                # codegen'd prefix dot — same tree as the sliced HOF fold
+                dot_prefix_w("pv", "v", m) / (F.col(f"pn{m}") * F.col(f"n{m}"))
             ).alias("cs"),
         )
         for m in widths
@@ -2847,7 +2947,7 @@ def pq_adc_trained_topk(
                 *[
                     F.struct(
                         sqdist(
-                            sv, F.array(*[F.lit(float(x)) for x in cv])
+                            sv, lit_double_array(cv)
                         ).alias("dist"),
                         F.lit(cid).alias("cid"),
                     )
@@ -2877,7 +2977,7 @@ def pq_adc_trained_topk(
                 *[
                     sqdist(
                         F.slice(F.col("v"), s * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lit_double_array(cv),
                     )
                     for cv in book
                 ]
@@ -3021,7 +3121,7 @@ def ivfpq_topk(
             F.array(
                 *[
                     F.struct(
-                        sqdist(sv, F.array(*[F.lit(float(x)) for x in cv])).alias(
+                        sqdist(sv, lit_double_array(cv)).alias(
                             "dist"
                         ),
                         F.lit(cid).alias("cid"),
@@ -3036,7 +3136,7 @@ def ivfpq_topk(
     # they are joined back for the shortlist survivors only
     cells = base.select(
         "vid",
-        _nearest_cells(F.col("nv"), centroids, 1).getItem(0).alias("cell"),
+        _nearest_cells("nv", centroids, 1).getItem(0).alias("cell"),
         F.array(*[_code(s, book) for s, book in enumerate(books)]).alias("codes"),
     )
     # per-probe ADC table: pt[s][cid] = ||probe_sub_s - codeword||²,
@@ -3047,7 +3147,7 @@ def ivfpq_topk(
                 *[
                     sqdist(
                         F.slice(F.col("nv"), s * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lit_double_array(cv),
                     )
                     for _, cv in enumerate(book)
                 ]
@@ -3058,7 +3158,7 @@ def ivfpq_topk(
     pcells = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"),
         pt.alias("pt"),
-        F.explode(_nearest_cells(F.col("nv"), centroids, nprobe)).alias("cell"),
+        F.explode(_nearest_cells("nv", centroids, nprobe)).alias("cell"),
     )
     cand = cells.join(pcells, "cell").filter(F.col("pid") != F.col("vid"))
     adc = F.element_at(F.col("pt").getItem(0), F.col("codes").getItem(0) + 1)
@@ -3271,7 +3371,7 @@ def random_project(v: Column) -> Column:
     scale = 1.0 / (RP_DIM ** 0.5)
     return F.array(
         *[
-            (dot(v, F.array(*[F.lit(c) for c in plane])) * scale)
+            (dot(v, lit_double_array(plane)) * scale)
             for plane in RP_PLANES
         ]
     )
@@ -3883,10 +3983,13 @@ def kcenter_coreset(
         (first["vid"], list(first["v"]), 0.0)
     ]
     for _ in range(1, k):
-        mind = None
-        for _, vec, _ in centers:
-            d = sqdist(F.col("v"), F.array(*[F.lit(float(x)) for x in vec]))
-            mind = d if mind is None else F.least(mind, d)
+        # one-parse codegen'd least-of-sqdist chain, nested in pick
+        # order exactly like the F.least fold it replaces (and like the
+        # oracle's unrolled rounds) — bit-identical doubles
+        mind_sql = sql_sqdist_const("v", centers[0][1])
+        for _, vec, _ in centers[1:]:
+            mind_sql = f"least({mind_sql}, {sql_sqdist_const('v', vec)})"
+        mind = F.expr(mind_sql)
         pick = (
             base.select("vid", "v", mind.alias("mind"))
             .orderBy(F.desc("mind"), F.asc("vid"))
@@ -3999,7 +4102,9 @@ def binary_quantize(
         for r in fit:
             thresholds[r["j"]] = int(r["t"])
         n_rows = int(fit[0]["c"]) if fit else 0
-    tlit = F.array(*[F.lit(int(t)).cast("bigint") for t in thresholds])
+    # one parsed array literal instead of 64 py4j lit+cast round-trips
+    # (identical array<bigint> literal; 'L' is the SQL bigint suffix)
+    tlit = F.expr("array(" + ", ".join(f"{int(t)}L" for t in thresholds) + ")")
     n = F.lit(int(n_rows)).cast("bigint")
     qcol = q
     bits = F.transform(
@@ -4060,15 +4165,14 @@ def binary_hamming_topk(
     """
     enc = binary_quantize(df, id_col, vec_col, dim, thresholds, n_rows)
     index = enc.select("vid", "words")
-    probes = enc.filter(F.col("vid") % probe_mod == 0).select(
+    # collect-once guard + local probe relation (the cosine_ranked_raw /
+    # maxsim_topk pattern): one job instead of a count() guard plus a
+    # second probe scan of the encode plan
+    probes0 = enc.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"), F.col("words").alias("pwords")
     )
-    n_probes = probes.limit(MAX_PROBES + 1).count()
-    if n_probes > MAX_PROBES:
-        raise ValueError(
-            f"binary_hamming_topk: probe set exceeds MAX_PROBES={MAX_PROBES} "
-            "(exact-oracle harness contract) — raise probe_mod"
-        )
+    probe_rows = _checked_probe_rows(probes0, "binary_hamming_topk")
+    probes = df.sparkSession.createDataFrame(probe_rows, probes0.schema)
     ham = F.aggregate(
         F.zip_with(
             F.col("pwords"), F.col("words"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
@@ -4224,7 +4328,7 @@ def random_projection(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     ys = [
-        (dot(F.col("v"), F.array(*[F.lit(s) for s in row])) * F.lit(inv)).alias(
+        (dot(F.col("v"), lit_double_array(row)) * F.lit(inv)).alias(
             f"y{i}"
         )
         for i, row in enumerate(signs)

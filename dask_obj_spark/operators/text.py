@@ -522,7 +522,14 @@ def pipeline_clean_corpus_q(spark, sf_dir):
     on the keeper set) → language tag → scrub → stable content hash.
     Catalyst fuses the narrow stages; the only shuffles are the dedup
     groupBy and the langid argmax."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r15): all four branches below are regex-heavy narrow
+    # chains over the same scan — a single-file table pinned them to one
+    # task each (probe: 5.7 s of single-task executor time); the
+    # round-robin floor is scale-adaptive (no-op at production splits)
+    # and row-preserving, so results and oracle hashes are unchanged
+    from dask_obj_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     quality = quality_scores(docs, "doc_id", "text").select("doc_id", "quality")
     keepers = (
         docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")

@@ -577,9 +577,18 @@ def source_avro_roundtrip_q(spark, sf_dir):
     Hash-equal to the parquet-side oracle iff the binary round-trip is
     lossless."""
     from dask_obj_spark.sources.avro_io import read_avro, to_avro
+    from dask_obj_spark.sources.tables import fan_out
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # fan_out (r15): to_avro writes one container file per partition and
+    # the Python codec is the cost — a single-split scan serialized the
+    # whole table through ONE task (probe: 1.4 s write + 0.9 s read,
+    # both single-task); the floor parallelizes encode AND decode, is
+    # scale-adaptive (no-op at production split counts), and the
+    # aggregate downstream is partition-order-independent
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
     )
     path = _roundtrip_dir("avro")
     to_avro(ev, path)

@@ -73,6 +73,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_timestamps(df)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy chains over small
+    scans (optimization r15; guide §2.5 input skew / §6 split sizing).
+
+    A table smaller than one parquet split runs every narrow stage
+    downstream of its scan at the SPLIT COUNT — on this workload a
+    single sub-128MB file pinned whole regex/shingle/codec passes to ONE
+    task on a 32-core host (measured: the b24 shingle explode was a
+    3.2 s single-task stage; b10's scrub chain 5.7 s).  When the scan
+    already has at least one split per core — any production-scale
+    table — this returns ``df`` unchanged, so no shuffle is ever added
+    at scale; below that it round-robins to ``defaultParallelism``
+    partitions (row-preserving: values, and therefore oracle hashes,
+    are unchanged)."""
+    ncores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= ncores:
+        return df
+    return df.repartition(ncores)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
