@@ -1442,10 +1442,18 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
     neighbors enumerates nothing; its low-degree neighbors do the
     counting.  Three equi-joins, no cross products."""
     a, b = F.col(a_col), F.col(b_col)
+    # materialize the canonical edge list ONCE (optimization r15, guide
+    # §3.3 plan-truncation note): the downstream wedge/closing joins
+    # embed `e` ~7 times (deg 2x, orient 1x, wedges 2x orient, closing
+    # 1x), so an unpinned lineage replays the edge construction — for a
+    # kNN graph the entire brute scoring, whose r15 unrolled-kernel
+    # plans are also expensive to re-ANALYZE per copy per job (measured:
+    # b19 wall was ~85% driver plan time before this pin)
     e = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("v"))

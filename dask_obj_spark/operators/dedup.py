@@ -560,34 +560,21 @@ def dedup_embedding_cosine_q(spark, sf_dir):
 # -- semantic dedup (SemDeDup-style) ------------------------------------------
 
 
-def semantic_dedup(
+def _semantic_cells(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    tau: float,
-    cell_mod: int = 61,
-    centroids: DataFrame | None = None,
+    cell_mod: int,
+    centroids: DataFrame | None,
 ) -> DataFrame:
-    """SemDeDup-style semantic deduplication over an embedding column
-    (Abbas et al. 2023 pattern): cluster the corpus into coarse cells,
-    then within each cell drop every vector whose cosine similarity to a
-    LOWER-id cell member is >= ``tau`` (greedy keep-lowest-id canonical,
-    the same keeper rule as ``exact_dedup_groups``).
-
-    The reference has no vector ops at all (SURVEY.md §2 Tier E;
-    /root/reference/src/dask_obj/core.py:3-10 imports only
-    dask/toolz/operator) — this is north-star surface built Spark-first.
-
-    100 TB shape: identical to the IVF index (operators/similarity.py).
-    The centroid table is tiny and broadcast; assignment is a broadcast
-    nested-loop + per-id argmax with NO corpus shuffle; the only
-    pairwise surface is the within-cell self-join — an equi-join on
-    cell id, bounded by cell size, never all-pairs. In production cells
-    come from `kmeans_fit` and the cell table is a standing bucketed
-    dataset (`build_ann_index`); here centroids are deterministic
-    (vid % cell_mod == 1) so the DuckDB oracle replays the exact index.
-    Deletion rate is tuned by ``tau`` exactly as in the paper.
-    """
+    """The cell-assignment subplan of `semantic_dedup` /
+    `semantic_contamination`: ``(vid, v, vn, cell)`` — corpus ×
+    centroids scoring join + per-id argmax.  Split out (optimization
+    r15) so the plan-shape lock
+    (test_semantic_dedup_plan_broadcasts_centroids) can assert the
+    assignment's broadcast/no-cartesian shape directly: in
+    `semantic_dedup` this subplan is pinned behind a `localCheckpoint`,
+    which truncates it out of the final query plan."""
     from dask_obj_spark.operators.similarity import dot_w, l2_norm_w
 
     # norms are computed ONCE per vector/centroid before the pair joins:
@@ -630,6 +617,52 @@ def semantic_dedup(
         .filter(F.col("rn") == 1)
         .select("vid", "v", "vn", F.col("cid").alias("cell"))
     )
+    return cells
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    cell_mod: int = 61,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023 pattern): cluster the corpus into coarse cells,
+    then within each cell drop every vector whose cosine similarity to a
+    LOWER-id cell member is >= ``tau`` (greedy keep-lowest-id canonical,
+    the same keeper rule as ``exact_dedup_groups``).
+
+    The reference has no vector ops at all (SURVEY.md §2 Tier E;
+    /root/reference/src/dask_obj/core.py:3-10 imports only
+    dask/toolz/operator) — this is north-star surface built Spark-first.
+
+    100 TB shape: identical to the IVF index (operators/similarity.py).
+    The centroid table is tiny and broadcast; assignment is a broadcast
+    nested-loop + per-id argmax with NO corpus shuffle; the only
+    pairwise surface is the within-cell self-join — an equi-join on
+    cell id, bounded by cell size, never all-pairs. In production cells
+    come from `kmeans_fit` and the cell table is a standing bucketed
+    dataset (`build_ann_index`); here centroids are deterministic
+    (vid % cell_mod == 1) so the DuckDB oracle replays the exact index.
+    Deletion rate is tuned by ``tau`` exactly as in the paper.
+    """
+    from dask_obj_spark.operators.similarity import dot_w
+
+    cells = _semantic_cells(df, id_col, vec_col, cell_mod, centroids)
+    if centroids is None:
+        # materialize the modular cell assignment ONCE (optimization
+        # r15, guide §3.3/§5): it is consumed FOUR times below (pair
+        # join both sides + keep join + final projection), and each copy
+        # embeds the corpus x centroids scoring join — re-executed per
+        # copy and, with the r15 unrolled cosine kernels, expensive to
+        # re-analyze per copy per job.  The trained constant-k path is
+        # left un-pinned: its broadcast-hinted bounded-k assignment is
+        # cheap to replay, and pinning would truncate the hint out of
+        # the analyzed plan (pinned by
+        # test_semantic_cell_broadcast_hint_is_conditional)
+        cells = cells.localCheckpoint(eager=True)
     lower = cells.select(
         F.col("cell"),
         F.col("vid").alias("vid2"),

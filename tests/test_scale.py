@@ -164,15 +164,25 @@ def test_chunk_windows_plan_is_narrow(spark, sf_dir):
 def test_semantic_dedup_plan_broadcasts_centroids(spark, sf_dir):
     # the assignment join must broadcast the centroid side (never a
     # cartesian shuffle of the corpus) and the pair surface must be an
-    # equi-join on the cell id
-    from dask_obj_spark.operators.dedup import semantic_dedup
+    # equi-join on the cell id.  r15: the assignment subplan is pinned
+    # behind a localCheckpoint in semantic_dedup (plan-replay fix), so
+    # its shape is asserted on the _semantic_cells builder directly and
+    # the final plan is asserted to start from the pinned scan.
+    from dask_obj_spark.operators.dedup import _semantic_cells, semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assign_plan = (
+        _semantic_cells(emb, "vec_id", "embedding", 61, None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in assign_plan  # corpus × tiny centroids
+    assert "CartesianProduct" not in assign_plan
+
     plan = (
         semantic_dedup(emb, "vec_id", "embedding", tau=0.35)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan  # corpus × tiny centroid table
+    assert "ExistingRDD" in plan  # assignment pinned, computed exactly once
     assert "CartesianProduct" not in plan
 
 
