@@ -17,6 +17,7 @@ exact by construction (``L`` = SQL bigint suffix).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
 from pyspark.sql import Column
@@ -24,8 +25,20 @@ from pyspark.sql import functions as F
 
 
 def sql_double(x: float) -> str:
-    """Exact SQL double literal for ``x`` (finite values)."""
-    return repr(float(x)) + "D"
+    """Exact SQL double literal for ``x``.
+
+    Finite values only: ``repr(inf)`` / ``repr(nan)`` are not valid SQL
+    double tokens, so a non-finite input would silently emit text that
+    fails to parse (or worse, parses as a column reference) — raise
+    loudly instead so a future caller with an unexpected ``inf``
+    centroid gets a clear error at build time."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"sql_double: non-finite value {x!r} has no SQL double literal "
+            "form — use F.lit() for inf/nan"
+        )
+    return repr(x) + "D"
 
 
 def lit_double_array(vals: Iterable[float]) -> Column:

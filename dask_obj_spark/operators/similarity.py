@@ -30,6 +30,7 @@ size; skewed buckets (dense regions) are handled by AQE skew-join.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -151,6 +152,51 @@ def l2_norm_prefix_w(a: str, m: int) -> Column:
         f"CASE WHEN size({a}) >= {m} THEN {sql_norm(a, m)} "
         f"ELSE SQRT({_sql_dot_hof(sa, sa)}) END"
     )
+
+
+def chained_prefix_dots(
+    frame: DataFrame, a: str, b: str, widths: tuple[int, ...], prefix: str
+) -> tuple[DataFrame, dict[int, str]]:
+    """Project one prefix-dot column per width, each chain EXTENDING the
+    previous width's column instead of re-unrolling from element 1
+    (optimization r16, guide §7.3 plan size / §1.2 step 2): the fold is
+    left-associated, so the m₂-prefix sum IS the m₁-prefix sum followed
+    by terms m₁+1..m₂ — ``(0.0D + t1 + ... + t_m1) + t_{m1+1} + ...``
+    parses to the node-for-node identical tree `dot_prefix_w` unrolls in
+    full, but the total unrolled term count across widths drops from
+    Σwidths to max(widths) (120 → 64 at the matryoshka fixture widths),
+    and whole-stage codegen evaluates each shared prefix ONCE per row.
+
+    Guard semantics are `dot_prefix_w`'s, width by width: under the
+    ``size() >= m`` guard the previous column takes its own unrolled
+    branch (its guard is implied), reproducing the full left-assoc
+    chain bit-identically; outside it the slice-HOF fallback folds the
+    actual width exactly as `dot_prefix_w` does.  Returns the frame
+    plus {width: column name}."""
+    cols: dict[int, str] = {}
+    prev: tuple[int, str] | None = None
+    for m in sorted(widths):
+        name = f"__{prefix}d{m}"
+        if prev is None:
+            frame = frame.withColumn(name, dot_prefix_w(a, b, m))
+        else:
+            pm, pname = prev
+            tail = " + ".join(
+                f"element_at({a}, {i}) * element_at({b}, {i})"
+                for i in range(pm + 1, m + 1)
+            )
+            sa, sb = f"slice({a}, 1, {m})", f"slice({b}, 1, {m})"
+            frame = frame.withColumn(
+                name,
+                F.expr(
+                    f"CASE WHEN size({a}) >= {m} AND size({b}) >= {m} "
+                    f"THEN (`{pname}` + {tail}) "
+                    f"ELSE {_sql_dot_hof(sa, sb)} END"
+                ),
+            )
+        cols[m] = name
+        prev = (m, name)
+    return frame, cols
 
 
 def sql_sqdist_const(a: str, cent: list[float]) -> str:
@@ -1425,7 +1471,24 @@ def pca_power_top_component(
     distributed Lanczos/power solvers are laid out.  Sign is fixed by
     making the largest-|loading| coordinate positive.
 
-    Returns (i, loading) — dim rows, the unit top component."""
+    Returns (i, loading) — dim rows, the unit top component.
+
+    Round structure (optimization r16, guide §1.2 step 1 / §5): the
+    r15 shape pinned ``v`` per round, so each round's one eager action
+    computed the back-projection ``w`` TWICE (once under the norm
+    broadcast, once on the streamed crossJoin leg) and paid a broadcast
+    build for ``v`` and ``norm``.  The iteration state is dim doubles —
+    CONSTANT-sized (the embedding width), the same bound the old
+    broadcast relied on — so instead: pin ``w`` once per round (the
+    only corpus-touching leg, computed ONCE), read the norm and the
+    dim-row vector back with two leaf-only jobs, and feed the next
+    round's estimate as an exact literal array
+    (:func:`~dask_obj_spark.functions.fastlit.lit_double_array` —
+    repr round-trip, bit-identical to `F.lit`).  The per-element
+    product ``x * c``, the aggregation tree, and the division
+    ``w / n`` are unchanged expression-for-expression, so values (and
+    oracle hashes) are identical; the Python-side division replays
+    IEEE-754 double division exactly."""
     mat = (
         df.select(
             F.col(id_col).alias("vid"),
@@ -1434,32 +1497,36 @@ def pca_power_top_component(
         .localCheckpoint(eager=True)
     )
     dim = mat.agg(F.max("i")).first()[0] + 1
-    spark = df.sparkSession
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("i"),
-        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("c"),
-    )
+    v = [1.0 / math.sqrt(float(dim))] * dim
+    w = None
+    norm = None
     for _ in range(rounds):
+        c = F.element_at(lit_double_array(v), F.col("i") + 1)
         s = (
-            mat.join(F.broadcast(v), "i")
+            mat.select("vid", (F.col("x") * c).alias("xc"))
             .groupBy("vid")
-            .agg(F.sum(F.col("x") * F.col("c")).alias("s"))
+            .agg(F.sum(F.col("xc")).alias("s"))
         )
         w = (
             mat.join(F.broadcast(s), "vid")
             .groupBy("i")
             .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-        )
-        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
-        v = (
-            w.crossJoin(F.broadcast(norm))
-            .select("i", (F.col("w") / F.col("n")).alias("c"))
             .localCheckpoint(eager=True)
         )
-    sign = v.orderBy(F.abs(F.col("c")).desc(), "i").limit(1).select(
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")).first()["n"]
+        wi = {r["i"]: r["w"] for r in w.collect()}
+        if len(wi) != dim:
+            raise ValueError(
+                "pca_power_top_component: back-projection lost a dimension "
+                f"({len(wi)} of {dim} present) — input vectors must cover "
+                "every dim index"
+            )
+        v = [wi[i] / norm for i in range(dim)]
+    vfinal = w.select("i", (F.col("w") / F.lit(norm)).alias("c"))
+    sign = vfinal.orderBy(F.abs(F.col("c")).desc(), "i").limit(1).select(
         F.when(F.col("c") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
     )
-    return v.crossJoin(F.broadcast(sign)).select(
+    return vfinal.crossJoin(F.broadcast(sign)).select(
         "i", F.round(F.col("c") * F.col("sgn"), 6).alias("loading")
     )
 
@@ -1536,7 +1603,17 @@ def pca_top_components(
     aggregate, so orthogonalization costs no shuffle of the corpus.
     Sign fixed per component (largest-|loading| coordinate positive).
 
-    Returns (comp, i, loading): ``n_components × dim`` rows."""
+    Returns (comp, i, loading): ``n_components × dim`` rows.
+
+    Round structure (optimization r16): same rework as
+    `pca_power_top_component` — the per-round/per-component state
+    (estimate, extracted components, Gram-Schmidt dots) is dim-bounded,
+    so ``w`` is pinned once per round (the only corpus-touching leg,
+    computed ONCE instead of 2+len(components) times through the norm /
+    GS broadcast legs) and everything downstream of it runs as leaf-only
+    jobs with exact literal vectors.  Expression trees for every float
+    op (x*c products, sum folds, w - d*u, w/n) are unchanged, so values
+    and oracle hashes are identical."""
     mat = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
@@ -1548,47 +1625,51 @@ def pca_top_components(
         .localCheckpoint(eager=True)
     )
     dim = cmat.agg(F.max("i")).first()[0] + 1
-    spark = df.sparkSession
-    components: list[DataFrame] = []
+
+    def dense_vec(frame: DataFrame, col: str, what: str) -> list[float]:
+        vals = {r["i"]: r[col] for r in frame.collect()}
+        if len(vals) != dim:
+            raise ValueError(
+                f"pca_top_components: {what} lost a dimension "
+                f"({len(vals)} of {dim} present) — input vectors must "
+                "cover every dim index"
+            )
+        return [vals[i] for i in range(dim)]
+
+    components: list[list[float]] = []
     for _ in range(n_components):
-        v = spark.range(dim).select(
-            F.col("id").cast("int").alias("i"),
-            (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("c"),
-        )
+        v = [1.0 / math.sqrt(float(dim))] * dim
         for _r in range(rounds):
+            c = F.element_at(lit_double_array(v), F.col("i") + 1)
             s = (
-                cmat.join(F.broadcast(v), "i")
+                cmat.select("vid", (F.col("x") * c).alias("xc"))
                 .groupBy("vid")
-                .agg(F.sum(F.col("x") * F.col("c")).alias("s"))
+                .agg(F.sum(F.col("xc")).alias("s"))
             )
             w = (
                 cmat.join(F.broadcast(s), "vid")
                 .groupBy("i")
                 .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-            )
-            for u in components:  # Gram-Schmidt against extracted components
-                d = (
-                    w.join(F.broadcast(u), "i")
-                    .agg(F.sum(F.col("w") * F.col("u")).alias("d"))
-                )
-                w = (
-                    w.join(F.broadcast(u), "i")
-                    .crossJoin(F.broadcast(d))
-                    .select("i", (F.col("w") - F.col("d") * F.col("u")).alias("w"))
-                )
-            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
-            v = (
-                w.crossJoin(F.broadcast(norm))
-                .select("i", (F.col("w") / F.col("n")).alias("c"))
                 .localCheckpoint(eager=True)
             )
-        components.append(v.select("i", F.col("c").alias("u")).localCheckpoint(eager=True))
+            for u in components:  # Gram-Schmidt against extracted components
+                uc = F.element_at(lit_double_array(u), F.col("i") + 1)
+                d = w.agg(F.sum(F.col("w") * uc).alias("d")).first()["d"]
+                w = w.select("i", (F.col("w") - F.lit(d) * uc).alias("w"))
+            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")).first()["n"]
+            wv = dense_vec(w, "w", "back-projection")
+            v = [x / norm for x in wv]
+        components.append(v)
+    spark = df.sparkSession
     out = None
     for ci, u in enumerate(components):
-        sign = u.orderBy(F.abs(F.col("u")).desc(), "i").limit(1).select(
+        uf = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(u)], "i int, u double"
+        )
+        sign = uf.orderBy(F.abs(F.col("u")).desc(), "i").limit(1).select(
             F.when(F.col("u") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
         )
-        comp = u.crossJoin(F.broadcast(sign)).select(
+        comp = uf.crossJoin(F.broadcast(sign)).select(
             F.lit(ci).cast("int").alias("comp"),
             "i",
             F.round(F.col("u") * F.col("sgn"), 6).alias("loading"),
@@ -2759,12 +2840,18 @@ def matryoshka_recall(
     )
 
     def with_norms(frame: DataFrame, pfx: str) -> DataFrame:
-        # codegen'd prefix norms (see `dot`): element_at(v, 1..m) is
-        # exactly slice(v, 1, m)'s element set, same left-assoc fold —
-        # bit-identical values without materializing the slice
+        # codegen'd prefix norms via the CHAINED squared-sum columns
+        # (optimization r16, guide §7.3: the r15 per-width unrolled
+        # norms re-unrolled every width from element 1 — Σwidths terms
+        # per side; the chain shares each prefix, max(widths) terms).
+        # SQRT over the chained CASE column is value-identical to
+        # l2_norm_prefix_w's CASE-of-SQRTs: same branch, same fold.
+        frame, sq_cols = chained_prefix_dots(frame, "v", "v", widths, pfx + "sq")
         for m in widths:
-            frame = frame.withColumn(f"{pfx}n{m}", l2_norm_prefix_w("v", m))
-        return frame
+            frame = frame.withColumn(
+                f"{pfx}n{m}", F.expr(f"SQRT(`{sq_cols[m]}`)")
+            )
+        return frame.drop(*sq_cols.values())
 
     base = with_norms(raw0.repartition(ncores), "")
     # Collect the capped probe panel ONCE and rebuild it as a local
@@ -2791,12 +2878,15 @@ def matryoshka_recall(
         *[F.col(f"pn{m}") for m in widths],
     )
     pairs = base.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
+    # chained per-pair prefix dots (r16): the r15 arms re-unrolled every
+    # width from element 1 inside the explode — Σwidths = 120 terms per
+    # pair; the chain computes 64 and shares each prefix across arms
+    pairs, d_cols = chained_prefix_dots(pairs, "pv", "v", widths, "p")
     arms = [
         F.struct(
             F.lit(m).cast("bigint").alias("m"),
             (
-                # codegen'd prefix dot — same tree as the sliced HOF fold
-                dot_prefix_w("pv", "v", m) / (F.col(f"pn{m}") * F.col(f"n{m}"))
+                F.col(d_cols[m]) / (F.col(f"pn{m}") * F.col(f"n{m}"))
             ).alias("cs"),
         )
         for m in widths
@@ -2807,10 +2897,17 @@ def matryoshka_recall(
         F.explode(F.array(*arms)).alias("e"),
     ).select("id1", "id2", F.col("e.m").alias("m"), F.col("e.cs").alias("cs"))
     w = Window.partitionBy("m", "id1").orderBy(F.desc("cs"), F.asc("id2"))
+    # pin the per-width top-k table ONCE (optimization r16, the b19/b23
+    # §5 recipe): the truth/hits legs below self-join `top`, so without
+    # the pin the ENTIRE pair-scoring + window subplan is embedded (and
+    # executed) twice — plans/r15/b39_matryoshka_after.txt shows the two
+    # mirrored BroadcastNestedLoopJoin legs.  Bounded by construction:
+    # ≤ len(widths)·n_probes·k rows, n_probes ≤ MAX_PROBES.
     top = (
         melted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("m", "id1", "id2")
+        .localCheckpoint(eager=True)
     )
     truth = top.filter(F.col("m") == full_dim).select(
         F.col("id1").alias("t1"), F.col("id2").alias("t2")

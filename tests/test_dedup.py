@@ -574,6 +574,83 @@ def test_matryoshka_recall_lossless_prefix_and_bounds(spark):
         assert r["recall_x1m"] == 1_000_000
 
 
+def test_chained_prefix_dots_bit_identical_to_hof_at_every_width(spark):
+    """r16 plan-footprint optimization: the chained prefix-dot columns
+    (each width extending the previous width's column) must be
+    BIT-identical to the width-generic HOF fold over the slice —
+    including short arrays that take the slice-HOF ELSE branch and
+    mixed-width pairs."""
+    from pyspark.sql import functions as F
+
+    from dask_obj_spark.operators.similarity import chained_prefix_dots, dot
+
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (n, [rng.uniform(-2, 2) for _ in range(n)],
+         [rng.uniform(-2, 2) for _ in range(m)])
+        for n, m in [(4, 4), (8, 8), (12, 12), (16, 16), (64, 64),
+                     (12, 20), (64, 8)]
+    ]
+    df = spark.createDataFrame(rows, ["n", "a", "b"])
+    widths = (8, 16, 32, 64)
+    got, cols = chained_prefix_dots(df, "a", "b", widths, "t")
+    for m in widths:
+        got = got.withColumn(
+            f"ref{m}", dot(F.slice("a", 1, m), F.slice("b", 1, m))
+        )
+    for r in got.collect():
+        for m in widths:
+            assert r[cols[m]] == r[f"ref{m}"], (r["n"], m)
+
+
+def test_pca_power_recovers_dominant_direction_and_topk_orthogonal(spark):
+    """r16 round-structure rework (literal vector state + pinned w):
+    the iteration must still behave like power iteration — on a
+    near-rank-1 corpus the top component matches the planted direction
+    up to the 1e-6 rounding, the loading vector is unit norm, the
+    largest-|loading| coordinate is positive, and the deflated top-2
+    components are orthogonal."""
+    import math
+    import random
+
+    from dask_obj_spark.operators.similarity import (
+        pca_power_top_component,
+        pca_top_components,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    u = [math.sin(i + 1) for i in range(dim)]
+    un = math.sqrt(sum(x * x for x in u))
+    u = [x / un for x in u]
+    coeffs = [rng.gauss(0, 1) for _ in range(200)]
+    rows = [
+        (i, [coeffs[i] * 3.0 * x + rng.gauss(0, 0.01) for x in u])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = {r["i"]: r["loading"] for r in
+           pca_power_top_component(df, "vec_id", "embedding", rounds=8).collect()}
+    assert len(top) == dim
+    norm = math.sqrt(sum(x * x for x in top.values()))
+    assert abs(norm - 1.0) < 1e-4
+    big_i = max(top, key=lambda i: (abs(top[i]), -i))
+    assert top[big_i] > 0  # sign convention
+    # planted direction recovered up to global sign
+    dotp = sum(top[i] * u[i] for i in range(dim))
+    assert abs(abs(dotp) - 1.0) < 1e-3
+
+    comps = pca_top_components(df, "vec_id", "embedding",
+                               n_components=2, rounds=4).collect()
+    c0 = {r["i"]: r["loading"] for r in comps if r["comp"] == 0}
+    c1 = {r["i"]: r["loading"] for r in comps if r["comp"] == 1}
+    assert len(c0) == dim and len(c1) == dim
+    ortho = sum(c0[i] * c1[i] for i in range(dim))
+    assert abs(ortho) < 1e-4
+
+
 def test_rbo_identical_disjoint_and_topweighted(spark):
     """Identical top-10 lists score the truncated maximum 1-p^10;
     disjoint lists score 0; agreement at rank 1 outweighs agreement

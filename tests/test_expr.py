@@ -445,3 +445,17 @@ def test_print_result_decorator(capsys):
     assert double_eval(e, 41) == 42
     out = capsys.readouterr().out
     assert "result=42" in out
+
+
+def test_sql_double_rejects_non_finite():
+    """fastlit.sql_double must fail loudly on inf/nan (r15 verdict §5:
+    repr(inf) is not a valid SQL double token — a silent emit would
+    surface later as an opaque parse error)."""
+    from dask_obj_spark.functions.fastlit import sql_double
+
+    assert sql_double(1.5) == "1.5D"
+    assert sql_double(-0.0) == "-0.0D"
+    assert sql_double(5e-324) == "5e-324D"  # subnormal round-trips
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError, match="non-finite"):
+            sql_double(bad)

@@ -9,7 +9,8 @@ For each requested bench row:
     stage of each query is identifiable without the interactive UI.
 
 Usage:
-    python tools/perf_probe.py [--tag before|after] [--runs 2] [b15 b23 ...]
+    python tools/perf_probe.py [--tag before|after] [--runs 2]
+                               [--plans-dir plans/r16] [b15 b23 ...]
 
 Writes a JSON report to /tmp/perf_probe_<tag>.json.
 """
@@ -38,6 +39,7 @@ def main() -> None:
     args = sys.argv[1:]
     tag = "before"
     runs = 2
+    plans_dir = "plans/r16"
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -45,6 +47,8 @@ def main() -> None:
             tag = next(it)
         elif a == "--runs":
             runs = int(next(it))
+        elif a == "--plans-dir":
+            plans_dir = next(it)
         else:
             names.append(a)
     if not names:
@@ -58,7 +62,7 @@ def main() -> None:
     sc = spark.sparkContext
     app_id = sc.applicationId
     ui = f"http://localhost:4040/api/v1/applications/{app_id}"
-    os.makedirs("plans/r15", exist_ok=True)
+    os.makedirs(plans_dir, exist_ok=True)
 
     report: dict[str, dict] = {}
     for bench_name in names:
@@ -70,7 +74,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with open(f"plans/r15/{bench_name}_{tag}.txt", "w") as fh:
+        with open(f"{plans_dir}/{bench_name}_{tag}.txt", "w") as fh:
             fh.write(plan)
 
         # warm runs, then one attributed run
