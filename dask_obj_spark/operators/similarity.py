@@ -1477,18 +1477,19 @@ def pca_power_top_component(
     r15 shape pinned ``v`` per round, so each round's one eager action
     computed the back-projection ``w`` TWICE (once under the norm
     broadcast, once on the streamed crossJoin leg) and paid a broadcast
-    build for ``v`` and ``norm``.  The iteration state is dim doubles —
-    CONSTANT-sized (the embedding width), the same bound the old
-    broadcast relied on — so instead: pin ``w`` once per round (the
-    only corpus-touching leg, computed ONCE), read the norm and the
-    dim-row vector back with two leaf-only jobs, and feed the next
-    round's estimate as an exact literal array
+    build, a checkpoint and three jobs per round.  The iteration state
+    is dim doubles — CONSTANT-sized (the embedding width), the same
+    bound the old broadcast relied on — so instead each round runs ONE
+    job: the corpus-touching back-projection, collected as dim rows.
+    The norm fold and the division happen in driver doubles (IEEE-754,
+    the same ops Spark's codegen emits; the sum fold order was already
+    nondeterministic in Spark's partial aggregation, and the dual-SF
+    oracle gate certifies the 6-decimal outputs), and the next round's
+    estimate goes back in as an exact literal array
     (:func:`~dask_obj_spark.functions.fastlit.lit_double_array` —
-    repr round-trip, bit-identical to `F.lit`).  The per-element
-    product ``x * c``, the aggregation tree, and the division
-    ``w / n`` are unchanged expression-for-expression, so values (and
-    oracle hashes) are identical; the Python-side division replays
-    IEEE-754 double division exactly."""
+    repr round-trip, bit-identical to `F.lit`).  The distributed legs
+    (x*c products, the two aggregation trees) are unchanged
+    expression-for-expression."""
     mat = (
         df.select(
             F.col(id_col).alias("vid"),
@@ -1498,8 +1499,6 @@ def pca_power_top_component(
     )
     dim = mat.agg(F.max("i")).first()[0] + 1
     v = [1.0 / math.sqrt(float(dim))] * dim
-    w = None
-    norm = None
     for _ in range(rounds):
         c = F.element_at(lit_double_array(v), F.col("i") + 1)
         s = (
@@ -1511,9 +1510,7 @@ def pca_power_top_component(
             mat.join(F.broadcast(s), "vid")
             .groupBy("i")
             .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-            .localCheckpoint(eager=True)
         )
-        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")).first()["n"]
         wi = {r["i"]: r["w"] for r in w.collect()}
         if len(wi) != dim:
             raise ValueError(
@@ -1521,8 +1518,16 @@ def pca_power_top_component(
                 f"({len(wi)} of {dim} present) — input vectors must cover "
                 "every dim index"
             )
+        sq = 0.0
+        for i in range(dim):
+            sq += wi[i] * wi[i]
+        norm = math.sqrt(sq)
         v = [wi[i] / norm for i in range(dim)]
-    vfinal = w.select("i", (F.col("w") / F.lit(norm)).alias("c"))
+    spark = df.sparkSession
+    vfinal = spark.range(dim).select(
+        F.col("id").cast("int").alias("i"),
+        F.element_at(lit_double_array(v), F.col("id").cast("int") + 1).alias("c"),
+    )
     sign = vfinal.orderBy(F.abs(F.col("c")).desc(), "i").limit(1).select(
         F.when(F.col("c") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
     )
@@ -1608,12 +1613,13 @@ def pca_top_components(
     Round structure (optimization r16): same rework as
     `pca_power_top_component` — the per-round/per-component state
     (estimate, extracted components, Gram-Schmidt dots) is dim-bounded,
-    so ``w`` is pinned once per round (the only corpus-touching leg,
-    computed ONCE instead of 2+len(components) times through the norm /
-    GS broadcast legs) and everything downstream of it runs as leaf-only
-    jobs with exact literal vectors.  Expression trees for every float
-    op (x*c products, sum folds, w - d*u, w/n) are unchanged, so values
-    and oracle hashes are identical."""
+    so each round runs ONE job (the corpus-touching back-projection,
+    collected as dim rows, instead of 3+len(components) jobs through
+    the pin / GS / norm legs) and Gram-Schmidt, the norm fold and the
+    division happen in driver doubles — elementwise IEEE-754 ops
+    identical to the Spark expressions they replace; the sum-fold
+    order was already nondeterministic under partial aggregation and
+    the dual-SF oracle gate certifies the 6-decimal outputs."""
     mat = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
@@ -1650,14 +1656,17 @@ def pca_top_components(
                 cmat.join(F.broadcast(s), "vid")
                 .groupBy("i")
                 .agg(F.sum(F.col("s") * F.col("x")).alias("w"))
-                .localCheckpoint(eager=True)
             )
-            for u in components:  # Gram-Schmidt against extracted components
-                uc = F.element_at(lit_double_array(u), F.col("i") + 1)
-                d = w.agg(F.sum(F.col("w") * uc).alias("d")).first()["d"]
-                w = w.select("i", (F.col("w") - F.lit(d) * uc).alias("w"))
-            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")).first()["n"]
             wv = dense_vec(w, "w", "back-projection")
+            for u in components:  # Gram-Schmidt against extracted components
+                d = 0.0
+                for i in range(dim):
+                    d += wv[i] * u[i]
+                wv = [wv[i] - d * u[i] for i in range(dim)]
+            sq = 0.0
+            for x in wv:
+                sq += x * x
+            norm = math.sqrt(sq)
             v = [x / norm for x in wv]
         components.append(v)
     spark = df.sparkSession
