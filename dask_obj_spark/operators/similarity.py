@@ -618,15 +618,24 @@ def knn_graph_ann(
     corpus-fraction sized, so its broadcast and its N²/centroid_mod
     assignment cost are a replayability price, NOT a design property;
     never use it as a library call at scale."""
+    # NOTE (r16): fan_out before the centroid-scoring scan was A/B
+    # probed and REGRESSED this row at sf0.1 (2.59 -> 3.62 s): the
+    # round-robin exchange plus 32-task overhead exceeds the scoring
+    # parallelism it buys at this size — left as-is (the b10/b24 regex
+    # chains it does help are 10x heavier per row).
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vn", l2_norm(F.col("v")))
+    ).withColumn("vn", l2_norm_w("v", DIM))
     if centroid_mod is not None:
-        # oracle-replay path (quadratic; see docstring)
+        # oracle-replay path (quadratic; see docstring).  Scoring uses
+        # the codegen'd width-guarded kernels (optimization r16, guide
+        # §4.1): this corpus×centroid stage and the candidate re-rank
+        # below were the two interpreted-HOF sites the r15 kernel
+        # migration missed — bit-identical by the dot_w guard contract.
         cents = base.filter(F.col("vid") % centroid_mod == 1).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("vn").alias("cn")
         )
-        sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        sim = dot_w("v", "cv", DIM) / (F.col("vn") * F.col("cn"))
         aw = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cid"))
         assign = (
             base.join(F.broadcast(cents))
@@ -689,7 +698,7 @@ def knn_graph_ann(
     scored = cand.select(
         F.col("pid").alias("id1"),
         F.col("vid").alias("id2"),
-        (dot(F.col("pv"), F.col("v")) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
+        (dot_w("pv", "v", DIM) / (F.col("pn") * F.col("vn"))).alias("cos_raw"),
     )
     w = Window.partitionBy("id1").orderBy(F.desc("cos_raw"), F.asc("id2"))
     ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -2028,11 +2037,15 @@ def bfs_hops(
     the newly-discovered frontier against the (symmetrized) edge list,
     anti-joins out already-settled vertices, and appends the rest at
     distance r.  Work per round is O(frontier · avg-degree), not
-    O(vertices); the settled table and the frontier are
-    localCheckpointed per round (the iterative-operator contract shared
-    with connected_components / k_core / label_propagation).  BFS
-    guarantees a vertex is first reached at its minimum hop count, so
-    the append-only settled table needs no min-merge.
+    O(vertices); the settled table is localCheckpointed per round (the
+    iterative-operator contract shared with connected_components /
+    k_core / label_propagation) and the frontier is derived from the
+    pin as the leaf-only filter ``dist == r`` — ONE eager checkpoint
+    per hop instead of the r15 shape's two (frontier pinned separately,
+    plus a dead pin of the final hop's never-consumed frontier), same
+    rows by construction (optimization r16, guide §5).  BFS guarantees
+    a vertex is first reached at its minimum hop count, so the
+    append-only settled table needs no min-merge.
 
     The symmetrized edge list localCheckpoints ONCE before the loop: it
     is consumed by every round, and without materialization each round
@@ -2065,8 +2078,8 @@ def bfs_hops(
         new = cand.join(dist, "id", "left_anti").select(
             "id", F.lit(r).alias("dist")
         )
-        frontier = new.localCheckpoint(eager=True)
-        dist = dist.union(frontier).localCheckpoint(eager=True)
+        dist = dist.union(new).localCheckpoint(eager=True)
+        frontier = dist.filter(F.col("dist") == r)
     return vertices.join(dist, "id", "left").select(
         "id", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist")
     )
