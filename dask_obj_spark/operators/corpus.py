@@ -1252,56 +1252,94 @@ def corpus_contrastive_negatives_q(spark, sf_dir):
 # -- BPE merge learning -------------------------------------------------------
 
 
-def _bpe_apply_round(sym: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE round over a (doc_id, i, s) symbol table: find the
-    globally most frequent adjacent pair (ties → lexicographic), merge
-    every greedy-left-to-right occurrence, return (new_sym, best_pair).
-
-    Greedy overlap resolution without a sequential scan: positions
-    where the pair matches can only CONFLICT when they are consecutive
-    (which requires w1 == w2); within each consecutive run of matches,
-    greedy BPE merges the 0th, 2nd, 4th... occurrence — so runs are
-    identified with gaps-and-islands (i - rank-of-match) and the merge
-    set is `run offset % 2 == 0`.  Everything is windows + one
-    broadcast of the 1-row best pair; the shuffle key is doc_id
-    throughout, so all rounds reuse one partitioning."""
+def _bpe_pair_w2(sym: DataFrame) -> DataFrame:
+    """Attach w2 = the next symbol within the doc (one doc_id window
+    pass).  The per-round symbol pins carry w2 so the pair-count job
+    reads the pin directly instead of paying a full window shuffle of
+    its own (r16, guide §2.1/§2.4)."""
     w_doc = Window.partitionBy("doc_id").orderBy("i")
-    paired = sym.withColumn("w2", F.lead("s").over(w_doc))
-    best = (
-        paired.filter(F.col("w2").isNotNull())
+    return sym.withColumn("w2", F.lead("s").over(w_doc))
+
+
+def _bpe_best_pair_rows(sym_w2: DataFrame) -> list:
+    """The single most frequent adjacent pair (ties → lexicographic),
+    collected — one bounded row: partial aggregation shuffles only the
+    distinct pairs and TakeOrdered keeps one."""
+    return (
+        sym_w2.filter(F.col("w2").isNotNull())
         .groupBy(F.col("s").alias("w1"), "w2")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(1)
+        .collect()
     )
-    b = paired.crossJoin(F.broadcast(best.select("w1", F.col("w2").alias("bw2"), "n")))
-    m = (F.col("s") == F.col("w1")) & (F.col("w2") == F.col("bw2"))
-    flagged = b.select(
-        "doc_id", "i", "s", m.cast("int").alias("m"),
-        F.concat("w1", F.lit("_"), "bw2").alias("merged"),
-    ).withColumn("rn_m", F.sum("m").over(w_doc))
-    # runkey constant within a consecutive run of matches
-    runkey = F.when(F.col("m") == 1, F.col("i") - F.col("rn_m"))
-    flagged = flagged.withColumn("runkey", runkey)
-    w_run = Window.partitionBy("doc_id", "runkey").orderBy("i")
-    off = F.when(F.col("m") == 1, F.row_number().over(w_run) - 1)
+
+
+def _bpe_apply_literal(sym_w2: DataFrame, w1: str, w2: str) -> DataFrame:
+    """Merge every greedy-left-to-right occurrence of the pair (w1, w2)
+    in a (doc_id, i, s, w2) symbol table; returns the new table with w2
+    re-derived for the next round.
+
+    Greedy overlap resolution without a sequential scan: positions
+    where the pair matches can only CONFLICT when they are consecutive
+    (which requires w1 == w2); within each maximal consecutive run of
+    matches, greedy BPE merges the 0th, 2nd, 4th... occurrence.  The
+    run offset is pure running-window arithmetic over the ONE
+    doc_id/i ordering — `i - (last non-match position before i) - 1` —
+    so the whole round is a single Exchange (r16; the former
+    gaps-and-islands row_number needed a second (doc_id, runkey)
+    shuffle, and the best pair arrived via crossJoin(broadcast))."""
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    w_cum = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = ((F.col("s") == F.lit(w1)) & (F.col("w2") == F.lit(w2))).cast("int")
+    flagged = sym_w2.withColumn("m", m)
+    last_nm = F.max(
+        F.when(F.col("m") == 1, F.lit(None)).otherwise(F.col("i"))
+    ).over(w_cum)
+    first_i = F.min("i").over(w_cum)
+    off = F.when(
+        F.col("m") == 1, F.col("i") - F.coalesce(last_nm, first_i - 1) - 1
+    )
     flagged = flagged.withColumn(
         "merge_at", ((F.col("m") == 1) & (off % 2 == 0)).cast("int")
     )
-    prev_merged = F.coalesce(
-        F.lag("merge_at").over(w_doc), F.lit(0)
-    )
-    new_sym = (
-        flagged.withColumn("prev_m", prev_merged)
+    kept = (
+        flagged.withColumn(
+            "prev_m", F.coalesce(F.lag("merge_at").over(w_doc), F.lit(0))
+        )
         .filter(F.col("prev_m") == 0)  # position consumed by a merge to its left
         .select(
             "doc_id",
             "i",
-            F.when(F.col("merge_at") == 1, F.col("merged")).otherwise(F.col("s")).alias("s"),
+            F.when(F.col("merge_at") == 1, F.lit(f"{w1}_{w2}"))
+            .otherwise(F.col("s"))
+            .alias("s"),
         )
-        .withColumn("i", F.row_number().over(w_doc))
     )
-    return new_sym, best
+    return kept.select(
+        "doc_id",
+        F.row_number().over(w_doc).alias("i"),
+        "s",
+        F.lead("s").over(w_doc).alias("w2"),
+    )
+
+
+def _bpe_apply_round(sym: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round over a (doc_id, i, s[, w2]) symbol table: find the
+    globally most frequent adjacent pair, merge every greedy occurrence,
+    return (new_sym, best_pair).  Single-round entry kept for tests;
+    the iterative drivers below call the pieces directly."""
+    spark = sym.sparkSession
+    sym_w2 = sym if "w2" in sym.columns else _bpe_pair_w2(sym)
+    best = _bpe_best_pair_rows(sym_w2)
+    best_df = spark.createDataFrame(
+        [(r["w1"], r["w2"], r["n"]) for r in best],
+        "w1 STRING, w2 STRING, n BIGINT",
+    )
+    if not best:
+        return sym_w2.filter(F.lit(False)).drop("w2"), best_df
+    new_sym = _bpe_apply_literal(sym_w2, best[0]["w1"], best[0]["w2"]).drop("w2")
+    return new_sym, best_df
 
 
 def bpe_learn_merges(
@@ -1312,23 +1350,34 @@ def bpe_learn_merges(
     application (Sennrich et al. 2016, the tokenizer-training loop).
     Returns the learned merge table (round, w1, w2, n).
 
-    The per-round plan is windows over ONE doc_id partitioning plus a
-    broadcast of the single best pair; lineage is cut with
-    localCheckpoint per round like the other iterative operators
-    (connected_components, kmeans)."""
-    sym = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+    Per round (r16, guide §2.1/§2.4/§5): ONE tiny pair-count job over
+    the pinned (doc_id, i, s, w2) symbols (partial agg → distinct pairs
+    only → TakeOrdered(1) → bounded 1-row collect, the PCA recipe) and
+    ONE single-Exchange merge-apply job pinned with localCheckpoint
+    like the other iterative operators (connected_components, kmeans).
+    The final merge table is rebuilt from the collected rows, so the
+    per-round aggregations are not re-run by the output union, and the
+    last round skips its never-consumed symbol update."""
+    spark = df.sparkSession
+    sym = _bpe_pair_w2(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+        )
     ).localCheckpoint(eager=True)
-    merges = []
+    rows = []
     for r in range(1, rounds + 1):
-        sym, best = _bpe_apply_round(sym)
-        sym = sym.localCheckpoint(eager=True)
-        merges.append(best.select(F.lit(r).alias("round"), "w1", "w2", "n"))
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.union(m)
-    return out
+        best = _bpe_best_pair_rows(sym)
+        if not best:
+            break  # no adjacent pairs left: remaining rounds are empty
+        rows.append((r, best[0]["w1"], best[0]["w2"], best[0]["n"]))
+        if r < rounds:
+            sym = _bpe_apply_literal(
+                sym, best[0]["w1"], best[0]["w2"]
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "round INT, w1 STRING, w2 STRING, n BIGINT"
+    )
 
 
 def ws_tokens_corpus(c):
@@ -1495,16 +1544,30 @@ def bpe_apply_stats(
     """Run the BPE loop and report per-doc compression — token count
     before vs symbol count after the learned merges are applied (the
     go/no-go metric for a tokenizer change: how many tokens a given
-    merge table actually saves on the corpus)."""
-    sym0 = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+    merge table actually saves on the corpus).
+
+    Same r16 round structure as bpe_learn_merges: one pinned
+    (doc_id, i, s, w2) symbol table feeds both the per-round 1-row
+    best-pair collects and the single-Exchange merge-applies; the
+    before-count reads the same pin."""
+    sym = _bpe_pair_w2(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(ws_tokens_corpus(text_col)).alias("i", "s"),
+        )
     ).localCheckpoint(eager=True)
-    before = sym0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    sym = sym0
+    before = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     for _ in range(rounds):
-        sym, _best = _bpe_apply_round(sym)
-        sym = sym.localCheckpoint(eager=True)
+        best = _bpe_best_pair_rows(sym)
+        if not best:
+            # no adjacent pairs anywhere: the merge pass produces an
+            # empty table (every position had a null w2 ⇒ single-token
+            # docs only ⇒ the legacy crossJoin round emptied sym)
+            sym = sym.filter(F.lit(False))
+            break
+        sym = _bpe_apply_literal(
+            sym, best[0]["w1"], best[0]["w2"]
+        ).localCheckpoint(eager=True)
     after = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_syms"))
     return (
         before.join(after, "doc_id")
