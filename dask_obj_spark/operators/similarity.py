@@ -199,6 +199,34 @@ def chained_prefix_dots(
     return frame, cols
 
 
+SQL_HAM_HOF = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), 0, "
+    "(acc, x) -> acc + x)"
+)
+"""SQL text of the width-generic Hamming fold — parses to the identical
+ArrayAggregate/ZipWith tree ``F.aggregate(F.zip_with(a, b, (x, y) ->
+bit_count(x.bitwiseXOR(y))), F.lit(0), +)`` builds (integer seed, int
+adds), so results are identical at every width."""
+
+
+def hamming_w(a: str, b: str, nwords: int) -> Column:
+    """Width-guarded codegen'd Hamming distance over packed sign-bit
+    words (see `dot_w` for the guard rationale): the unrolled
+    xor→bit_count chain when both arrays are exactly ``nwords`` wide —
+    whole-stage-codegen'd straight-line integer ops — else the
+    width-generic HOF fold.  Integer adds are associative and cannot
+    overflow (≤ 64 per word), so both branches are value-identical to
+    the legacy interpreted fold for every input."""
+    chain = " + ".join(
+        f"bit_count(element_at({a}, {i}) ^ element_at({b}, {i}))"
+        for i in range(1, nwords + 1)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {nwords} AND size({b}) = {nwords} "
+        f"THEN (0 + {chain}) ELSE {SQL_HAM_HOF.format(a=a, b=b)} END"
+    )
+
+
 def sql_sqdist_const(a: str, cent: list[float]) -> str:
     """SQL text of the squared-euclidean fold against a LITERAL centroid
     — the codegen'd twin of ``aggregate(zip_with(v, lit_array, (x,y) ->
@@ -4292,13 +4320,13 @@ def binary_hamming_topk(
     )
     probe_rows = _checked_probe_rows(probes0, "binary_hamming_topk")
     probes = df.sparkSession.createDataFrame(probe_rows, probes0.schema)
-    ham = F.aggregate(
-        F.zip_with(
-            F.col("pwords"), F.col("words"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("bigint")
+    # codegen'd kernel over the candidate surface (optimization r16,
+    # guide §4.1): the interpreted aggregate/zip_with fold paid a
+    # per-pair lambda walk on every (probe, vector) candidate — the
+    # unrolled xor→bit_count chain is value-identical (integer adds)
+    # and whole-stage-codegen'd
+    nwords = (dim + 31) // 32
+    ham = hamming_w("pwords", "words", nwords).cast("bigint")
     cand = (
         index.join(F.broadcast(probes), F.col("pid") != F.col("vid"))
         .select("pid", "vid", ham.alias("hamming"))
@@ -4309,10 +4337,20 @@ def binary_hamming_topk(
         .filter(F.col("slrank") <= shortlist)
         .select("pid", "vid", "hamming")
     )
+    # per-VECTOR norms before the join (r16, guide §2.3): the norm fold
+    # runs once per vector instead of once per shortlist pair, and the
+    # pair projection shrinks to a single unrolled dot chain —
+    # dot / (pnorm * rnorm) is the same sqrt-then-multiply-then-divide
+    # tree cosine_sim_w builds, so cos_x1m is bit-identical
     raw = df.select(
-        F.col(id_col).alias("rvid"), F.col(vec_col).cast("array<double>").alias("rv")
+        F.col(id_col).alias("rvid"),
+        F.col(vec_col).cast("array<double>").alias("rv"),
+    ).withColumn("rnorm", l2_norm_w("rv", dim))
+    p = raw.select(
+        F.col("rvid").alias("pvid"),
+        F.col("rv").alias("pv"),
+        F.col("rnorm").alias("pnorm"),
     )
-    p = raw.select(F.col("rvid").alias("pvid"), F.col("rv").alias("pv"))
     rr = (
         sl.join(p, sl["pid"] == p["pvid"])
         .join(raw, sl["vid"] == raw["rvid"])
@@ -4321,7 +4359,9 @@ def binary_hamming_topk(
             "vid",
             "hamming",
             F.floor(
-                cosine_sim(F.col("pv"), F.col("rv")) * F.lit(1000000.0)
+                dot_w("pv", "rv", dim)
+                / (F.col("pnorm") * F.col("rnorm"))
+                * F.lit(1000000.0)
             ).cast("bigint").alias("cos_x1m"),
         )
     )
