@@ -49,3 +49,20 @@ def lit_double_array(vals: Iterable[float]) -> Column:
 def lit_long_array(vals: Iterable[int]) -> Column:
     """``array<bigint>`` literal column in one py4j round-trip."""
     return F.expr("array(" + ", ".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_double_matrix(rows: Iterable[Iterable[float]]) -> Column:
+    """``array<array<double>>`` literal in one parse — and, after
+    constant folding, ONE Literal node: k·dim doubles ride the plan as
+    DATA, not as k·dim expression nodes.  This is what keeps a large
+    codebook out of whole-stage-codegen source size (r16: per-codeword
+    literal expressions at k=64 codewords × m=8 subspaces generated a
+    multi-MiB codegen method that Janino chewed on for minutes per
+    stage)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(sql_double(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )

@@ -36,7 +36,11 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dask_obj_spark.functions.fastlit import lit_double_array, lit_long_array
+from dask_obj_spark.functions.fastlit import (
+    lit_double_array,
+    lit_double_matrix,
+    lit_long_array,
+)
 from dask_obj_spark.queries import query
 from dask_obj_spark.sources import load_table
 
@@ -762,21 +766,52 @@ def kmeans_fit(
     Returns (centroids, assignment df (vid, v, cell))."""
     # fan-out before the interpreted argmin stage (the PLANS.md
     # compute-bound-stage rule): k·dim zip_with/aggregate folds per row
-    # run interpreted, and a 1-file scan would pin them to one core
+    # run interpreted, and a 1-file scan would pin them to one core.
+    # r16 (guide §5): pin the working frame once — Lloyd's re-scans it
+    # iters+2 times (init collect + per-iter update + assignment), and
+    # without the pin every job re-ran the caller's upstream plan (for
+    # the PQ/IVF callers: a parquet scan + a normalize projection) plus
+    # this repartition exchange.  This is the localCheckpoint analogue
+    # of MLlib KMeans caching its input; values are unchanged.
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).repartition(ncores, "vid")
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .repartition(ncores, "vid")
+        .localCheckpoint(eager=True)
+    )
     cents = [list(r.v) for r in base.orderBy("vid").limit(k).collect()]
 
     def assign_for(cent_rows: list[list[float]]) -> DataFrame:
-        # one-parse codegen'd argmin (see `sql_sqdist_const` / the `dot`
-        # r15 notes): bit-identical to the interpreted zip_with folds
-        arms = ", ".join(
-            f"struct({sql_sqdist_const('v', cent)} AS dist, {i} AS cell)"
-            for i, cent in enumerate(cent_rows)
-        )
-        cell = F.expr(f"array_min(array({arms})).cell")
+        # few-centroid models: one-parse codegen'd argmin chains (see
+        # `sql_sqdist_const` / the `dot` r15 notes) — bit-identical to
+        # the interpreted zip_with folds, straight-line doubles per
+        # corpus row.  Many-centroid models (r16, the k=64 codebook
+        # fits): the unrolled chains put 2·k·dim expression nodes into
+        # codegen source — inflating parse/analysis per Lloyd round and
+        # at larger k·dim blowing the generated-method size entirely
+        # (the PQ-stall failure mode) — so the centroids ride as ONE
+        # array<array<double>> Literal and the argmin is the identical
+        # fold per centroid (array_min over struct(dist, cell), index
+        # == enumeration order; same values both ways).
+        if len(cent_rows) <= 16:
+            arms = ", ".join(
+                f"struct({sql_sqdist_const('v', cent)} AS dist, {i} AS cell)"
+                for i, cent in enumerate(cent_rows)
+            )
+            cell = F.expr(f"array_min(array({arms})).cell")
+        else:
+            cell = F.array_min(
+                F.transform(
+                    lit_double_matrix(cent_rows),
+                    lambda c, i: F.struct(
+                        sqdist(F.col("v"), c).alias("dist"),
+                        i.alias("cell"),
+                    ),
+                )
+            ).getField("cell")
         return base.select("vid", "v", cell.alias("cell"))
 
     assigned = assign_for(cents)
@@ -2404,17 +2439,19 @@ def pq_encode(
     )
     bests = []
     for s, book in enumerate(books):
+        # the codebook rides the plan as ONE array<array<double>>
+        # Literal (r16, guide §7.3 plan size): per-codeword literal
+        # expressions put k·sub nodes per subspace into codegen source,
+        # which at k=64 × m=8 generated multi-MiB methods Janino chewed
+        # on for minutes per stage; a transform over the constant matrix
+        # evaluates the identical sqdist fold per codeword (same
+        # struct(dist, cid) argmin, index == cid in book order)
         sv = F.slice(F.col("v"), s * sub + 1, sub)
-        pairs = F.array(
-            *[
-                F.struct(
-                    sqdist(sv, lit_double_array(cv)).alias(
-                        "dist"
-                    ),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in enumerate(book)
-            ]
+        pairs = F.transform(
+            lit_double_matrix(book),
+            lambda c, i: F.struct(
+                sqdist(sv, c).alias("dist"), i.alias("cid")
+            ),
         )
         bests.append(F.array_min(pairs).alias(f"best{s}"))
     enc = base.select("vid", *bests)
@@ -2627,10 +2664,20 @@ def pq_adc_ranked(
     )
     # unit-normalize: euclidean on the sphere = cosine ordering (the
     # target metric); same sqrt-fold norm + per-element division on
-    # both engines keeps every double bit-identical
-    base = raw.select(
-        "vid",
-        F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v"),
+    # both engines keeps every double bit-identical.  The norm rides a
+    # projected column so it folds ONCE per row — the old in-lambda
+    # l2_norm re-ran the interpreted dim-term fold per ELEMENT
+    # (O(dim²) interpreted work per row; r16, guide §4.1)
+    # pinned once: consumed by the codeword collect, the encode scan,
+    # the probe expansion and the candidate surface (r16; see
+    # ivfpq_topk)
+    base = (
+        raw.withColumn("_vn", l2_norm_w("v", dim))
+        .select(
+            "vid",
+            F.transform(F.col("v"), lambda x: x / F.col("_vn")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
     )
     sub = dim // m
     # the modular codeword set collapses to ONE sorted struct-array row,
@@ -3083,23 +3130,28 @@ def pq_adc_trained_topk(
     raw = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    base = raw.select(
-        "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("v")
+    # norm as a projected column (one fold per row, not per element)
+    # and the normalized corpus pinned once — every downstream consumer
+    # (encode, probes, re-rank join-backs) otherwise re-evaluates
+    # cast+normalize inline (r16; see ivfpq_topk)
+    base = (
+        raw.withColumn("_vn", l2_norm_w("v", dim))
+        .select(
+            "vid", F.transform(F.col("v"), lambda x: x / F.col("_vn")).alias("v")
+        )
+        .localCheckpoint(eager=True)
     )
 
     def _subspace_best(s: int, book) -> Column:
+        # codebook as ONE matrix Literal, not k·sub expression nodes
+        # (r16 plan-size fix — see pq_encode)
         sv = F.slice(F.col("v"), s * sub + 1, sub)
         return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(
-                            sv, lit_double_array(cv)
-                        ).alias("dist"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cv in enumerate(book)
-                ]
+            F.transform(
+                lit_double_matrix(book),
+                lambda c, i: F.struct(
+                    sqdist(sv, c).alias("dist"), i.alias("cid")
+                ),
             )
         ).getField("cid")
 
@@ -3118,20 +3170,16 @@ def pq_adc_trained_topk(
             "codes"
         ),
     )
-    pt_arr = F.array(
-        *[
-            F.array(
-                *[
-                    sqdist(
-                        F.slice(F.col("v"), s * sub + 1, sub),
-                        lit_double_array(cv),
-                    )
-                    for cv in book
-                ]
-            )
-            for s, book in enumerate(books)
-        ]
-    )
+    # NB: transform lambdas must take exactly ONE argument (a second —
+    # even defaulted — parameter selects pyspark's (element, index)
+    # form), so the subspace offset is captured via this factory
+    def _pt_dists(s: int, book) -> Column:
+        return F.transform(
+            lit_double_matrix(book),
+            lambda c: sqdist(F.slice(F.col("v"), s * sub + 1, sub), c),
+        )
+
+    pt_arr = F.array(*[_pt_dists(s, book) for s, book in enumerate(books)])
     probes = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"), pt_arr.alias("pt")
     )
@@ -3236,8 +3284,21 @@ def ivfpq_topk(
     raw = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    base = raw.select(
-        "vid", F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v"))).alias("nv")
+    # norm as a projected column: one fold per row, not per element
+    # (r16, guide §4.1 — see pq_adc_ranked), and the normalized corpus
+    # is PINNED once: it feeds the two fits, the encode scan, the probe
+    # expansion and both re-rank sides, and without the pin every
+    # consumer re-evaluated cast+normalize inline — the shortlist
+    # re-rank stage was observed evaluating the inlined norm chain
+    # INTERPRETED with a per-term array cast (thread dump: minutes of
+    # single-task Cast.castArray under BinaryArithmetic.eval).  Values
+    # identical; the b13/b19 pin discipline (guide §5/§3.3).
+    base = (
+        raw.withColumn("_vn", l2_norm_w("v", dim))
+        .select(
+            "vid", F.transform(F.col("v"), lambda x: x / F.col("_vn")).alias("nv")
+        )
+        .localCheckpoint(eager=True)
     )
     if centroids is None or books is None:
         # auto-sizing needs a row count; accept a caller hint (catalog
@@ -3263,18 +3324,15 @@ def ivfpq_topk(
     sub = dim // m
 
     def _code(s: int, book) -> Column:
+        # codebook as ONE matrix Literal, not k·sub expression nodes
+        # (r16 plan-size fix — see pq_encode)
         sv = F.slice(F.col("nv"), s * sub + 1, sub)
         return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sqdist(sv, lit_double_array(cv)).alias(
-                            "dist"
-                        ),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cv in enumerate(book)
-                ]
+            F.transform(
+                lit_double_matrix(book),
+                lambda c, i: F.struct(
+                    sqdist(sv, c).alias("dist"), i.alias("cid")
+                ),
             )
         ).getField("cid")
 
@@ -3288,20 +3346,14 @@ def ivfpq_topk(
     )
     # per-probe ADC table: pt[s][cid] = ||probe_sub_s - codeword||²,
     # an array-of-arrays computed from literal codebooks — narrow
-    pt = F.array(
-        *[
-            F.array(
-                *[
-                    sqdist(
-                        F.slice(F.col("nv"), s * sub + 1, sub),
-                        lit_double_array(cv),
-                    )
-                    for _, cv in enumerate(book)
-                ]
-            )
-            for s, book in enumerate(books)
-        ]
-    )
+    # NB: one-arg transform lambdas only (see pq_adc_trained_topk)
+    def _pt_dists(s: int, book) -> Column:
+        return F.transform(
+            lit_double_matrix(book),
+            lambda c: sqdist(F.slice(F.col("nv"), s * sub + 1, sub), c),
+        )
+
+    pt = F.array(*[_pt_dists(s, book) for s, book in enumerate(books)])
     pcells = base.filter(F.col("vid") % probe_mod == 0).select(
         F.col("vid").alias("pid"),
         pt.alias("pt"),
@@ -3387,12 +3439,15 @@ def sim_pq_tuned_recall_rowsonly_q(spark, sf_dir):
     sim_pq_recall) carry the hash contract, and the ≥ 0.6 recall floor
     is pinned in tests/test_dedup.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
-        ).alias("nv"),
+    # norm as a projected column: one fold per row, not per element
+    # (r16, guide §4.1 — see pq_adc_ranked)
+    norm = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .withColumn("_vn", l2_norm_w("_v", DIM))
+        .select(
+            "vec_id",
+            F.transform(F.col("_v"), lambda x: x / F.col("_vn")).alias("nv"),
+        )
     )
     books = pq_fit(norm, "vec_id", "nv", m=8, k=64, iters=3)
     tuned = pq_adc_trained_topk(
