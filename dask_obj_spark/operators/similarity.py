@@ -877,14 +877,21 @@ def kmeans_fit_quantized(
     # interpreted fold itself (~6.8 s at sf0.1 across the 5 training
     # jobs) — linear in N with a constant 8×64 per-row term, so the
     # plan holds at scale; the fan-out keeps it off one core.
+    # pinned like kmeans_fit (r16): Lloyd's re-scans the quantized frame
+    # iters+2 times; the pin stops each pass re-running the scan +
+    # quantize transform + this exchange (values unchanged)
     ncores = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.expr(
-            f"transform(cast({vec_col} as array<double>), "
-            f"x -> cast(floor(x * {scale}.0) as bigint))"
-        ).alias("xq"),
-    ).repartition(ncores, "vid")
+    base = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.expr(
+                f"transform(cast({vec_col} as array<double>), "
+                f"x -> cast(floor(x * {scale}.0) as bigint))"
+            ).alias("xq"),
+        )
+        .repartition(ncores, "vid")
+        .localCheckpoint(eager=True)
+    )
     init = base.orderBy("vid").limit(k).collect()
     state: list[tuple[list[int], int]] = [(list(r.xq), 1) for r in init]
 
