@@ -291,37 +291,23 @@ def mmr_rerank(
     similarities WITHIN each probe's candidate list (k² per probe, never
     corpus-scale).  The greedy loop is inherently sequential in `picks`,
     so it runs as `picks` rounds of keyed joins/windows — each round is
-    one hash join + one argmax window, all partitioned by probe.
-
-    State discipline (optimization r16, guide §5): the picked set is ≤
-    probes·picks rows and every round must BROADCAST it into the maxsim
-    join regardless, so it rides the driver as collected rows and
-    re-enters each round as a local relation — same bytes through the
-    cluster as the former per-round localCheckpoint + broadcast, minus
-    the checkpoint job and the growing pin chain (one argmax collect per
-    round is the round's only action).  Every score is computed by the
-    SAME Spark expressions over the same inputs (the driver never does
-    float math; collected doubles round-trip py4j bit-exactly), so the
-    greedy trajectory is unchanged and reproducible cross-engine."""
-    spark = cand.sparkSession
-    types = dict(cand.dtypes)
-    state_schema = (
-        f"pid {types['pid']}, cid {types['cid']}, score double, pick_order int"
-    )
+    one hash join + one argmax window, all partitioned by probe; the
+    picked set is localCheckpointed per round (the iterative-operator
+    contract).  Every score is bit-exact algebra over the exact cosine
+    values, so the greedy trajectory is reproducible cross-engine."""
     w = Window.partitionBy("pid").orderBy(F.desc("rel"), F.asc("cid"))
-    picked_rows = [
-        (r["pid"], r["cid"], r["score"], 1)
-        for r in (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("pid", "cid", (F.lit(lam) * F.col("rel")).alias("score"))
-            .collect()
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pid",
+            "cid",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+            F.lit(1).alias("pick_order"),
         )
-    ]
+        .localCheckpoint(eager=True)
+    )
     for r in range(2, picks + 1):
-        picked = F.broadcast(
-            spark.createDataFrame(picked_rows, state_schema)
-        )
         remaining = cand.join(picked.select("pid", "cid"), ["pid", "cid"], "left_anti")
         maxsim = (
             pair_sim.join(
@@ -340,16 +326,13 @@ def mmr_rerank(
             ).alias("score"),
         )
         ww = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("cid"))
-        picked_rows.extend(
-            (row["pid"], row["cid"], row["score"], r)
-            for row in (
-                scored.withColumn("rn", F.row_number().over(ww))
-                .filter(F.col("rn") == 1)
-                .select("pid", "cid", "score")
-                .collect()
-            )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(ww))
+            .filter(F.col("rn") == 1)
+            .select("pid", "cid", "score", F.lit(r).alias("pick_order"))
         )
-    return spark.createDataFrame(picked_rows, state_schema).select(
+        picked = picked.union(nxt).localCheckpoint(eager=True)
+    return picked.select(
         F.col("pid").alias("id1"),
         F.col("cid").alias("id2"),
         "pick_order",
